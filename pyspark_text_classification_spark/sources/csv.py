@@ -1,0 +1,63 @@
+"""Schema-declared delimited-text sources (SURVEY.md §2.1 S1-S3).
+
+The reference reads every dataset with ``inferSchema=True`` (qnli_test.py:66,
+qqp_test.py:28, sst2_test2.py:34), which double-scans the file and is brittle
+at scale; at 100 TB an inference pass is a full extra read of the corpus.
+The engine requires an explicit schema and exposes the reference's
+quote/escape TSV mode (qqp_test.py:25-31) as a flag.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_tsv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    sep: str = "\t",
+    header: bool = True,
+    quoted: bool = False,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """CSV/TSV scan with explicit schema.
+
+    ``quoted=True`` reproduces the RFC-4180-ish handling of embedded
+    tabs/quotes the reference needs for QQP (qqp_test.py:29-30:
+    quote='"', escape='"').
+    """
+    reader = (
+        spark.read.format("csv")
+        .schema(schema)
+        .option("sep", sep)
+        .option("header", str(header).lower())
+        .option("mode", mode)
+    )
+    if quoted:
+        reader = reader.option("quote", '"').option("escape", '"')
+    return reader.load(path)
+
+
+def normalize_columns(
+    df: DataFrame,
+    column_mapping: Mapping[str, str],
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Declarative column-mapping layer generalizing the reference's
+    per-task rename loop (transformers_test.py:66-92).
+
+    ``column_mapping`` maps source column -> engine column; ``keep`` is the
+    final projection (defaults to the mapped names). Implemented as a single
+    select so Catalyst sees one projection (column pruning reaches the scan).
+    """
+    from pyspark.sql import functions as F
+
+    cols = [F.col(src).alias(dst) for src, dst in column_mapping.items()]
+    out = df.select(*cols)
+    if keep:
+        out = out.select(*keep)
+    return out
