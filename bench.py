@@ -17,7 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark_text_classification_spark.queries import QUERIES
+from pyspark_text_classification_spark.all_queries import QUERIES
 from pyspark_text_classification_spark.session import get_session
 
 # Headline set: the reference-derived relational/text core + the heaviest

@@ -1,0 +1,14 @@
+"""Import every query-registering module and re-export the full registry.
+
+This is the single entry point the driver contract (__spark_entry__.py),
+tests, and bench.py use.
+"""
+
+from __future__ import annotations
+
+import pyspark_text_classification_spark.queries  # noqa: F401  (core Q1-Q18)
+import pyspark_text_classification_spark.operators.dedup  # noqa: F401
+import pyspark_text_classification_spark.operators.events  # noqa: F401
+import pyspark_text_classification_spark.operators.similarity  # noqa: F401
+import pyspark_text_classification_spark.operators.textstats  # noqa: F401
+from pyspark_text_classification_spark.registry import ORACLES, QUERIES  # noqa: F401

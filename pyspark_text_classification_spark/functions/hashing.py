@@ -1,0 +1,89 @@
+"""Deterministic, cross-engine hashing primitives.
+
+Spark's built-in ``hash()`` is Murmur3-x86-32(seed=42) and DuckDB's
+``hash()`` is a different 64-bit hash, so neither can anchor an
+oracle-checked MinHash/SimHash/fingerprint pipeline. Instead the engine
+uses a polynomial rolling hash over codepoints,
+
+    h(s) = fold(c in s) (31 * acc + codepoint(c)) mod (2^31 - 1)
+
+which both engines evaluate with exact 64-bit integer arithmetic:
+Spark  : aggregate(transform(split(s,''), ascii), 0L, (a,c) -> (31a+c)%p)
+DuckDB : list_reduce(list_prepend(0, list_transform(string_split(s,''),
+         c -> unicode(c))), (a,c) -> (31a+c)%p)
+
+All intermediate values stay < 2^62, so no overflow under ANSI mode.
+The MinHash permutation family is the standard (a*h + b) mod p with
+p = 2^31 - 1 prime and (a, b) drawn once from a fixed seed and embedded
+as literals, so Spark, DuckDB, and any future engine agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_MOD = 2_147_483_647  # 2^31 - 1, prime
+HASH_MULT = 31
+
+# MinHash permutation family: 32 perms -> 8 bands x 4 rows (classic LSH
+# banding for Jaccard ~>= 0.6 candidate recall). Fixed seed; literal
+# constants shared by the Spark plan and the DuckDB oracle.
+NUM_PERMUTATIONS = 32
+BAND_ROWS = 4
+_rng = random.Random(20260813)
+MINHASH_PERMS: list[tuple[int, int, int]] = [
+    (i, _rng.randrange(1, HASH_MOD), _rng.randrange(0, HASH_MOD))
+    for i in range(NUM_PERMUTATIONS)
+]
+
+SIMHASH_BITS = 32
+
+
+def char_poly_hash(col: Column | str) -> Column:
+    """Polynomial rolling hash of a string column (long in [0, 2^31-1))."""
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.filter(F.split(c, ""), lambda ch: ch != "")
+    codes = F.transform(chars, F.ascii)
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, code: (acc * HASH_MULT + code) % HASH_MOD,
+    )
+
+
+def sql_char_poly_hash(expr: str) -> str:
+    """DuckDB twin of :func:`char_poly_hash`."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(unicode(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * {HASH_MULT} + c) % {HASH_MOD})"
+    )
+
+
+def word_shingles(tokens: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of a token array, as space-joined strings.
+
+    Documents shorter than k tokens contribute their whole token sequence
+    as a single shingle so every non-empty document has >= 1 shingle.
+    """
+    whole = F.array(F.array_join(tokens, " "))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (k - 1)),
+        lambda i: F.array_join(F.slice(tokens, i, k), " "),
+    )
+    return F.when(F.size(tokens) < k, whole).otherwise(F.array_distinct(grams))
+
+
+def sql_word_shingles(tokens_expr: str, k: int = 3) -> str:
+    """DuckDB twin of :func:`word_shingles` (1-indexed list slicing)."""
+    return (
+        f"CASE WHEN length({tokens_expr}) < {k} "
+        f"THEN [array_to_string({tokens_expr}, ' ')] "
+        f"ELSE list_distinct(list_transform("
+        f"range(1, length({tokens_expr}) - {k - 1} + 1), "
+        f"i -> array_to_string(list_slice({tokens_expr}, i, i + {k - 1}), ' '))) "
+        f"END"
+    )

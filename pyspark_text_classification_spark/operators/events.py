@@ -1,0 +1,149 @@
+"""Event-stream relational operators: per-user windows, sessionization,
+tumbling-window aggregation, JSON extraction.
+
+The reference has no window functions (SURVEY.md §2.5 W1 "none") — this
+module supplies the window/sort surface the engine needs as first-class,
+oracle-checked operators over the synthetic ``events`` table. The streaming
+module (streaming/events.py) re-expresses the tumbling aggregate with
+Structured Streaming + watermarks and is held to the same oracle.
+
+The ``ts`` column arrives as epoch NANOSECONDS (long — see
+sources/parquet.load_table); all derived times use exact integer division,
+so no float/timezone drift can enter the cross-engine hash. The DuckDB side
+reads the native TIMESTAMP(NANOS) and converts with epoch_ns().
+
+Scale notes: every operator here shuffles exactly once on user_id (window
+partition key) or the (hour, event_type) group key; running sums are
+computed inside the sorted window partition — the standard watermarked-
+aggregation shape that Structured Streaming distributes per key at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_text_classification_spark.functions.text import (
+    round_half_up,
+    sql_round_half_up,
+)
+from pyspark_text_classification_spark.registry import query
+from pyspark_text_classification_spark.sources.parquet import load_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
+
+
+@query(
+    "events_user_window",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(row_number() OVER w AS INT)             AS seq,
+           epoch_ns(ts) // 1000
+             - lag(epoch_ns(ts) // 1000) OVER w         AS gap_us,
+           {sql_round_half_up('sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)', 4)} AS run_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def events_user_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered window: sequence number, inter-event gap (µs),
+    running value sum. One shuffle on user_id; the running sum is a
+    sequential in-order fold on both engines, so doubles match bit-exactly
+    before rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.expr("ts div 1000")  # exact integer division (double div would round)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("seq"),
+        (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
+        round_half_up(F.sum("value").over(run), 4).alias("run_value"),
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN epoch_ns(ts) // 1000
+                    - lag(epoch_ns(ts) // 1000) OVER w > {SESSION_GAP_US}
+                  THEN 1
+                  WHEN lag(ts) OVER w IS NULL THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           CAST(sum(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
+    FROM g
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity boundary): mark session
+    starts with lag(), then a running sum assigns 1-based session ids —
+    pure integer window arithmetic, deterministic on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.expr("ts div 1000")  # exact integer division (double div would round)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = ts_us - F.lag(ts_us).over(w)
+    new_session = (
+        F.when(gap > SESSION_GAP_US, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(new_session).over(run).cast("long").alias("session_id"),
+    )
+
+
+@query(
+    "events_tumbling_hourly",
+    oracle=f"""
+    SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch_s,
+           event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {sql_round_half_up('sum(value)', 4)} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate per event type. Hour boundary from
+    exact integer division of epoch nanos; the float sum is commutative-
+    order-dependent but round_half_up(4) absorbs the ulps."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = (F.expr("ts div 3600000000000") * 3600).alias("hour_epoch_s")
+    return (
+        ev.groupBy(hour, "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            round_half_up(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+    FROM events
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 JSON surface: pull a typed field out of the props JSON column
+    (get_json_object — JVM-side, no UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_val"),
+    )

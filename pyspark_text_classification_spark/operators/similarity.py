@@ -1,0 +1,252 @@
+"""Similarity search over embedding columns (array<float>).
+
+Extension surface (SURVEY.md §7.2 layer 7 / BASELINE.json north star):
+brute-force cosine top-k as the exact baseline, a sign-random-projection
+LSH bucketing as the scale path, and a cosine near-duplicate threshold scan.
+
+Float determinism strategy: all arithmetic is double, and every reduction
+is a SEQUENTIAL left fold (Spark ``aggregate``/``zip_with``; DuckDB
+``list_reduce``/``list_transform``) so both engines execute the identical
+IEEE op sequence — the exported cosines are bit-equal before rounding, and
+ranking ties are broken by neighbor id. No Python UDF anywhere: the folds
+run inside whole-stage codegen.
+
+Scale notes (100 TB): brute-force is O(n^2) pairs and exists as ground
+truth + small-n fallback; the LSH path buckets vectors by 8 hyperplane
+signs (256 buckets) so the pair join is bucket-local (equi-join on the
+bucket key, AQE handles skewed buckets). For 1000-executor scale, raise
+the hyperplane count and add multi-probe (flip one sign) to recover recall
+— both are config knobs, not new plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_text_classification_spark.functions.text import (
+    round_half_up,
+    sql_round_half_up,
+)
+from pyspark_text_classification_spark.registry import query
+from pyspark_text_classification_spark.sources.parquet import load_table
+
+# LCG-style deterministic pseudo-random hyperplane component in [-0.5, 0.5):
+#   u(j, d) = ((1103515245 * (j * DIM + d) + 12345) mod 2^31) / 2^31 - 0.5
+NUM_HYPERPLANES = 8
+_LCG_A = 1_103_515_245
+_LCG_C = 12_345
+_LCG_M = 2_147_483_648  # 2^31
+
+
+def _as_double_vec(col: str = "embedding") -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _fold_sum(arr: Column) -> Column:
+    """Sequential left-fold sum — deterministic IEEE order."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def with_norms(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, v double[], nrm): precomputed L2 norms."""
+    v = _as_double_vec()
+    return embeddings.select(
+        "vec_id",
+        v.alias("v"),
+        F.sqrt(_fold_sum(F.transform(v, lambda x: x * x))).alias("nrm"),
+    )
+
+
+def pairwise_cosine(e: DataFrame) -> DataFrame:
+    """(vec_id, neighbor_id, cos): all ordered pairs, exact double cosine."""
+    a, b = e.alias("a"), e.alias("b")
+    dot = _fold_sum(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
+        )
+    )
+
+
+_SQL_NORMED = """
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           sqrt(list_reduce(
+             list_prepend(0.0, list_transform(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x)),
+             (acc, x) -> acc + x)) AS nrm
+    FROM embeddings
+"""
+
+_SQL_PAIR_COS = """
+    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+           list_reduce(
+             list_prepend(0.0, list_transform(
+               range(1, length(a.v) + 1), i -> a.v[i] * b.v[i])),
+             (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos
+    FROM n a JOIN n b ON a.vec_id != b.vec_id
+"""
+
+
+@query(
+    "similarity_cosine_topk",
+    oracle=f"""
+    WITH n AS ({_SQL_NORMED}),
+    p AS ({_SQL_PAIR_COS})
+    SELECT vec_id, neighbor_id, {sql_round_half_up('cos', 4)} AS cos_sim,
+           CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT vec_id, neighbor_id, cos,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY {sql_round_half_up('cos', 4)} DESC, neighbor_id
+             ) AS rnk
+      FROM p
+    ) WHERE rnk <= 5
+    """,
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 neighbors for every vector."""
+    e = with_norms(load_table(spark, sf_dir, "embeddings"))
+    pairs = pairwise_cosine(e)
+    cos4 = round_half_up(F.col("cos"), 4)
+    w = Window.partitionBy("vec_id").orderBy(cos4.desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("vec_id", "neighbor_id", cos4.alias("cos_sim"), "rank")
+    )
+
+
+@query(
+    "similarity_near_dup",
+    oracle=f"""
+    WITH n AS ({_SQL_NORMED}),
+    p AS ({_SQL_PAIR_COS})
+    SELECT vec_id, neighbor_id, {sql_round_half_up('cos', 4)} AS cos_sim
+    FROM p
+    WHERE vec_id < neighbor_id AND {sql_round_half_up('cos', 4)} >= 0.45
+    """,
+)
+def similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine high-similarity pairs (cos >= 0.45, unordered).
+
+    The synthetic embeddings carry no planted exact near-dups (max pair
+    cosine ~0.6), so the threshold sits where real pairs exist at every
+    scale factor — the operator itself takes any threshold."""
+    e = with_norms(load_table(spark, sf_dir, "embeddings"))
+    pairs = pairwise_cosine(e)
+    cos4 = round_half_up(F.col("cos"), 4)
+    return (
+        pairs.filter(F.col("vec_id") < F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", cos4.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.45)
+    )
+
+
+def _hyperplane_dot(v: Column, j: int) -> Column:
+    """dot(v, hyperplane_j) with LCG-derived components, sequential fold."""
+    def comp(d: Column) -> Column:
+        seed = (F.lit(j * 64).cast("long") + d) * F.lit(_LCG_A) + F.lit(_LCG_C)
+        return (seed % _LCG_M).cast("double") / F.lit(float(_LCG_M)) - F.lit(0.5)
+
+    prods = F.transform(
+        F.sequence(F.lit(0), F.size(v) - 1), lambda d: F.get(v, d) * comp(d)
+    )
+    return _fold_sum(prods)
+
+
+def lsh_bucket(v: Column) -> Column:
+    """256-bucket sign-LSH key: bit j set iff dot(v, hp_j) > 0."""
+    bits = [
+        F.when(_hyperplane_dot(v, j) > 0, F.lit(1 << j)).otherwise(0)
+        for j in range(NUM_HYPERPLANES)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def _sql_lsh_bucket(v_expr: str) -> str:
+    terms = []
+    for j in range(NUM_HYPERPLANES):
+        dot = (
+            f"list_reduce(list_prepend(0.0, list_transform("
+            f"range(1, length({v_expr}) + 1), "
+            f"d -> {v_expr}[d] * ("
+            f"CAST((({j} * 64 + (d - 1)) * {_LCG_A} + {_LCG_C}) % {_LCG_M} AS DOUBLE)"
+            f" / {float(_LCG_M)} - 0.5))), (acc, x) -> acc + x)"
+        )
+        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+@query(
+    "similarity_lsh_buckets",
+    oracle=f"""
+    WITH n AS ({_SQL_NORMED})
+    SELECT vec_id, {_sql_lsh_bucket('v')} AS bucket FROM n
+    """,
+)
+def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sign-LSH bucket assignment (the ANN partition key)."""
+    e = with_norms(load_table(spark, sf_dir, "embeddings"))
+    return e.select("vec_id", lsh_bucket(F.col("v")).alias("bucket"))
+
+
+@query(
+    "similarity_ann_lsh",
+    oracle=f"""
+    WITH n AS ({_SQL_NORMED}),
+    bk AS (SELECT vec_id, v, nrm, {_sql_lsh_bucket('v')} AS bucket FROM n),
+    p AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             list_reduce(
+               list_prepend(0.0, list_transform(
+                 range(1, length(a.v) + 1), i -> a.v[i] * b.v[i])),
+               (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+    )
+    SELECT vec_id, neighbor_id, {sql_round_half_up('cos', 4)} AS cos_sim,
+           CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT vec_id, neighbor_id, cos,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY {sql_round_half_up('cos', 4)} DESC, neighbor_id
+             ) AS rnk
+      FROM p
+    ) WHERE rnk <= 5
+    """,
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5: exact cosine restricted to same-LSH-bucket pairs.
+
+    The bucket equi-join replaces the O(n^2) cross join — this is the
+    100 TB execution shape; recall vs the brute-force baseline is asserted
+    in tests on sf0.001."""
+    e = with_norms(load_table(spark, sf_dir, "embeddings"))
+    bk = e.withColumn("bucket", lsh_bucket(F.col("v")))
+    a, b = bk.alias("a"), bk.alias("b")
+    dot = _fold_sum(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y))
+    pairs = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") != F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
+        )
+    )
+    cos4 = round_half_up(F.col("cos"), 4)
+    w = Window.partitionBy("vec_id").orderBy(cos4.desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("vec_id", "neighbor_id", cos4.alias("cos_sim"), "rank")
+    )

@@ -1,0 +1,223 @@
+"""Text-analysis operators: quality scoring, language ID, token counting,
+document fingerprinting (extension surface, SURVEY.md §7.2 layer 7 —
+generalizing the reference's lone text statistic, the describe() at
+qnli_test.py:117-118).
+
+All four are single-pass, zero-join, zero-UDF column programs: they scan the
+documents table once, stay inside whole-stage codegen, and aggregate at most
+by doc_id — the shape that scales linearly to 100 TB with no shuffle other
+than the (doc_id-local) explode/groupBy of the fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_text_classification_spark.functions.hashing import (
+    HASH_MOD,
+    char_poly_hash,
+    sql_char_poly_hash,
+)
+from pyspark_text_classification_spark.functions.text import (
+    ENGLISH_STOPWORDS,
+    round_half_up,
+    sql_round_half_up,
+    sql_string_list,
+    tokenize,
+)
+from pyspark_text_classification_spark.registry import query
+from pyspark_text_classification_spark.sources.parquet import load_table
+
+_SQL_TOKENS = r"list_filter(str_split_regex(lower(text), '\W+'), t -> length(t) >= 2)"
+_STOPWORD_SQL = sql_string_list(ENGLISH_STOPWORDS)
+
+# tiny per-language function-word lists for the n-gram/stopword-hit
+# language heuristic (deterministic, embedded on both engines)
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "eine", "mit", "von"],
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on"],
+    "es": ["el", "la", "los", "las", "que", "de", "un", "una", "es", "por"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
+}
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, length(text) AS n_chars_obs, {_SQL_TOKENS} AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_chars_obs,
+             CAST(length(toks) AS BIGINT) AS n_tokens,
+             CAST(length(list_filter(toks, x -> x IN ({_STOPWORD_SQL})))
+                  AS BIGINT) AS n_stop,
+             CAST(list_sum(list_prepend(0, list_transform(toks, x -> length(x))))
+                  AS BIGINT) AS tok_chars
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           {sql_round_half_up('CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens ELSE 0.0 END', 4)} AS avg_token_len,
+           {sql_round_half_up('CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END', 4)} AS stopword_ratio,
+           {sql_round_half_up(
+               'CASE WHEN n_tokens >= 100 THEN 1.0 ELSE n_tokens / 100.0 END'
+               ' * (CASE WHEN n_tokens > 0 THEN 1.0 - n_stop / n_tokens ELSE 0.0 END)', 4)} AS quality_score
+    FROM s
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality heuristics: token count, mean token length,
+    stopword ratio, and a composite score (length saturation x content
+    ratio) — the length/punct/stopword family of pre-training filters."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    sw = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
+    t = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+        .cast("long")
+        .alias("n_stop"),
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("tok_chars"),
+    )
+    nt, ns = F.col("n_tokens"), F.col("n_stop")
+    content = F.when(nt > 0, 1.0 - ns / nt).otherwise(0.0)
+    length_sat = F.when(nt >= 100, 1.0).otherwise(nt / F.lit(100.0))
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        round_half_up(F.when(nt > 0, F.col("tok_chars") / nt).otherwise(0.0), 4).alias(
+            "avg_token_len"
+        ),
+        round_half_up(F.when(nt > 0, ns / nt).otherwise(0.0), 4).alias(
+            "stopword_ratio"
+        ),
+        round_half_up(length_sat * content, 4).alias("quality_score"),
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    return (
+        f"length(list_filter(list_distinct({_SQL_TOKENS}), "
+        f"x -> x IN ({sql_string_list(LANG_MARKERS[lang])})))"
+    )
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             {_lang_hits_sql('de')} AS h_de,
+             {_lang_hits_sql('en')} AS h_en,
+             {_lang_hits_sql('es')} AS h_es,
+             {_lang_hits_sql('fr')} AS h_fr,
+             regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') AS has_cjk
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE
+             WHEN has_cjk THEN 'zh'
+             WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0 THEN 'und'
+             WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+             WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+             WHEN h_es >= h_fr THEN 'es'
+             ELSE 'fr'
+           END AS pred_lang
+    FROM h
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-word-hit language heuristic (de/en/es/fr + CJK-script zh,
+    'und' when no marker hits). Ties resolve alphabetically via the
+    ordered CASE — identical on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokenize("text"))
+
+    def hits(lang: str):
+        marker = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        return F.size(F.filter(toks, lambda x: F.array_contains(marker, x)))
+
+    h = docs.select(
+        "doc_id",
+        hits("de").alias("h_de"),
+        hits("en").alias("h_en"),
+        hits("es").alias("h_es"),
+        hits("fr").alias("h_fr"),
+        (F.regexp_count("text", F.lit(r"[一-鿿]")) > 0).alias("has_cjk"),
+    )
+    de, en, es, fr = (F.col(c) for c in ["h_de", "h_en", "h_es", "h_fr"])
+    return h.select(
+        "doc_id",
+        F.when(F.col("has_cjk"), "zh")
+        .when((de == 0) & (en == 0) & (es == 0) & (fr == 0), "und")
+        .when((de >= en) & (de >= es) & (de >= fr), "de")
+        .when((en >= es) & (en >= fr), "en")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+        .alias("pred_lang"),
+    )
+
+
+@query(
+    "text_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+           CAST(length(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish pre-token
+    regex (letter runs | digit runs | single punctuation) — the standard
+    cheap proxy pair for LLM token budgeting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"\S+")).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+_FP_P1 = 1_000_003  # position-coupling prime
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(toks) + 1),
+               i -> ((i * {_FP_P1}) % {HASH_MOD})
+                    * {sql_char_poly_hash('toks[i]')} % {HASH_MOD})))
+             % {HASH_MOD} AS BIGINT) AS fingerprint
+    FROM t
+    WHERE length(toks) > 0
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint:
+    sum_i ((i * P1 mod p) * h(tok_i) mod p) mod p over 1-based positions —
+    a rolling-hash-style signature where swapping two tokens changes the
+    value, unlike a bag-of-words hash. Pure 64-bit int arithmetic ->
+    bit-exact across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokenize("text")).alias("pos", "token")
+    )
+    contrib = (
+        ((F.col("pos") + 1) * _FP_P1) % HASH_MOD * char_poly_hash("token")
+    ) % HASH_MOD
+    return (
+        toks.groupBy("doc_id")
+        .agg((F.sum(contrib) % HASH_MOD).cast("long").alias("fingerprint"))
+    )

@@ -19,8 +19,6 @@ the driver checks rows-only).
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -34,27 +32,13 @@ from pyspark_text_classification_spark.functions.text import (
     sql_string_list,
     tokenize,
 )
+from pyspark_text_classification_spark.registry import query
 from pyspark_text_classification_spark.sources.parquet import load_table
-
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
 
 _STOPWORD_SQL = sql_string_list(ENGLISH_STOPWORDS)
 
 # DuckDB twin of functions.text.tokenize(text, min_token_length=2)
 _SQL_TOKENS = r"list_filter(str_split_regex(lower(text), '\W+'), t -> length(t) >= 2)"
-
-
-def query(name: str, oracle: str | None = None):
-    """Register fn under ``name`` with an optional DuckDB oracle."""
-
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
 
 
 # ---------------------------------------------------------------------------

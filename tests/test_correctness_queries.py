@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from pyspark_text_classification_spark.queries import ORACLES, QUERIES
+from pyspark_text_classification_spark.all_queries import ORACLES, QUERIES
 from tests.conftest import assert_matches_oracle
 
 
