@@ -1,0 +1,102 @@
+"""Batched model inference: the engine's replacement for the reference's
+grouped-map HF-pipeline UDF (SURVEY.md §2.8 A5/U4/U6;
+transformers_test.py:102-213).
+
+Reference shape and its scale defects:
+- ``groupby(id % 20).apply(grouped_map_udf)`` forces a full shuffle just to
+  batch rows, loads the model once PER TASK (transformers_test.py:123-131),
+  predicts row-by-row, and drops the confidence score it computed
+  (defect #1, SURVEY §2.8).
+
+Engine shape:
+- ``mapInPandas`` — NO shuffle: every input partition streams through the
+  Python worker as Arrow batches.
+- per-WORKER lazy model singleton (module-level cache survives across
+  batches and tasks in the same Python worker process).
+- vectorized predict over the whole batch, ``confidence`` carried through.
+
+The heavy model dependency (torch/transformers) is not available in this
+environment, so the model factory is pluggable: ``deterministic_stub_model``
+is a hash-based fake with the real interface (texts -> labels+confidences),
+making the Spark-side plumbing — schema, Arrow batching, singleton
+lifecycle — fully real and testable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Protocol
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+INFER_SCHEMA = "doc_id LONG, predicted_label INT, confidence DOUBLE"
+
+
+class TextClassifier(Protocol):
+    def predict(self, texts: list[str]) -> tuple[list[int], list[float]]: ...
+
+
+class DeterministicStubModel:
+    """Stand-in for a transformer classifier: label = parity of a cheap
+    text hash, confidence in [0.5, 1.0) derived from the same hash.
+    Deterministic across workers/engines — used by tests and the declared
+    rows-only query. Replace via ``model_factory`` for a real model, e.g.::
+
+        def hf_factory():
+            from transformers import pipeline          # heavy import,
+            return HFWrapper(pipeline("text-classification", ...))  # per worker
+    """
+
+    def predict(self, texts: list[str]) -> tuple[list[int], list[float]]:
+        labels, confs = [], []
+        for t in texts:
+            h = 0
+            for ch in t[:256]:
+                h = (h * 31 + ord(ch)) % 2_147_483_647
+            labels.append(h % 2)
+            confs.append(0.5 + (h % 1000) / 2000.0)
+        return labels, confs
+
+
+_MODEL_CACHE: dict[int, TextClassifier] = {}
+
+
+def _get_model(factory: Callable[[], TextClassifier]) -> TextClassifier:
+    """Per-worker lazy singleton: one model load per Python worker process,
+    not per task (the reference reloads per task deserialization)."""
+    key = id(factory)
+    model = _MODEL_CACHE.get(key)
+    if model is None:
+        model = factory()
+        _MODEL_CACHE[key] = model
+    return model
+
+
+def batch_infer(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model_factory: Callable[[], TextClassifier] = DeterministicStubModel,
+) -> DataFrame:
+    """Distributed batched inference with confidence carried through.
+
+    No shuffle, no grouped-map, no driver collection: Arrow batches flow
+    partition-local through the Python worker. At 100 TB the parallelism
+    is the input partition count; repartition upstream only if partitions
+    are too coarse for the model's throughput.
+    """
+    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _get_model(model_factory)
+        for pdf in batches:
+            labels, confs = model.predict(pdf[text_col].tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "predicted_label": pd.array(labels, dtype="int32"),
+                    "confidence": pd.array(confs, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(infer, schema=INFER_SCHEMA)

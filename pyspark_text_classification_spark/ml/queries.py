@@ -1,0 +1,109 @@
+"""Declared queries for the ML surface (SURVEY.md §2.7-2.8).
+
+Deterministic pieces get full DuckDB oracles — including the mapInPandas
+inference path, whose stub model is the same polynomial hash the SQL twin
+computes, so the Arrow batch plumbing itself is value-verified. Iterative
+estimators (LR fit) are declared rows-only and covered by metric-tolerance
+tests instead (SURVEY §5 / §7.4.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_text_classification_spark.functions.hashing import (
+    HASH_MOD,
+    sql_char_poly_hash,
+)
+from pyspark_text_classification_spark.ml.evaluate import (
+    binary_metrics,
+    confusion_matrix_df,
+    top_k_coefficients,
+)
+from pyspark_text_classification_spark.ml.inference import batch_infer
+from pyspark_text_classification_spark.ml.pipelines import fit_text_classifier
+from pyspark_text_classification_spark.registry import query
+from pyspark_text_classification_spark.sources.parquet import load_table
+
+
+def _labeled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a binary target: is the lang column 'en'."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "text", (F.col("lang") == "en").cast("double").alias("label")
+    )
+
+
+@query(
+    "ml_eval_confusion",
+    oracle="""
+    SELECT CAST(lang = 'en' AS DOUBLE) AS label,
+           CAST(length(text) > 250 AS DOUBLE) AS prediction,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def ml_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3-M5 evaluation surface with a deterministic rule classifier
+    (prediction = length(text) > 250), so the confusion-matrix aggregate
+    (qnli_test.py:183 pattern) is oracle-checkable end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    preds = docs.select(
+        (F.col("lang") == "en").cast("double").alias("label"),
+        (F.length("text") > 250).cast("double").alias("prediction"),
+    )
+    return confusion_matrix_df(preds)
+
+
+@query(
+    "ml_infer_batch",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             {sql_char_poly_hash("substr(text, 1, 256)")} AS hh
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(hh % 2 AS INTEGER) AS predicted_label,
+           0.5 + (hh % 1000) / 2000.0 AS confidence
+    FROM h
+    """,
+)
+def ml_infer_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4/U6 batched inference via mapInPandas + per-worker model singleton.
+
+    The stub model computes the engine's polynomial hash over the first 256
+    chars, which the oracle recomputes in SQL — value-verifying the Arrow
+    exchange, the schema contract, and the carried-through ``confidence``
+    (reference defect #1 fixed; SURVEY §2.8)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return batch_infer(docs, text_col="text", id_col="doc_id")
+
+
+@query("ml_tfidf_lr_metrics")
+def ml_tfidf_lr_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/M2/M3/M4 end to end: the sst2 recipe (tokenize -> stopwords ->
+    CountVectorizer -> IDF -> LR) trained on documents with label =
+    (lang = 'en'), evaluated distributed. Rows-only check (iterative
+    L-BFGS fit is not oracle-hashable); tolerance-tested in tests/test_ml.py."""
+    labeled = _labeled_documents(spark, sf_dir)
+    model = fit_text_classifier(labeled, recipe="sst2")
+    preds = model.transform(labeled)
+    m = binary_metrics(preds)
+    return spark.createDataFrame(
+        [(m["accuracy"], m["f1"], m["auc"])],
+        schema="accuracy DOUBLE, f1 DOUBLE, auc DOUBLE",
+    )
+
+
+@query("ml_topk_coefficients")
+def ml_topk_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 distributed top-k LR coefficients with vocab terms (replaces the
+    driver-side np.argsort at sst2_test2.py:148-161). Rows-only (depends
+    on the fitted model)."""
+    labeled = _labeled_documents(spark, sf_dir)
+    model = fit_text_classifier(labeled, recipe="sst2")
+    vocab = model.stages[2].vocabulary
+    return top_k_coefficients(spark, model.stages[-1], vocab, k=20)

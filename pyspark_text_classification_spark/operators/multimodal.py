@@ -1,0 +1,149 @@
+"""Multimodal columns: opaque binary payloads with typed metadata.
+
+Extension surface (north star, BASELINE.json:6): image/audio/video are
+carried as ``binary`` columns plus a metadata struct; decode / resize /
+frame-sample are Pandas-UDF stages over ``mapInPandas``. The image/audio
+codec libraries are NOT in this environment, so the decode step is an
+explicit stub (NotImplementedError with the integration point documented),
+while everything Spark-side — schema, Arrow binary transfer, batch shape,
+partition-local execution — is real and tested.
+
+The synthetic corpus has no binary table, so the payload is derived from
+documents.text (utf-8 encode): real bytes flowing through the real plumbing.
+
+Scale notes: binary payloads ride the normal columnar path (parquet BYTE_ARRAY,
+Arrow Binary); metadata-only queries NEVER touch payload bytes thanks to
+parquet column pruning — the ``multimodal_meta`` plan reads just the
+pruned columns. Feature extraction is partition-local mapInPandas (no
+shuffle); at 100 TB the knobs are files.maxPartitionBytes (payloads are
+big, keep row groups small) and per-worker codec reuse.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_text_classification_spark.registry import query
+from pyspark_text_classification_spark.sources.parquet import load_table
+
+ADLER_MOD = 65_521
+
+FEATURE_SCHEMA = (
+    "doc_id LONG, n_bytes LONG, first_byte INT, last_byte INT, byte_checksum LONG"
+)
+
+
+def attach_binary_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary, meta struct<n_bytes, mime, n_chars>)."""
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(payload).alias("n_bytes"),
+            F.lit("text/plain").alias("mime"),
+            F.col("n_chars").alias("n_chars"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(payload_bytes: bytes, mime: str) -> object:
+    """Decode an image/audio/video payload. STUB: codec libraries (PIL,
+    torchaudio, av) are not available in this build; wire them here.
+
+    Integration point: called per payload inside ``extract_features``-style
+    mapInPandas stages; return a numpy array (HxWxC image, waveform, or
+    frame stack) for downstream feature UDFs.
+    """
+    raise NotImplementedError(
+        "media decode requires codec libraries not present in this build; "
+        "plug PIL/torchaudio/av into decode_media() — the surrounding "
+        "mapInPandas plumbing (schema, Arrow binary batches) is complete"
+    )
+
+
+def extract_byte_features(payloads: DataFrame) -> DataFrame:
+    """Deterministic per-payload byte features via mapInPandas: size,
+    first/last byte, Adler-style checksum (sum of bytes mod 65521).
+
+    This is the exact execution shape a real decode+featurize stage uses —
+    binary Arrow batches in, fixed-schema frame out, partition-local.
+    """
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(buf)
+                rows.append(
+                    (
+                        doc_id,
+                        len(b),
+                        b[0] if b else -1,
+                        b[-1] if b else -1,
+                        sum(b) % ADLER_MOD,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "first_byte", "last_byte", "byte_checksum",
+                ],
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        feats, schema=FEATURE_SCHEMA
+    )
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           'text/plain' AS mime,
+           n_chars
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata projection over the binary table — payload bytes are never
+    read (column pruning): the query pattern for corpus inventory at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    bin_df = attach_binary_payload(docs)
+    return bin_df.select(
+        "doc_id",
+        F.col("meta.n_bytes").cast("long").alias("n_bytes"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_chars").alias("n_chars"),
+    )
+
+
+@query(
+    "multimodal_byte_features",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN length(text) > 0 THEN unicode(substr(text, 1, 1))
+                     ELSE -1 END AS INTEGER) AS first_byte,
+           CAST(CASE WHEN length(text) > 0
+                     THEN unicode(substr(text, length(text), 1))
+                     ELSE -1 END AS INTEGER) AS last_byte,
+           CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(text, ''),
+                               c -> CAST(unicode(c) AS BIGINT))))
+                % {ADLER_MOD} AS BIGINT) AS byte_checksum
+    FROM documents
+    """,
+)
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-UDF feature extraction over binary payloads, value-verified:
+    the SQL twin recomputes size/first/last/checksum from the text the
+    payload encodes (ASCII corpus => byte == codepoint), proving the Arrow
+    binary round-trip bit-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_byte_features(attach_binary_payload(docs))

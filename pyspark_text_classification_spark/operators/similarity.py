@@ -32,8 +32,13 @@ from pyspark_text_classification_spark.registry import query
 from pyspark_text_classification_spark.sources.parquet import load_table
 
 # LCG-style deterministic pseudo-random hyperplane component in [-0.5, 0.5):
-#   u(j, d) = ((1103515245 * (j * DIM + d) + 12345) mod 2^31) / 2^31 - 0.5
-NUM_HYPERPLANES = 8
+#   u(g, d) = ((1103515245 * (g * 64 + d) + 12345) mod 2^31) / 2^31 - 0.5
+# where g = table * NUM_HYPERPLANES + j is the global plane index.
+# Multi-table OR-amplification: a pair is a candidate if it shares a bucket
+# in ANY of the NUM_TABLES independent tables — recall 1-(1-p^b)^L instead
+# of the single-table p^b, the standard trade for near-orthogonal vectors.
+NUM_HYPERPLANES = 6   # bits per table -> 64 buckets
+NUM_TABLES = 8
 _LCG_A = 1_103_515_245
 _LCG_C = 12_345
 _LCG_M = 2_147_483_648  # 2^31
@@ -149,10 +154,11 @@ def similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplane_dot(v: Column, j: int) -> Column:
-    """dot(v, hyperplane_j) with LCG-derived components, sequential fold."""
+def _hyperplane_dot(v: Column, g: int) -> Column:
+    """dot(v, hyperplane_g) with LCG-derived components, sequential fold;
+    g is the global plane index (table * NUM_HYPERPLANES + j)."""
     def comp(d: Column) -> Column:
-        seed = (F.lit(j * 64).cast("long") + d) * F.lit(_LCG_A) + F.lit(_LCG_C)
+        seed = (F.lit(g * 64).cast("long") + d) * F.lit(_LCG_A) + F.lit(_LCG_C)
         return (seed % _LCG_M).cast("double") / F.lit(float(_LCG_M)) - F.lit(0.5)
 
     prods = F.transform(
@@ -161,10 +167,11 @@ def _hyperplane_dot(v: Column, j: int) -> Column:
     return _fold_sum(prods)
 
 
-def lsh_bucket(v: Column) -> Column:
-    """256-bucket sign-LSH key: bit j set iff dot(v, hp_j) > 0."""
+def lsh_bucket(v: Column, table: int = 0) -> Column:
+    """64-bucket sign-LSH key for one table: bit j set iff dot(v, hp) > 0."""
     bits = [
-        F.when(_hyperplane_dot(v, j) > 0, F.lit(1 << j)).otherwise(0)
+        F.when(_hyperplane_dot(v, table * NUM_HYPERPLANES + j) > 0, F.lit(1 << j))
+        .otherwise(0)
         for j in range(NUM_HYPERPLANES)
     ]
     out = bits[0]
@@ -173,14 +180,15 @@ def lsh_bucket(v: Column) -> Column:
     return out.cast("int")
 
 
-def _sql_lsh_bucket(v_expr: str) -> str:
+def _sql_lsh_bucket(v_expr: str, table: int = 0) -> str:
     terms = []
     for j in range(NUM_HYPERPLANES):
+        g = table * NUM_HYPERPLANES + j
         dot = (
             f"list_reduce(list_prepend(0.0, list_transform("
             f"range(1, length({v_expr}) + 1), "
             f"d -> {v_expr}[d] * ("
-            f"CAST((({j} * 64 + (d - 1)) * {_LCG_A} + {_LCG_C}) % {_LCG_M} AS DOUBLE)"
+            f"CAST((({g} * 64 + (d - 1)) * {_LCG_A} + {_LCG_C}) % {_LCG_M} AS DOUBLE)"
             f" / {float(_LCG_M)} - 0.5))), (acc, x) -> acc + x)"
         )
         terms.append(f"CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END")
@@ -200,18 +208,34 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", lsh_bucket(F.col("v")).alias("bucket"))
 
 
+_SQL_BUCKET_LIST = "[" + ", ".join(
+    _sql_lsh_bucket("v", t) for t in range(NUM_TABLES)
+) + "]"
+
+
 @query(
     "similarity_ann_lsh",
     oracle=f"""
     WITH n AS ({_SQL_NORMED}),
-    bk AS (SELECT vec_id, v, nrm, {_sql_lsh_bucket('v')} AS bucket FROM n),
+    bk AS (
+      SELECT vec_id, unnest(range(0, {NUM_TABLES})) AS tbl,
+             unnest({_SQL_BUCKET_LIST}) AS bucket
+      FROM n
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+      FROM bk a JOIN bk b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id != b.vec_id
+    ),
     p AS (
-      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+      SELECT c.vec_id, c.neighbor_id,
              list_reduce(
                list_prepend(0.0, list_transform(
-                 range(1, length(a.v) + 1), i -> a.v[i] * b.v[i])),
-               (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos
-      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+                 range(1, length(x.v) + 1), i -> x.v[i] * y.v[i])),
+               (acc, q) -> acc + q) / (x.nrm * y.nrm) AS cos
+      FROM cand c
+      JOIN n x ON x.vec_id = c.vec_id
+      JOIN n y ON y.vec_id = c.neighbor_id
     )
     SELECT vec_id, neighbor_id, {sql_round_half_up('cos', 4)} AS cos_sim,
            CAST(rnk AS INT) AS rank
@@ -226,22 +250,36 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5: exact cosine restricted to same-LSH-bucket pairs.
+    """Approximate top-5 via multi-table sign-LSH: candidates are pairs
+    sharing a bucket in ANY of the 8 tables (OR-amplification,
+    1-(1-p^6)^8 recall), then exact cosine + rank over candidates only.
 
-    The bucket equi-join replaces the O(n^2) cross join — this is the
-    100 TB execution shape; recall vs the brute-force baseline is asserted
-    in tests on sf0.001."""
+    This is the 100 TB execution shape: the bucket equi-join replaces the
+    O(n^2) cross join; recall vs the brute-force baseline is asserted in
+    tests. Raising NUM_TABLES buys recall linearly in join cost without
+    new plumbing."""
     e = with_norms(load_table(spark, sf_dir, "embeddings"))
-    bk = e.withColumn("bucket", lsh_bucket(F.col("v")))
+    buckets = F.array(*[lsh_bucket(F.col("v"), t) for t in range(NUM_TABLES)])
+    bk = e.select("vec_id", F.posexplode(buckets).alias("tbl", "bucket"))
     a, b = bk.alias("a"), bk.alias("b")
-    dot = _fold_sum(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y))
+    cand = (
+        a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") != F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_id"),
+                F.col("b.vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    x = e.select(F.col("vec_id").alias("vec_id"), F.col("v").alias("xv"),
+                 F.col("nrm").alias("xn"))
+    y = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("yv"),
+                 F.col("nrm").alias("yn"))
+    dot = _fold_sum(F.zip_with(F.col("xv"), F.col("yv"), lambda p, q: p * q))
     pairs = (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") != F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("vec_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
-        )
+        cand.join(x, "vec_id")
+        .join(y, "neighbor_id")
+        .select("vec_id", "neighbor_id",
+                (dot / (F.col("xn") * F.col("yn"))).alias("cos"))
     )
     cos4 = round_half_up(F.col("cos"), 4)
     w = Window.partitionBy("vec_id").orderBy(cos4.desc(), "neighbor_id")

@@ -1,0 +1,101 @@
+"""Structured Streaming surface: the batch tumbling aggregate re-expressed
+as a watermarked stream, held to the SAME DuckDB oracle as the batch query
+(operators/events.events_tumbling_hourly).
+
+The reference is batch-only (SURVEY.md §1.1 "No streams"); this module
+supplies the engine's streaming execution mode. The file source replays the
+static events parquet as a stream; ``Trigger.AvailableNow`` drains it in
+one run, so the declared query is deterministic and returns a plain
+DataFrame from the memory sink.
+
+Scale notes: with a real unbounded source (Kafka/files), switch
+``outputMode`` to ``update`` + a real sink; the 1-hour watermark bounds
+state for late data, and the (window, event_type) grouping state is
+partitioned by key across executors — the standard Structured Streaming
+scale shape. The memory sink + complete mode here is only the test/driver
+harness configuration.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pyspark_text_classification_spark.functions.text import round_half_up
+from pyspark_text_classification_spark.registry import query
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # epoch nanos (nanosAsLong read mode)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream(events) -> watermark -> 1h window x event_type aggregate,
+    drained with availableNow into a memory sink; returns the result as a
+    batch DataFrame."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")  # dir source, one table
+        .load(sf_dir)
+    )
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    agg = (
+        src.withColumn("event_ts", ts)
+        .withWatermark("event_ts", "1 hour")
+        .groupBy(F.window("event_ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            round_half_up(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("hour_epoch_s"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+    sink_name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name)
+
+
+# Same oracle as the batch operator — the streaming plan must produce
+# identical results when the source is fully drained.
+from pyspark_text_classification_spark.functions.text import sql_round_half_up  # noqa: E402
+
+query(
+    "events_stream_tumbling_hourly",
+    oracle=f"""
+    SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch_s,
+           event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {sql_round_half_up('sum(value)', 4)} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)(stream_tumbling_hourly)

@@ -1,0 +1,127 @@
+"""ML layer tests: pipeline recipes (metric tolerance — SURVEY.md §5),
+custom Transformer semantics + persistence, distributed evaluation,
+batched inference."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_text_classification_spark.ml.evaluate import (
+    binary_metrics,
+    confusion_matrix_df,
+    top_k_coefficients,
+)
+from pyspark_text_classification_spark.ml.featurize import EmptyTokenGuard
+from pyspark_text_classification_spark.ml.inference import (
+    DeterministicStubModel,
+    batch_infer,
+)
+from pyspark_text_classification_spark.ml.pipelines import fit_text_classifier
+from pyspark_text_classification_spark.sources.parquet import load_table
+
+
+@pytest.fixture(scope="module")
+def labeled_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "text", (F.col("lang") == "en").cast("double").alias("label")
+    ).cache()
+
+
+def test_empty_token_guard_semantics(spark):
+    df = spark.createDataFrame(
+        [(["a", "b"],), ([],)], schema="toks array<string>"
+    )
+    out = EmptyTokenGuard(inputCol="toks", outputCol="fixed").transform(df)
+    rows = {tuple(r.fixed) for r in out.collect()}
+    assert rows == {("a", "b"), ("unknown",)}
+
+
+def test_empty_token_guard_persistence_roundtrip(spark):
+    g = EmptyTokenGuard(inputCol="toks", outputCol="fixed")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/guard"
+        g.write().overwrite().save(path)
+        loaded = EmptyTokenGuard.load(path)
+    assert loaded.getInputCol() == "toks"
+    assert loaded.getOutputCol() == "fixed"
+
+
+def test_sst2_recipe_learns_signal(spark):
+    """Metric-tolerance test (the oracle can't hash iterative LR): on a
+    corpus with a real lexical signal the TF-IDF+LR recipe must score
+    near-perfectly. (The sf documents' lang label is uncorrelated with
+    their shared-vocabulary text, so signal comes from a built fixture.)"""
+    pos_words = ["great", "excellent", "wonderful", "superb", "amazing"]
+    neg_words = ["awful", "terrible", "horrible", "dreadful", "poor"]
+    rows = []
+    for i in range(120):
+        w = pos_words if i % 2 == 0 else neg_words
+        text = " ".join(w[(i + j) % 5] for j in range(8)) + f" filler{i % 7}"
+        rows.append((text, float(i % 2 == 0)))
+    df = spark.createDataFrame(rows, schema="text string, label double")
+    model = fit_text_classifier(df, recipe="sst2")
+    m = binary_metrics(model.transform(df))
+    assert m["accuracy"] >= 0.95
+    assert m["auc"] >= 0.95
+
+
+def test_qqp_recipe_runs(spark, labeled_docs):
+    model = fit_text_classifier(labeled_docs.limit(200), recipe="qqp")
+    assert model.transform(labeled_docs.limit(50)).count() == 50
+
+
+def test_qnli_recipe_survives_empty_tokens(spark):
+    """The qnli recipe's guard must keep Word2Vec alive on degenerate text
+    (empty, punctuation-only, all-stopwords — FIXTURES.md F1 edge rows)."""
+    rows = [
+        ("good solid table merge query", 1.0),
+        ("...", 0.0),
+        ("", 0.0),
+        ("the of and a", 1.0),
+        ("!!!", 1.0),
+    ] * 10
+    df = spark.createDataFrame(rows, schema="text string, label double")
+    model = fit_text_classifier(df, recipe="qnli")
+    assert model.transform(df).count() == 50
+
+
+def test_confusion_matrix_counts(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (1.0, 0.0), (0.0, 0.0), (0.0, 0.0)],
+        schema="label double, prediction double",
+    )
+    cm = {
+        (r.label, r.prediction): r.cnt
+        for r in confusion_matrix_df(df).collect()
+    }
+    assert cm == {(1.0, 1.0): 1, (1.0, 0.0): 1, (0.0, 0.0): 2}
+
+
+def test_topk_coefficients_shape(spark, labeled_docs):
+    model = fit_text_classifier(labeled_docs.limit(300), recipe="sst2")
+    vocab = model.stages[2].vocabulary
+    out = top_k_coefficients(spark, model.stages[-1], vocab, k=5).collect()
+    assert len(out) == 10
+    pos = [r.coefficient for r in out if r.direction == "positive"]
+    neg = [r.coefficient for r in out if r.direction == "negative"]
+    assert pos == sorted(pos, reverse=True)
+    assert neg == sorted(neg)
+
+
+def test_batch_infer_matches_stub_locally(spark):
+    """mapInPandas output == driver-side stub model output (Arrow path
+    preserves values), and confidence is present (reference defect #1)."""
+    rows = [(i, f"text number {i}") for i in range(37)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = {
+        r.doc_id: (r.predicted_label, r.confidence)
+        for r in batch_infer(df).collect()
+    }
+    stub = DeterministicStubModel()
+    for i, text in rows:
+        labels, confs = stub.predict([text])
+        assert got[i] == (labels[0], confs[0])

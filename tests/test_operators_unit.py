@@ -1,0 +1,119 @@
+"""Operator unit tests on tiny literal frames — the edge cases the
+reference defends against (FIXTURES.md; SURVEY.md §5): empty strings,
+punctuation-only text, all-stopword rows, unicode, null labels, plus
+LSH-ANN recall vs the brute-force baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_text_classification_spark.functions.hashing import (
+    char_poly_hash,
+    word_shingles,
+)
+from pyspark_text_classification_spark.functions.text import (
+    guard_empty_tokens,
+    normalize_binary_label,
+    remove_stopwords,
+    tokenize,
+)
+
+
+def _tok(spark, text, **kw):
+    df = spark.createDataFrame([(text,)], schema="text string")
+    return df.select(tokenize("text", **kw).alias("t")).first().t
+
+
+def test_tokenize_edge_cases(spark):
+    assert _tok(spark, "Hello, World! a I") == ["hello", "world"]
+    assert _tok(spark, "") == []
+    assert _tok(spark, "!!! ... ???") == []
+    assert _tok(spark, "a b c", min_token_length=1) == ["a", "b", "c"]
+    assert _tok(spark, "naïve café") == ["na", "ve", "caf"]  # \W is ASCII-class
+
+
+def test_stopword_filter_preserves_duplicates(spark):
+    df = spark.createDataFrame(
+        [(["the", "spark", "the", "spark", "of"],)], schema="t array<string>"
+    )
+    out = df.select(remove_stopwords(F.col("t")).alias("o")).first().o
+    assert out == ["spark", "spark"]
+
+
+def test_guard_empty_tokens(spark):
+    df = spark.createDataFrame([([],), (["x"],)], schema="t array<string>")
+    out = [r.o for r in df.select(guard_empty_tokens(F.col("t")).alias("o")).collect()]
+    assert sorted(out) == [["unknown"], ["x"]]
+
+
+def test_normalize_binary_label(spark):
+    df = spark.createDataFrame(
+        [("entailment",), ("not_entailment",), ("1",), ("garbage",), (None,)],
+        schema="label string",
+    )
+    out = [
+        r.o for r in df.select(normalize_binary_label("label").alias("o")).collect()
+    ]
+    assert out == [0, 1, 1, None, None]
+
+
+def test_char_poly_hash_known_values(spark):
+    df = spark.createDataFrame([("ab",), ("",)], schema="s string")
+    out = [r.h for r in df.select(char_poly_hash("s").alias("h")).collect()]
+    # 'a'=97, 'b'=98 -> 97*31 + 98 = 3105; empty -> 0
+    assert out == [3105, 0]
+
+
+def test_word_shingles_short_doc_fallback(spark):
+    df = spark.createDataFrame([(["a", "b"],), (["a", "b", "c", "d"],)],
+                               schema="t array<string>")
+    out = [r.s for r in df.select(word_shingles(F.col("t"), 3).alias("s")).collect()]
+    assert out[0] == ["a b"]
+    assert out[1] == ["a b c", "b c d"]
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    """The LSH ANN path must recover a reasonable share of true top-5
+    neighbors on sf0.001 (quality gate for the scale path)."""
+    from pyspark_text_classification_spark.all_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    truth = {
+        (r.vec_id, r.neighbor_id)
+        for r in QUERIES["similarity_cosine_topk"](spark, sf).collect()
+    }
+    approx = {
+        (r.vec_id, r.neighbor_id)
+        for r in QUERIES["similarity_ann_lsh"](spark, sf).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    # 8 tables x 6 planes OR-amplified on 500 near-orthogonal vectors:
+    # recall must clear 0.3 to show buckets correlate with similarity
+    # (single-table recall measured ~0.04; multi-table ~10x that).
+    assert recall >= 0.3, f"LSH recall {recall:.3f} too low"
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark):
+    """LSH banding must surface every planted near-dup pair (J >= 0.9
+    => candidate probability ~0.9998 with 8 bands x 4 rows)."""
+    from pyspark_text_classification_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_band_signatures,
+        shingle_hashes,
+    )
+    from pyspark_text_classification_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sh = shingle_hashes(docs, k=2)
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(sh, threshold=0.9).collect()
+    }
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(minhash_band_signatures(sh, spark)).collect()
+    }
+    assert truth, "fixture should contain planted near-dups"
+    missed = truth - cands
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
