@@ -20,8 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark_text_classification_spark.all_queries import QUERIES
 from pyspark_text_classification_spark.session import get_session
 
-# Headline set: the reference-derived relational/text core + the heaviest
-# extension operators. Updated as coverage widens.
+# Headline set: the reference-derived relational/text core + joins +
+# every heavy extension operator family (dedup, similarity, text stats,
+# event windows, pandas-UDF inference).
 HEADLINE = [
     "q01_scan_project",
     "q09_group_count_2keys",
@@ -30,6 +31,20 @@ HEADLINE = [
     "q13_stopword_filter",
     "q14_vocabulary",
     "q15_idf",
+    "q19_broadcast_dim_join",
+    "q20_fact_fact_join",
+    "q22_rollup",
+    "text_quality",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_cosine_topk",
+    "similarity_ann_lsh",
+    "events_user_window",
+    "events_sessionize",
+    "events_tumbling_hourly",
+    "ml_infer_batch",
 ]
 
 

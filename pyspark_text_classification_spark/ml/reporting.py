@@ -1,0 +1,116 @@
+"""Reporting layer (SURVEY.md §2.1 S7/S8, §7.2 layer 6).
+
+The reference writes PNG plots, JSON reports, error logs, and MLflow runs
+from full driver-side collections (sst2_test2.py:122-210,
+transformers_test.py:259-342). The engine's rule: every report is fed by a
+SMALL AGGREGATED DataFrame (confusion matrix, metric rows, ROC points) —
+never a full prediction collection — so reporting cost is independent of
+corpus size.
+
+MLflow and matplotlib are optional runtime deps, gated behind import-try
+(absent in this build); the JSON report path has no extra dependencies.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def roc_points(
+    predictions: DataFrame,
+    label_col: str = "label",
+    prob_col: str = "positive_prob",
+    n_bins: int = 100,
+) -> DataFrame:
+    """ROC curve coordinates as a distributed aggregate: bucket the
+    positive probability into n_bins thresholds and compute cumulative
+    TPR/FPR — replaces sklearn.roc_curve over a full collect
+    (sst2_test2.py:105-128). Returns ~n_bins rows regardless of scale."""
+    binned = predictions.select(
+        F.least(
+            F.floor(F.col(prob_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+        ).alias("bin"),
+        F.col(label_col).cast("int").alias("y"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum("y").alias("pos"), F.count("*").alias("n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    totals = per_bin.select(
+        "bin",
+        F.sum("pos").over(w).alias("cum_pos"),
+        (F.sum("n").over(w) - F.sum("pos").over(w)).alias("cum_neg"),
+    )
+    return totals.select(
+        (F.col("bin") / n_bins).alias("threshold"),
+        "cum_pos",
+        "cum_neg",
+    )
+
+
+def write_metrics_report(
+    metrics: dict[str, Any], path: str, run_name: str = "run"
+) -> None:
+    """JSON metrics report (qnli_test.py:274-281 pattern, no plots dep)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({"run": run_name, "metrics": metrics}, f, indent=2)
+
+
+def log_to_mlflow(
+    metrics: dict[str, float],
+    params: dict[str, Any] | None = None,
+    experiment: str = "pyspark-text-classification",
+) -> bool:
+    """Optional MLflow sink (transformers_test.py:38-40,259-261). Returns
+    False (no-op) when mlflow is not installed — callers never fail on a
+    missing tracking backend."""
+    try:
+        import mlflow  # noqa: PLC0415
+    except ImportError:
+        return False
+    mlflow.set_experiment(experiment)
+    with mlflow.start_run():
+        for k, v in (params or {}).items():
+            mlflow.log_param(k, v)
+        for k, v in metrics.items():
+            mlflow.log_metric(k, float(v))
+    return True
+
+
+def save_confusion_plot(confusion: DataFrame, path: str) -> bool:
+    """Optional matplotlib confusion-matrix heatmap from the AGGREGATED
+    matrix (4 rows for binary), never raw predictions. Returns False when
+    matplotlib is absent."""
+    try:
+        import matplotlib  # noqa: PLC0415
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt  # noqa: PLC0415
+    except ImportError:
+        return False
+    rows = confusion.collect()  # aggregated: O(label_cardinality^2) rows
+    labels = sorted({r[0] for r in rows} | {r[1] for r in rows})
+    idx = {v: i for i, v in enumerate(labels)}
+    grid = [[0] * len(labels) for _ in labels]
+    for r in rows:
+        grid[idx[r[0]]][idx[r[1]]] = r[2]
+    fig, ax = plt.subplots()
+    ax.imshow(grid)
+    ax.set_xlabel("prediction")
+    ax.set_ylabel("label")
+    for i, row in enumerate(grid):
+        for j, v in enumerate(row):
+            ax.text(j, i, str(v), ha="center", va="center")
+    fig.savefig(path)
+    plt.close(fig)
+    return True

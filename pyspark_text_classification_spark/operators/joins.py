@@ -1,0 +1,175 @@
+"""Join / set-op / grouping-set surface (SURVEY.md §2.3, §2.5 SO1, §2.4 A6).
+
+The reference performs no joins (pairs arrive pre-joined in one TSV row) —
+but the engine's extension operators (LSH dedup, similarity search) and any
+real workload need them, so they are declared first-class here with
+explicit physical-strategy intent:
+
+- dimension joins BROADCAST (customer->nation->region style): the small
+  side ships to every executor, no shuffle of the fact table;
+- fact-fact joins shuffle on the join key and rely on AQE for skew
+  splitting at 100 TB;
+- set ops and rollups are plain Catalyst; the rollup's partial aggregate
+  happens map-side like any hash aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_text_classification_spark.functions.text import (
+    round_half_up,
+    sql_round_half_up,
+)
+from pyspark_text_classification_spark.registry import query
+from pyspark_text_classification_spark.sources.parquet import load_table
+
+
+@query(
+    "q19_broadcast_dim_join",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           floor(sum(c.c_acctbal) * 100.0 + 0.5) / 100.0 AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def q19_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dimension join: customer -> nation -> region with both
+    dims explicitly broadcast — zero shuffle of the fact side; the only
+    shuffle is the final (nation, region) aggregate exchange."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            round_half_up(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "q20_fact_fact_join",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           {sql_round_half_up('sum(l.l_extendedprice * (1.0 - l.l_discount))', 2)}
+             AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+)
+def q20_fact_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join (lineitem x orders) with a selective filter
+    pushed below the join: Catalyst pushes o_orderstatus='F' into the
+    orders scan (PushedFilters), shrinking the shuffled build side by ~2/3
+    before the exchange; AQE picks shuffled-hash/broadcast at runtime."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            round_half_up(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q21_setops",
+    oracle="""
+    SELECT 'union_all' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION ALL
+      SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    )
+    UNION ALL
+    SELECT 'intersect', count(*) FROM (
+      SELECT DISTINCT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 100000
+    )
+    UNION ALL
+    SELECT 'except', count(*) FROM (
+      SELECT DISTINCT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 100000
+    )
+    """,
+)
+def q21_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO1 set operations: union/intersect/except cardinalities over the
+    same key domain (intersect/except plan as hash semi/anti joins)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    big = orders.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("k")
+    )
+
+    def count_row(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(
+            F.lit(name).alias("op"), "n"
+        )
+
+    return (
+        count_row("union_all", building.unionAll(big))
+        .unionByName(count_row("intersect", building.distinct().intersect(big.distinct())))
+        .unionByName(count_row("except", building.distinct().subtract(big.distinct())))
+    )
+
+
+@query(
+    "q22_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q22_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 grouping sets: ROLLUP over (returnflag, linestatus) — subtotal
+    and grand-total rows carry NULL group keys on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@query(
+    "q23_distinct_counts",
+    oracle="""
+    SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)  AS d_orders,
+           CAST(count(DISTINCT l_partkey) AS BIGINT)   AS d_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT)   AS d_supps
+    FROM lineitem
+    """,
+)
+def q23_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 exact distinct counts (multi-column: Catalyst plans an expand +
+    two-phase aggregate). The approx_count_distinct variant exists for the
+    100 TB path but is engine-specific HLL, hence not oracle-declared."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count_distinct("l_orderkey").alias("d_orders"),
+        F.count_distinct("l_partkey").alias("d_parts"),
+        F.count_distinct("l_suppkey").alias("d_supps"),
+    )

@@ -1,0 +1,57 @@
+"""Physical-plan contracts: the scale properties SURVEY.md §4 promises.
+A failure here means a query still returns correct rows but stopped being
+the plan we'd run at 100 TB."""
+
+from __future__ import annotations
+
+from pyspark_text_classification_spark.all_queries import QUERIES
+from pyspark_text_classification_spark.plans.explain import (
+    has_pushed_filter,
+    python_eval_nodes,
+    read_schema_columns,
+    uses_broadcast_join,
+)
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    df = QUERIES["q01_scan_project"](spark, sf_dir)
+    cols = read_schema_columns(df)
+    assert set(cols) == {
+        "l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_quantity"
+    }, f"scan decodes {cols} instead of the 5 projected columns"
+
+
+def test_filters_pushed_to_scan(spark, sf_dir):
+    df = QUERIES["q03_notnull_length_filter"](spark, sf_dir)
+    assert has_pushed_filter(df, "IsNotNull(text)")
+    df2 = QUERIES["q20_fact_fact_join"](spark, sf_dir)
+    assert has_pushed_filter(df2, "EqualTo(o_orderstatus,F)")
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    assert uses_broadcast_join(QUERIES["q19_broadcast_dim_join"](spark, sf_dir))
+
+
+def test_idf_total_is_broadcast_not_shuffle(spark, sf_dir):
+    assert uses_broadcast_join(QUERIES["q15_idf"](spark, sf_dir))
+
+
+def test_relational_core_has_no_python_workers(spark, sf_dir):
+    """Zero Python row UDFs in the core (SURVEY §7.1): tokenization,
+    stopwords, hashing, minhash, windows — all JVM-side."""
+    for name in [
+        "q12_tokenize_explode", "q13_stopword_filter", "q14_vocabulary",
+        "q15_idf", "q17_empty_token_guard", "q18_label_normalize",
+        "dedup_minhash_lsh", "dedup_simhash", "text_fingerprint",
+        "events_user_window", "events_sessionize", "similarity_cosine_topk",
+    ]:
+        nodes = python_eval_nodes(QUERIES[name](spark, sf_dir))
+        assert not nodes, f"{name} drops into Python: {nodes}"
+
+
+def test_pandas_operators_use_arrow_map(spark, sf_dir):
+    """The two declared pandas stages use MapInPandas (Arrow batches, no
+    shuffle) — not grouped-map (which would shuffle) and not row pickling."""
+    for name in ["ml_infer_batch", "multimodal_byte_features"]:
+        nodes = python_eval_nodes(QUERIES[name](spark, sf_dir))
+        assert nodes == ["MapInPandas"], f"{name}: {nodes}"

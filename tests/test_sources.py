@@ -1,0 +1,89 @@
+"""Source/sink layer tests (SURVEY.md §2.1): schema-declared TSV read
+incl. the QQP quote/escape mode, column-mapping normalizer, parquet
+round-trip, and the reporting sinks."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from pyspark_text_classification_spark.ml.reporting import (
+    log_to_mlflow,
+    roc_points,
+    write_metrics_report,
+)
+from pyspark_text_classification_spark.sources.csv import (
+    normalize_columns,
+    read_tsv,
+)
+from pyspark_text_classification_spark.sources.parquet import write_parquet
+
+
+def test_read_tsv_plain(spark, tmp_path):
+    p = tmp_path / "plain.tsv"
+    p.write_text("sentence\tlabel\nhello world\t1\nbad stuff\t0\n")
+    df = read_tsv(spark, str(p), schema="sentence STRING, label INT")
+    rows = {(r.sentence, r.label) for r in df.collect()}
+    assert rows == {("hello world", 1), ("bad stuff", 0)}
+
+
+def test_read_tsv_quoted_embedded_tab_and_quote(spark, tmp_path):
+    """The QQP hazard (qqp_test.py:29-30): quoted fields containing tabs
+    and doubled quotes must parse as single values."""
+    p = tmp_path / "quoted.tsv"
+    p.write_text(
+        'id\tquestion\n'
+        '1\t"has\tan embedded tab"\n'
+        '2\t"a ""quoted"" word"\n'
+    )
+    df = read_tsv(spark, str(p), schema="id INT, question STRING", quoted=True)
+    rows = dict((r.id, r.question) for r in df.collect())
+    assert rows == {1: "has\tan embedded tab", 2: 'a "quoted" word'}
+
+
+def test_normalize_columns(spark):
+    df = spark.createDataFrame(
+        [("q?", "s.", "entailment")],
+        schema="question string, sentence string, label string",
+    )
+    out = normalize_columns(
+        df, {"question": "text", "sentence": "context", "label": "label"}
+    )
+    assert out.columns == ["text", "context", "label"]
+    assert out.first().text == "q?"
+
+
+def test_parquet_roundtrip_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "x")],
+        schema="id long, v string, part string",
+    )
+    path = str(tmp_path / "out")
+    write_parquet(df, path, partition_by=["part"])
+    assert os.path.isdir(f"{path}/part=x")  # partition-pruned layout
+    back = spark.read.parquet(path)
+    assert back.count() == 3
+    pruned = spark.read.parquet(path).filter(F.col("part") == "x")
+    assert pruned.count() == 2
+
+
+def test_roc_points_small(spark):
+    preds = spark.createDataFrame(
+        [(1, 0.9), (1, 0.8), (0, 0.3), (0, 0.6), (1, 0.2), (0, 0.1)],
+        schema="label int, positive_prob double",
+    )
+    pts = roc_points(preds, n_bins=10).collect()
+    assert 0 < len(pts) <= 10
+    top = max(pts, key=lambda r: r.threshold)
+    assert top.cum_pos <= 3 and top.cum_neg <= 3
+
+
+def test_metrics_report_and_optional_mlflow(tmp_path):
+    path = str(tmp_path / "report.json")
+    write_metrics_report({"accuracy": 0.9}, path, run_name="t")
+    data = json.load(open(path))
+    assert data["metrics"]["accuracy"] == 0.9
+    # mlflow absent in this build -> clean no-op False (or True if present)
+    assert log_to_mlflow({"accuracy": 0.9}) in (True, False)
