@@ -29,7 +29,7 @@ from pyspark_text_classification_spark.functions.text import (
     sql_round_half_up,
 )
 from pyspark_text_classification_spark.registry import query
-from pyspark_text_classification_spark.sources.parquet import load_table
+from pyspark_text_classification_spark.sources.parquet import fan_out, load_table
 
 # LCG-style deterministic pseudo-random hyperplane component in [-0.5, 0.5):
 #   u(g, d) = ((1103515245 * (g * 64 + d) + 12345) mod 2^31) / 2^31 - 0.5
@@ -54,9 +54,15 @@ def _fold_sum(arr: Column) -> Column:
 
 
 def with_norms(embeddings: DataFrame) -> DataFrame:
-    """(vec_id, v double[], nrm): precomputed L2 norms."""
+    """(vec_id, v double[], nrm): precomputed L2 norms.
+
+    Fanned out to cluster parallelism first: the single-file scan would
+    otherwise leave every downstream pair fold (and the entire cartesian
+    product of pairwise_cosine — the streamed side of a nested-loop join
+    inherits the left side's partitioning) in ONE task.
+    """
     v = _as_double_vec()
-    return embeddings.select(
+    return fan_out(embeddings).select(
         "vec_id",
         v.alias("v"),
         F.sqrt(_fold_sum(F.transform(v, lambda x: x * x))).alias("nrm"),
@@ -116,9 +122,32 @@ _SQL_PAIR_COS = """
     """,
 )
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force exact cosine top-5 neighbors for every vector."""
-    e = with_norms(load_table(spark, sf_dir, "embeddings"))
-    pairs = pairwise_cosine(e)
+    """Brute-force exact cosine top-5 neighbors for every vector.
+
+    cos(a,b) = cos(b,a), so the fold — the dominant cost — runs only for
+    the n(n-1)/2 unordered pairs; the persisted half-matrix (3 scalars per
+    pair, no vectors) is then mirrored to the ordered form the per-vector
+    window needs."""
+    e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
+    a, b = e.alias("a"), e.alias("b")
+    dot = _fold_sum(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y))
+    half = (
+        a.crossJoin(b)
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
+        )
+        .persist()
+    )
+    pairs = half.unionByName(
+        half.select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "cos",
+        )
+    )
     cos4 = round_half_up(F.col("cos"), 4)
     w = Window.partitionBy("vec_id").orderBy(cos4.desc(), "neighbor_id")
     return (
@@ -258,9 +287,12 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n^2) cross join; recall vs the brute-force baseline is asserted in
     tests. Raising NUM_TABLES buys recall linearly in join cost without
     new plumbing."""
-    e = with_norms(load_table(spark, sf_dir, "embeddings"))
+    # e feeds three subtrees (bucket table + both sides of the cosine join)
+    # and bk feeds both sides of the candidate self-join; without persist
+    # Spark recomputes the 48 hyperplane folds per vector once PER subtree.
+    e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
     buckets = F.array(*[lsh_bucket(F.col("v"), t) for t in range(NUM_TABLES)])
-    bk = e.select("vec_id", F.posexplode(buckets).alias("tbl", "bucket"))
+    bk = e.select("vec_id", F.posexplode(buckets).alias("tbl", "bucket")).persist()
     a, b = bk.alias("a"), bk.alias("b")
     cand = (
         a.join(b, (F.col("a.tbl") == F.col("b.tbl"))

@@ -43,6 +43,21 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
 
 
+def fan_out(df: DataFrame, per_core: int = 1) -> DataFrame:
+    """Round-robin repartition to cluster parallelism.
+
+    Small single-file parquet inputs arrive as ONE partition; any
+    compute-heavy per-row work downstream (higher-order-function folds,
+    cross joins, shingle explosion) would then run in a single task. On a
+    real cluster the same hazard appears whenever file count << cores.
+    Cheap for small inputs, and for large inputs the repartition cost is
+    dwarfed by the compute it parallelizes. Row values are unchanged —
+    round-robin repartition sorts batches locally for determinism.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * per_core
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

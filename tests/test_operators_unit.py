@@ -112,7 +112,7 @@ def test_minhash_candidates_superset_of_high_jaccard(spark):
     }
     cands = {
         (r.doc_a, r.doc_b)
-        for r in lsh_candidate_pairs(minhash_band_signatures(sh, spark)).collect()
+        for r in lsh_candidate_pairs(minhash_band_signatures(sh)).collect()
     }
     assert truth, "fixture should contain planted near-dups"
     missed = truth - cands
