@@ -44,6 +44,10 @@ HEADLINE = [
     "events_user_window",
     "events_sessionize",
     "events_tumbling_hourly",
+    "events_asof_join",
+    "events_range_join",
+    "q24_percentiles",
+    "q25_window_analytics",
     "ml_infer_batch",
 ]
 

@@ -8,11 +8,14 @@ from __future__ import annotations
 
 import pyspark_text_classification_spark.queries  # noqa: F401  (core Q1-Q18)
 import pyspark_text_classification_spark.ml.queries  # noqa: F401
+import pyspark_text_classification_spark.operators.analytics  # noqa: F401
 import pyspark_text_classification_spark.operators.dedup  # noqa: F401
 import pyspark_text_classification_spark.operators.events  # noqa: F401
 import pyspark_text_classification_spark.operators.joins  # noqa: F401
 import pyspark_text_classification_spark.operators.multimodal  # noqa: F401
 import pyspark_text_classification_spark.operators.similarity  # noqa: F401
+import pyspark_text_classification_spark.operators.temporal  # noqa: F401
 import pyspark_text_classification_spark.operators.textstats  # noqa: F401
+import pyspark_text_classification_spark.streaming.sessionize  # noqa: F401
 import pyspark_text_classification_spark.streaming.events  # noqa: F401
 from pyspark_text_classification_spark.registry import ORACLES, QUERIES  # noqa: F401

@@ -90,6 +90,18 @@ def qnli_recipe(text_col: str = "text", label_col: str = "label") -> Pipeline:
 RECIPES = {"sst2": sst2_recipe, "qqp": qqp_recipe, "qnli": qnli_recipe}
 
 
+def save_model(model: PipelineModel, path: str) -> None:
+    """S6 model sink: distributed PipelineModel persistence with overwrite
+    (qnli_test.py:254-265 pattern, minus the driver-side fallback — custom
+    stages persist via DefaultParamsWritable, see featurize.EmptyTokenGuard)."""
+    model.write().overwrite().save(path)
+
+
+def load_model(path: str) -> PipelineModel:
+    """S6 model source (sst2_test2.py:4 PipelineModel reload pattern)."""
+    return PipelineModel.load(path)
+
+
 def fit_text_classifier(
     train: DataFrame,
     recipe: str = "sst2",

@@ -1,0 +1,119 @@
+"""Analytic aggregates: exact percentiles, per-entity window analytics,
+and the approximate-sketch scale path.
+
+Extends the reference's aggregation surface (SURVEY.md §2.4 had only
+count/groupBy-count/describe) with the analytics a 100 TB pipeline needs:
+
+- exact interpolated percentiles (both engines implement the classic
+  ``index = p * (n-1)`` linear interpolation, so results hash-match after
+  4-decimal rounding);
+- rank / lag / moving-average / running-sum window analytics per customer
+  (one shuffle on the partition key, same shape as operators/events.py);
+- approx_percentile (KLL-ish) + approx_count_distinct (HyperLogLog++) as
+  the sketch-based scale path — sketch internals are engine-specific, so
+  this query is declared WITHOUT an oracle (rows-only check) and its
+  agreement with the exact query is asserted in tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_text_classification_spark.functions.text import (
+    round_half_up,
+    sql_round_half_up,
+)
+from pyspark_text_classification_spark.registry import query
+from pyspark_text_classification_spark.sources.parquet import load_table
+
+PCTS = (0.25, 0.5, 0.75, 0.95)
+
+
+@query(
+    "q24_percentiles",
+    oracle=f"""
+    SELECT l_returnflag,
+           {', '.join(
+               sql_round_half_up(f'quantile_cont(l_extendedprice, {p})', 4)
+               + f' AS p{int(p * 100)}'
+               for p in PCTS
+           )},
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q24_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of extended price per return flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            round_half_up(F.percentile("l_extendedprice", p), 4).alias(
+                f"p{int(p * 100)}"
+            )
+            for p in PCTS
+        ],
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q25_window_analytics",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           CAST(rank() OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS price_rank,
+           lag(o_orderkey) OVER w AS prev_orderkey,
+           {sql_round_half_up(
+               'avg(o_totalprice) OVER ('
+               'PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey '
+               'ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)', 4)} AS mov_avg3,
+           {sql_round_half_up(
+               'sum(o_totalprice) OVER ('
+               'PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey '
+               'ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)', 4)}
+             AS run_sum
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q25_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order analytics: price rank, previous order, 3-order
+    moving average, running spend. Both windows share one shuffle on
+    o_custkey (Catalyst reuses the exchange; the two sort orders differ so
+    there are two sorts, not two shuffles)."""
+    o = load_table(spark, sf_dir, "orders")
+    w_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    mov3 = w_time.rowsBetween(-2, Window.currentRow)
+    run = w_time.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w_price).alias("price_rank"),
+        F.lag("o_orderkey").over(w_time).alias("prev_orderkey"),
+        round_half_up(F.avg("o_totalprice").over(mov3), 4).alias("mov_avg3"),
+        round_half_up(F.sum("o_totalprice").over(run), 4).alias("run_sum"),
+    )
+
+
+@query("q26_approx_sketches")  # engine-specific sketches: rows-only check
+def q26_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-based scale path: approx_percentile (bounded-error
+    quantile sketch) and approx_count_distinct (HyperLogLog++) per return
+    flag. At 100 TB these replace their exact twins (q24 /
+    q23_distinct_counts): sketches merge map-side, so the shuffle carries
+    O(sketch) bytes per group instead of O(rows). Accuracy vs the exact
+    queries is asserted in tests (rel. error < 5%)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.lit(list(PCTS)), F.lit(10_000)
+        ).alias("approx_pcts"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count("*").alias("n"),
+    )

@@ -61,3 +61,21 @@ def normalize_columns(
     if keep:
         out = out.select(*keep)
     return out
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    sep: str = ",",
+    header: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """S4 CSV sink (sst2_test2.py:225-227), distributed: one file per
+    partition — no driver collect. Prefer parquet for anything machine-read;
+    CSV exists for the reference's prediction-export parity."""
+    (
+        df.write.mode(mode)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .csv(path)
+    )

@@ -1,0 +1,119 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState`` (the SURVEY.md engine-mapping for "custom
+stateful operators"; the batch twin is operators/events.events_sessionize).
+
+Per user_id the operator keeps (last event time, running session counter)
+as GroupState; each micro-batch's events are sorted and folded through
+that state, so session ids stay correct ACROSS micro-batches — the
+property a stateless window cannot give on an unbounded stream. State is
+two longs per user: at 100 TB scale state size is O(active users), spread
+across executors by the groupBy hash, and an event-time timeout
+(``GroupStateTimeout``) would evict idle users in production; the test
+harness drains a bounded replay so no timeout fires.
+
+Declared with the SAME DuckDB oracle as the batch sessionizer: on a fully
+drained, single-batch replay the stateful fold must reproduce the batch
+window exactly (the driver sees a strong hash check, not rows-only).
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from pyspark_text_classification_spark.operators.events import SESSION_GAP_US
+from pyspark_text_classification_spark.registry import query
+from pyspark_text_classification_spark.streaming.events import (
+    EVENTS_STREAM_SCHEMA,
+)
+
+_OUT_SCHEMA = "event_id LONG, user_id LONG, session_id LONG"
+_STATE_SCHEMA = "last_ts_us LONG, session_id LONG"
+
+
+def _sessionize_group(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold one user's micro-batch through (last_ts_us, session_id) state."""
+    last_ts, sid = state.get if state.exists else (None, 0)
+    rows = pd.concat(list(pdfs))
+    rows = rows.sort_values(["ts_us", "event_id"])
+    out = []
+    for ts in rows["ts_us"]:
+        if last_ts is None or ts - last_ts > SESSION_GAP_US:
+            sid += 1
+        out.append(sid)
+        last_ts = ts
+    state.update((int(last_ts), int(sid)))
+    yield pd.DataFrame(
+        {
+            "event_id": rows["event_id"],
+            "user_id": key[0],
+            "session_id": out,
+        }
+    )
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream(events) -> groupBy(user) -> stateful pandas fold ->
+    memory sink, drained with availableNow; returns a batch DataFrame."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    sessions = (
+        src.selectExpr("event_id", "user_id", "ts div 1000 AS ts_us")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink_name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name)
+
+
+# Same oracle as the batch sessionizer (operators/events.events_sessionize).
+query(
+    "events_stream_sessionize",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN epoch_ns(ts) // 1000
+                    - lag(epoch_ns(ts) // 1000) OVER w > {SESSION_GAP_US}
+                  THEN 1
+                  WHEN lag(ts) OVER w IS NULL THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           CAST(sum(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
+    FROM g
+    """,
+)(stream_sessionize)

@@ -125,3 +125,28 @@ def test_batch_infer_matches_stub_locally(spark):
     for i, text in rows:
         labels, confs = stub.predict([text])
         assert got[i] == (labels[0], confs[0])
+
+
+def test_pipeline_model_save_load_roundtrip(spark, tmp_path):
+    """S6: a fitted pipeline (incl. the custom EmptyTokenGuard stage)
+    persists and reloads to identical predictions."""
+    from pyspark_text_classification_spark.ml.pipelines import (
+        fit_text_classifier,
+        load_model,
+        save_model,
+    )
+
+    train = spark.createDataFrame(
+        [("good great fine", 1), ("bad awful poor", 0)] * 20,
+        schema="text string, label int",
+    )
+    model = fit_text_classifier(train, recipe="sst2")
+    path = str(tmp_path / "model")
+    save_model(model, path)
+    reloaded = load_model(path)
+    test = spark.createDataFrame(
+        [("great stuff",), ("awful stuff",)], schema="text string"
+    )
+    a = [r.prediction for r in model.transform(test).collect()]
+    b = [r.prediction for r in reloaded.transform(test).collect()]
+    assert a == b

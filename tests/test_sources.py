@@ -87,3 +87,18 @@ def test_metrics_report_and_optional_mlflow(tmp_path):
     assert data["metrics"]["accuracy"] == 0.9
     # mlflow absent in this build -> clean no-op False (or True if present)
     assert log_to_mlflow({"accuracy": 0.9}) in (True, False)
+
+
+def test_write_csv_roundtrip(spark, tmp_path):
+    from pyspark_text_classification_spark.sources.csv import write_csv
+
+    df = spark.createDataFrame(
+        [(1, "a,b", 0.5), (2, "plain", 1.5)], schema="id int, s string, v double"
+    )
+    path = str(tmp_path / "csv_out")
+    write_csv(df, path)
+    back = spark.read.option("header", "true").csv(
+        path, inferSchema=True
+    )
+    rows = {(r.id, r.s, r.v) for r in back.collect()}
+    assert rows == {(1, "a,b", 0.5), (2, "plain", 1.5)}

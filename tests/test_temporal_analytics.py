@@ -1,0 +1,102 @@
+"""Unit tests for temporal joins (as-of, range), analytic aggregates, and
+the sketch/exact agreement contract."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from pyspark_text_classification_spark.all_queries import QUERIES
+
+
+def _events_frame(spark, rows):
+    """rows: (event_id, user_id, ts_ns, event_type). Writes a parquet dir
+    shaped like the testdata so load_table-based queries can read it."""
+    return spark.createDataFrame(
+        [(e, t, u, ty, 1.0, "{}") for e, u, t, ty in rows],
+        schema="event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+@pytest.fixture()
+def tiny_events_dir(spark, tmp_path):
+    us = 1_000  # 1 microsecond in ns
+    rows = [
+        # user 1: click, purchase 10us later, purchase with no prior click
+        (1, 1, 100 * us, "click"),
+        (2, 1, 110 * us, "purchase"),
+        (3, 2, 50 * us, "purchase"),  # user 2: purchase before any click
+        (4, 2, 60 * us, "click"),
+        # user 3: two clicks same microsecond -> dedup keeps max event_id,
+        # then a purchase at the SAME microsecond (<= must match it)
+        (5, 3, 200 * us, "click"),
+        (6, 3, 200 * us, "click"),
+        (7, 3, 200 * us, "purchase"),
+        # user 4: signup, purchase exactly 1h later (boundary, included),
+        # purchase 1h+1us later (excluded)
+        (8, 4, 0, "signup"),
+        (9, 4, 3_600_000_000 * 1_000, "purchase"),
+        (10, 4, 3_600_000_001 * 1_000, "purchase"),
+    ]
+    path = tmp_path / "tiny"
+    _events_frame(spark, rows).write.parquet(str(path / "events.parquet"))
+    return str(path)
+
+
+def test_asof_join_semantics(spark, tiny_events_dir):
+    out = {
+        r.event_id: (r.last_click_id, r.click_gap_us)
+        for r in QUERIES["events_asof_join"](spark, tiny_events_dir).collect()
+    }
+    assert out[2] == (1, 10)  # most recent prior click
+    assert out[3] == (None, None)  # LEFT: no prior click -> nulls kept
+    assert out[7] == (6, 0)  # same-instant click matches; dedup kept max id
+
+
+def test_range_join_boundary(spark, tiny_events_dir):
+    pairs = {
+        (r.signup_id, r.purchase_id, r.delay_us)
+        for r in QUERIES["events_range_join"](spark, tiny_events_dir).collect()
+    }
+    assert (8, 9, 3_600_000_000) in pairs  # exactly 1h: included
+    assert all(p != 10 for _, p, _ in pairs)  # 1h + 1us: excluded
+
+
+def test_approx_sketches_close_to_exact(spark, sf_dir):
+    exact = {
+        r.l_returnflag: (r.p25, r.p50, r.p75, r.p95)
+        for r in QUERIES["q24_percentiles"](spark, sf_dir).collect()
+    }
+    approx = QUERIES["q26_approx_sketches"](spark, sf_dir).collect()
+    assert len(approx) == len(exact)
+    for r in approx:
+        for got, want in zip(r.approx_pcts, exact[r.l_returnflag]):
+            assert abs(got - want) / want < 0.05, (r.l_returnflag, got, want)
+    # HLL++ rel error ~2.3% at the default rsd -> 5% bound per group
+    from pyspark_text_classification_spark.sources.parquet import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact_parts = {
+        r.l_returnflag: r.d
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("d"))
+        .collect()
+    }
+    for r in approx:
+        want = exact_parts[r.l_returnflag]
+        assert abs(r.approx_parts - want) / want < 0.05, (r.l_returnflag,)
+
+
+def test_window_analytics_rank_and_lag(spark, sf_dir):
+    df = QUERIES["q25_window_analytics"](spark, sf_dir)
+    one_cust = (
+        df.filter(F.col("o_custkey") == df.first().o_custkey)
+        .orderBy("price_rank")
+        .collect()
+    )
+    ranks = [r.price_rank for r in one_cust]
+    assert ranks == sorted(ranks) and ranks[0] == 1
+    # running sum is non-decreasing in time order for positive prices
+    by_time = sorted(one_cust, key=lambda r: r.run_sum)
+    assert [r.run_sum for r in by_time] == sorted(r.run_sum for r in one_cust)
