@@ -1,0 +1,86 @@
+"""End-to-end GLUE runner tests: three tiny task-shaped TSV fixtures
+through load -> fit -> eval -> sinks (SURVEY.md §5 fixture hazards:
+quoted QQP fields, string QNLI labels, null rows)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark_text_classification_spark.runner import (
+    load_glue_task,
+    run_glue_task,
+)
+
+POS = "great wonderful film truly moving and excellent"
+NEG = "dull terrible mess boring and awful throughout"
+
+
+def _write(tmp_path, name, text):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+@pytest.fixture()
+def sst2_files(tmp_path):
+    rows = [f"{POS} {i}\t1" for i in range(12)] + [
+        f"{NEG} {i}\t0" for i in range(12)
+    ]
+    body = "sentence\tlabel\n" + "\n".join(rows) + "\n"
+    return _write(tmp_path, "train.tsv", body), _write(
+        tmp_path, "dev.tsv", body
+    )
+
+
+def test_load_sst2_drops_nulls(spark, tmp_path):
+    p = _write(
+        tmp_path, "s.tsv", "sentence\tlabel\ngood\t1\n\t0\nbad\t\n"
+    )
+    out = load_glue_task(spark, "sst2", p)
+    assert out.columns == ["text", "label"]
+    assert out.count() == 1  # null sentence and null label rows dropped
+
+
+def test_load_qqp_quoted_and_sep(spark, tmp_path):
+    p = _write(
+        tmp_path,
+        "q.tsv",
+        "id\tqid1\tqid2\tquestion1\tquestion2\tis_duplicate\n"
+        '1\t10\t11\t"what\tis it"\thow so\t1\n'
+        "2\t12\t13\t\tmissing q1\t0\n",
+    )
+    out = load_glue_task(spark, "qqp", p).collect()
+    assert len(out) == 1  # null question1 row dropped (subset na.drop)
+    assert out[0].text == "what\tis it [SEP] how so"
+
+
+def test_load_qnli_label_case_and_concat(spark, tmp_path):
+    p = _write(
+        tmp_path,
+        "n.tsv",
+        "index\tquestion\tsentence\tlabel\n"
+        "0\t q? \t s. \tentailment\n"
+        "1\tx\ty\tnot_entailment\n"
+        "2\tu\tv\tbogus\n",
+    )
+    rows = {r.text: r.label for r in load_glue_task(spark, "qnli", p).collect()}
+    assert rows == {"q? s.": 0.0, "x y": 1.0}  # trimmed concat; bogus dropped
+
+
+def test_run_glue_task_end_to_end(spark, sst2_files, tmp_path):
+    train, dev = sst2_files
+    out_dir = str(tmp_path / "out")
+    metrics = run_glue_task(spark, "sst2", train, dev, out_dir)
+    # separable fixture: the TF-IDF+LR recipe must fit it near-perfectly
+    assert metrics["accuracy"] >= 0.9
+    assert metrics["auc"] >= 0.9
+    report = json.load(open(os.path.join(out_dir, "metrics.json")))
+    assert report["run"] == "sst2"
+    back = spark.read.parquet(os.path.join(out_dir, "predictions.parquet"))
+    assert {"text", "label", "prediction", "positive_prob"} <= set(back.columns)
+    assert os.path.isdir(os.path.join(out_dir, "model"))
+    conf = spark.read.parquet(os.path.join(out_dir, "confusion.parquet"))
+    assert conf.count() <= 4
