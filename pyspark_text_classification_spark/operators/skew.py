@@ -1,0 +1,130 @@
+"""Skew and co-location tools for 100 TB shuffles (SURVEY.md §7.2 layer 8).
+
+Three mechanisms, each with a plan-level test contract:
+
+- ``salted_aggregate``: two-phase aggregation for skewed group keys — add a
+  ``pmod(hash(...), salt)`` sub-key, pre-aggregate (map-side + first
+  shuffle spreads the hot key over ``salt`` reducers), then merge on the
+  true key. Correct for algebraic aggregates (sum/count/min/max).
+- ``salted_join``: replicate the SMALL side ``salt`` times (explode over
+  the salt domain) and salt the big side's key, so one hot join key is
+  served by ``salt`` reducers instead of one. For when the small side is
+  too big to broadcast and AQE's skew splitting isn't available (e.g.
+  bucketed inputs or non-AQE engines).
+- ``write_bucketed`` / ``bucketed_join_ready``: persist both fact tables
+  bucketed + sorted on the join key so repeated joins are exchange-free
+  (SortMergeJoin with no Exchange on either side). This is the idiomatic
+  Spark answer to "pre-partition the 100 TB fact table once, join it
+  every day for free".
+
+AQE (enabled by the engine session factory) already splits skewed
+SORT-MERGE joins at runtime; salting remains the portable fallback and the
+only lever for skewed AGGREGATES, so both live here as first-class ops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, str],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps output column -> "fn(input)" where fn is one of
+    sum/count/min/max (algebraic: partials merge with the same fn, except
+    count which merges with sum).
+    """
+    merge_fn = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    salt_col = F.pmod(
+        F.hash(F.monotonically_increasing_id()), F.lit(salt)
+    ).alias("__salt")
+    partial = df.withColumn("__salt", salt_col).groupBy(*keys, "__salt")
+    partial_aggs, final_aggs = [], []
+    for out, spec in aggs.items():
+        fn, _, arg = spec.partition("(")
+        fn = fn.strip().lower()
+        arg = arg.rstrip(")").strip()
+        if fn not in merge_fn:
+            raise ValueError(f"non-algebraic aggregate {fn!r} cannot be salted")
+        col = F.count(arg or "*") if fn == "count" else getattr(F, fn)(arg)
+        partial_aggs.append(col.alias(f"__p_{out}"))
+        final_aggs.append(
+            getattr(F, merge_fn[fn])(f"__p_{out}").alias(out)
+        )
+    return (
+        partial.agg(*partial_aggs)
+        .groupBy(*keys)
+        .agg(*final_aggs)
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side's hot keys spread over ``salt`` reducers.
+
+    The small side is replicated ``salt`` times (explode over the salt
+    domain — cost: |small| x salt rows through the shuffle), the big side
+    gets a random-but-deterministic salt from its row identity, and the
+    join key becomes (key, salt). Result equals ``big.join(small, key)``.
+    """
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt))
+    )
+    replicated = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = salted_big.join(replicated, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 16,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` hash-bucketed (and sorted) on ``key`` so future
+    equi-joins and aggregations on ``key`` need no Exchange. Requires a
+    session with a warehouse dir (saveAsTable - bucket metadata lives in
+    the catalog, not plain parquet)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # an in-memory catalog forgets tables across sessions while their
+    # warehouse directory persists -> LOCATION_ALREADY_EXISTS; clear it
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{wh}/{table}")  # noqa: SLF001
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    fs.delete(jpath, True)
+    writer = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str
+) -> DataFrame:
+    """Join two same-bucketed catalog tables on their bucket key: plans as
+    SortMergeJoin with ZERO Exchange when bucket counts match. The merge
+    hint pins the strategy — this op is for two FACT tables where a
+    broadcast would be wrong anyway; at test scale the hint stops the
+    planner broadcasting the small fixture and defeating the contract."""
+    return (
+        spark.table(left_table)
+        .hint("merge")
+        .join(spark.table(right_table).hint("merge"), key)
+    )
