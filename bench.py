@@ -49,6 +49,8 @@ HEADLINE = [
     "q24_percentiles",
     "q25_window_analytics",
     "ml_infer_batch",
+    "ml_hash_tf_buckets",
+    "ml_tfidf_matrix",
 ]
 
 

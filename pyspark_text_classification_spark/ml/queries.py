@@ -16,6 +16,7 @@ from pyspark_text_classification_spark.functions.hashing import (
     HASH_MOD,
     sql_char_poly_hash,
 )
+from pyspark_text_classification_spark.functions.text import sql_round_half_up
 from pyspark_text_classification_spark.ml.evaluate import (
     binary_metrics,
     confusion_matrix_df,
@@ -107,3 +108,88 @@ def ml_topk_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = fit_text_classifier(labeled, recipe="sst2")
     vocab = model.stages[2].vocabulary
     return top_k_coefficients(spark, model.stages[-1], vocab, k=20)
+
+
+_SQL_TOKENS = r"list_filter(str_split_regex(lower(text), '\W+'), t -> length(t) >= 2)"
+HASH_TF_BUCKETS = 2**16  # the reference's HashingTF numFeatures (qqp_test.py:76-80)
+
+
+@query(
+    "ml_hash_tf_buckets",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents)
+    SELECT doc_id,
+           CAST({sql_char_poly_hash('token')} % {HASH_TF_BUCKETS} AS INTEGER)
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS tf
+    FROM toks
+    GROUP BY 1, 2
+    """,
+)
+def ml_hash_tf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 feature hashing, made oracle-checkable: MLlib's HashingTF uses
+    JVM Murmur3 (never cross-engine hashable), so the engine exposes the
+    same bucketed-term-frequency semantics over the deterministic
+    polynomial hash — (doc, bucket, tf) sparse vector entries. One explode
+    + one hash aggregate; identical shuffle shape to HashingTF's fit-free
+    transform at any scale."""
+    from pyspark_text_classification_spark.functions.hashing import (
+        char_poly_hash,
+    )
+    from pyspark_text_classification_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    return toks.groupBy(
+        "doc_id",
+        (char_poly_hash("token") % HASH_TF_BUCKETS).cast("int").alias("bucket"),
+    ).agg(F.count("*").alias("tf"))
+
+
+@query(
+    "ml_tfidf_matrix",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    total AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token,
+           CAST(tf.tf AS BIGINT) AS tf,
+           {sql_round_half_up('tf.tf * ln((n_docs + 1.0) / (dfreq.df + 1.0))', 6)}
+             AS tfidf
+    FROM tf JOIN dfreq ON tf.token = dfreq.token, total
+    WHERE dfreq.df >= 5
+    """,
+)
+def ml_tfidf_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TF-IDF doc-term matrix (T3+T5 applied, sparse COO form): term
+    frequency per (doc, token) joined to the broadcast IDF vocabulary
+    (df >= minDocFreq). The big tf side never shuffles for the join —
+    vocabulary is bounded, so it broadcasts at any corpus size; only the
+    two upstream aggregates shuffle."""
+    from pyspark_text_classification_spark.functions.text import (
+        round_half_up,
+        tokenize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = (
+        toks.groupBy("token")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 5)
+    )
+    total = docs.agg(F.count("*").alias("n_docs"))
+    idf = dfreq.crossJoin(F.broadcast(total)).select(
+        "token",
+        (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))).alias(
+            "idf"
+        ),
+    )
+    return tf.join(F.broadcast(idf), "token").select(
+        "doc_id",
+        "token",
+        F.col("tf").cast("long").alias("tf"),
+        round_half_up(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+    )

@@ -44,9 +44,17 @@ def test_relational_core_has_no_python_workers(spark, sf_dir):
         "q15_idf", "q17_empty_token_guard", "q18_label_normalize",
         "dedup_minhash_lsh", "dedup_simhash", "text_fingerprint",
         "events_user_window", "events_sessionize", "similarity_cosine_topk",
+        "events_asof_join", "events_range_join", "q24_percentiles",
+        "q25_window_analytics", "ml_hash_tf_buckets", "ml_tfidf_matrix",
     ]:
         nodes = python_eval_nodes(QUERIES[name](spark, sf_dir))
         assert not nodes, f"{name} drops into Python: {nodes}"
+
+
+def test_tfidf_join_broadcasts_vocab(spark, sf_dir):
+    """The doc-term matrix join must broadcast the bounded vocabulary,
+    never shuffle the big tf side."""
+    assert uses_broadcast_join(QUERIES["ml_tfidf_matrix"](spark, sf_dir))
 
 
 def test_pandas_operators_use_arrow_map(spark, sf_dir):
