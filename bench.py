@@ -48,6 +48,7 @@ HEADLINE = [
     "events_range_join",
     "q24_percentiles",
     "q25_window_analytics",
+    "q26_approx_sketches",
     "ml_infer_batch",
     "ml_hash_tf_buckets",
     "ml_tfidf_matrix",

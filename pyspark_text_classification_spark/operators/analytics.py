@@ -45,16 +45,23 @@ PCTS = (0.25, 0.5, 0.75, 0.95)
     """,
 )
 def q24_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles of extended price per return flag."""
+    """Exact interpolated percentiles of extended price per return flag.
+
+    All four percentiles come from ONE Percentile aggregate (array form) —
+    four scalar calls would each build their own value-count map over the
+    group; the array form shares one map and one sort."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        *[
-            round_half_up(F.percentile("l_extendedprice", p), 4).alias(
-                f"p{int(p * 100)}"
-            )
-            for p in PCTS
-        ],
+    pcts = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(list(PCTS))).alias("ps"),
         F.count("*").alias("n"),
+    )
+    return pcts.select(
+        "l_returnflag",
+        *[
+            round_half_up(F.col("ps")[i], 4).alias(f"p{int(p * 100)}")
+            for i, p in enumerate(PCTS)
+        ],
+        "n",
     )
 
 

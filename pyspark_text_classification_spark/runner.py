@@ -145,3 +145,31 @@ def run_glue_task(
         return metrics
     finally:
         preds.unpersist()
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI parity with the reference's ``python <task>_test.py`` scripts:
+
+        python -m pyspark_text_classification_spark.runner sst2 \
+            ./glue/SST-2/train.tsv ./glue/SST-2/dev.tsv ./out/sst2
+    """
+    import argparse
+
+    from pyspark_text_classification_spark.session import get_session
+
+    ap = argparse.ArgumentParser(description="Run one GLUE task end to end")
+    ap.add_argument("task", choices=sorted(GLUE_SCHEMAS))
+    ap.add_argument("train_tsv")
+    ap.add_argument("dev_tsv")
+    ap.add_argument("output_dir")
+    args = ap.parse_args(argv)
+
+    spark = get_session(app_name=f"glue-{args.task}")
+    metrics = run_glue_task(
+        spark, args.task, args.train_tsv, args.dev_tsv, args.output_dir
+    )
+    print({k: round(v, 4) for k, v in metrics.items()})
+
+
+if __name__ == "__main__":
+    main()
