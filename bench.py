@@ -46,6 +46,7 @@ HEADLINE = [
     "events_tumbling_hourly",
     "events_asof_join",
     "events_range_join",
+    "events_trailing_1h",
     "q24_percentiles",
     "q25_window_analytics",
     "q26_approx_sketches",

@@ -147,3 +147,47 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").try_cast("int").alias("k_val"),
     )
+
+
+TRAILING_WINDOW_US = 3_600_000_000  # 1 hour in microseconds
+
+
+@query(
+    "events_trailing_1h",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, value, epoch_ns(ts) // 1000 AS ts_us
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+           {sql_round_half_up('sum(value) OVER w', 4)} AS sum_trailing
+    FROM e
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts_us
+      RANGE BETWEEN {TRAILING_WINDOW_US} PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per event, count and value-sum of the SAME
+    user's events in the trailing hour (the time-decayed-feature shape).
+    RANGE frames bound by the ORDER BY value, not row position — tied
+    timestamps share a frame, so the result needs no row tiebreak and is
+    deterministic on both engines. One shuffle on user_id.
+
+    µs-truncated ordering key per the precision contract
+    (operators/temporal.py): DuckDB only sees microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.expr("ts div 1000")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us)
+        .rangeBetween(-TRAILING_WINDOW_US, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_trailing"),
+        round_half_up(F.sum("value").over(w), 4).alias("sum_trailing"),
+    )

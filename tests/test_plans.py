@@ -44,7 +44,8 @@ def test_relational_core_has_no_python_workers(spark, sf_dir):
         "q15_idf", "q17_empty_token_guard", "q18_label_normalize",
         "dedup_minhash_lsh", "dedup_simhash", "text_fingerprint",
         "events_user_window", "events_sessionize", "similarity_cosine_topk",
-        "events_asof_join", "events_range_join", "q24_percentiles",
+        "events_asof_join", "events_range_join", "events_trailing_1h",
+        "q24_percentiles",
         "q25_window_analytics", "ml_hash_tf_buckets", "ml_tfidf_matrix",
     ]:
         nodes = python_eval_nodes(QUERIES[name](spark, sf_dir))
