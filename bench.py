@@ -41,6 +41,8 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_cosine_topk",
     "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "pipeline_clean_corpus",
     "events_user_window",
     "events_sessionize",
     "events_tumbling_hourly",

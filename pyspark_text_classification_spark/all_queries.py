@@ -13,6 +13,7 @@ import pyspark_text_classification_spark.operators.dedup  # noqa: F401
 import pyspark_text_classification_spark.operators.events  # noqa: F401
 import pyspark_text_classification_spark.operators.joins  # noqa: F401
 import pyspark_text_classification_spark.operators.multimodal  # noqa: F401
+import pyspark_text_classification_spark.operators.pipeline  # noqa: F401
 import pyspark_text_classification_spark.operators.similarity  # noqa: F401
 import pyspark_text_classification_spark.operators.temporal  # noqa: F401
 import pyspark_text_classification_spark.operators.textstats  # noqa: F401

@@ -100,3 +100,31 @@ def test_window_analytics_rank_and_lag(spark, sf_dir):
     # running sum is non-decreasing in time order for positive prices
     by_time = sorted(one_cust, key=lambda r: r.run_sum)
     assert [r.run_sum for r in by_time] == sorted(r.run_sum for r in one_cust)
+
+
+def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
+    """IVF with nprobe=2/16 cells must recover a usable fraction of true
+    top-5 neighbors (near-orthogonal synthetic vectors are the worst case
+    for coarse quantization; the contract is 'beats random', tracked so a
+    regression in cell assignment is caught)."""
+    truth = {
+        (r.vec_id, r.neighbor_id)
+        for r in QUERIES["similarity_cosine_topk"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r.vec_id, r.neighbor_id)
+        for r in QUERIES["similarity_ann_ivf"](spark, sf_dir).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.15, f"IVF recall {recall:.3f} below floor"
+
+
+def test_pipeline_clean_corpus_subsumes_filters(spark, sf_dir):
+    kept = QUERIES["pipeline_clean_corpus"](spark, sf_dir)
+    rows = kept.collect()
+    assert all(r.n_tokens >= 10 for r in rows)
+    dups_absorbed = sum(r.n_copies - 1 for r in rows)
+    assert dups_absorbed >= 0
+    # canonical keeper is the minimum doc_id -> ids unique
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
