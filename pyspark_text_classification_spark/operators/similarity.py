@@ -185,7 +185,11 @@ def similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hyperplane_dot(v: Column, g: int) -> Column:
     """dot(v, hyperplane_g) with LCG-derived components, sequential fold;
-    g is the global plane index (table * NUM_HYPERPLANES + j)."""
+    g is the global plane index (table * NUM_HYPERPLANES + j).
+
+    (A precomputed literal-array plane measured 3x SLOWER here: Spark
+    evaluates the 512-child CreateArray per row rather than folding it to
+    a constant, so the inline LCG arithmetic wins.)"""
     def comp(d: Column) -> Column:
         seed = (F.lit(g * 64).cast("long") + d) * F.lit(_LCG_A) + F.lit(_LCG_C)
         return (seed % _LCG_M).cast("double") / F.lit(float(_LCG_M)) - F.lit(0.5)
