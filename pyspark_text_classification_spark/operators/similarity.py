@@ -301,21 +301,31 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
                & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.vec_id") != F.col("b.vec_id")))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(F.col("a.vec_id").alias("vec_id"),
                 F.col("b.vec_id").alias("neighbor_id"))
         .distinct()
     )
+    # candidate sharing is symmetric: each unordered pair gets ONE cosine
+    # fold below, mirrored afterwards — halves distinct() input and dots.
     x = e.select(F.col("vec_id").alias("vec_id"), F.col("v").alias("xv"),
                  F.col("nrm").alias("xn"))
     y = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("yv"),
                  F.col("nrm").alias("yn"))
     dot = _fold_sum(F.zip_with(F.col("xv"), F.col("yv"), lambda p, q: p * q))
-    pairs = (
+    half = (
         cand.join(x, "vec_id")
         .join(y, "neighbor_id")
         .select("vec_id", "neighbor_id",
                 (dot / (F.col("xn") * F.col("yn"))).alias("cos"))
+        .persist()
+    )
+    pairs = half.unionByName(
+        half.select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "cos",
+        )
     )
     cos4 = round_half_up(F.col("cos"), 4)
     w = Window.partitionBy("vec_id").orderBy(cos4.desc(), "neighbor_id")
