@@ -55,10 +55,17 @@ def char_poly_hash(col: Column | str) -> Column:
 
 
 def sql_char_poly_hash(expr: str) -> str:
-    """DuckDB twin of :func:`char_poly_hash`."""
+    """DuckDB twin of :func:`char_poly_hash`.
+
+    Empty fragments are filtered before ``unicode()`` exactly as the Spark
+    side filters them: DuckDB's ``string_split('', '')`` yields [''] and
+    ``unicode('')`` is -1, which would hash the empty string to -1 while
+    Spark folds it to 0 (found by the cross-engine property test).
+    """
     return (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(string_split({expr}, ''), c -> CAST(unicode(c) AS BIGINT))), "
+        f"list_transform(list_filter(string_split({expr}, ''), c -> c != ''), "
+        f"c -> CAST(unicode(c) AS BIGINT))), "
         f"(acc, c) -> (acc * {HASH_MULT} + c) % {HASH_MOD})"
     )
 
