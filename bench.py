@@ -73,6 +73,9 @@ def main() -> None:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # operators may persist() shared subtrees internally; drop them so
+        # queries are isolated and long benches don't accumulate cache
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
