@@ -17,6 +17,7 @@ import pyspark_text_classification_spark.operators.pipeline  # noqa: F401
 import pyspark_text_classification_spark.operators.similarity  # noqa: F401
 import pyspark_text_classification_spark.operators.temporal  # noqa: F401
 import pyspark_text_classification_spark.operators.textstats  # noqa: F401
+import pyspark_text_classification_spark.streaming.dedup  # noqa: F401
 import pyspark_text_classification_spark.streaming.infer  # noqa: F401
 import pyspark_text_classification_spark.streaming.sessionize  # noqa: F401
 import pyspark_text_classification_spark.streaming.events  # noqa: F401
