@@ -99,4 +99,10 @@ def batch_infer(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(infer, schema=INFER_SCHEMA)
+    from pyspark_text_classification_spark.sources.parquet import fan_out
+
+    # fan_out: a single-file scan would otherwise feed ONE Python worker;
+    # no-op for streaming inputs and already-parallel scans
+    return fan_out(df.select(id_col, text_col)).mapInPandas(
+        infer, schema=INFER_SCHEMA
+    )

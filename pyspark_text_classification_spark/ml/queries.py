@@ -25,7 +25,7 @@ from pyspark_text_classification_spark.ml.evaluate import (
 from pyspark_text_classification_spark.ml.inference import batch_infer
 from pyspark_text_classification_spark.ml.pipelines import fit_text_classifier
 from pyspark_text_classification_spark.registry import query
-from pyspark_text_classification_spark.sources.parquet import load_table
+from pyspark_text_classification_spark.sources.parquet import fan_out, load_table
 
 
 def _labeled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,7 +138,7 @@ def ml_hash_tf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark_text_classification_spark.functions.text import tokenize
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
     return toks.groupBy(
         "doc_id",
@@ -172,7 +172,7 @@ def ml_tfidf_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokenize,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     dfreq = (

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_text_classification_spark.registry import query
-from pyspark_text_classification_spark.sources.parquet import load_table
+from pyspark_text_classification_spark.sources.parquet import fan_out, load_table
 
 ADLER_MOD = 65_521
 
@@ -145,5 +145,5 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SQL twin recomputes size/first/last/checksum from the text the
     payload encodes (ASCII corpus => byte == codepoint), proving the Arrow
     binary round-trip bit-exact."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return extract_byte_features(attach_binary_payload(docs))

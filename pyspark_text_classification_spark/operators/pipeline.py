@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from pyspark_text_classification_spark.functions.text import tokenize
 from pyspark_text_classification_spark.registry import query
-from pyspark_text_classification_spark.sources.parquet import load_table
+from pyspark_text_classification_spark.sources.parquet import fan_out, load_table
 
 MIN_TOKENS = 10
 
@@ -50,7 +50,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min doc_id per distinct text), its token count, and how many copies
     it absorbed. The quality predicate runs BEFORE the dedup shuffle —
     filtered rows never enter the exchange."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = tokenize("text")
     q = docs.select(
         "doc_id", "text", F.size(toks).cast("long").alias("n_tokens")

@@ -27,7 +27,7 @@ from pyspark_text_classification_spark.functions.text import (
     tokenize,
 )
 from pyspark_text_classification_spark.registry import query
-from pyspark_text_classification_spark.sources.parquet import load_table
+from pyspark_text_classification_spark.sources.parquet import fan_out, load_table
 
 _SQL_TOKENS = r"list_filter(str_split_regex(lower(text), '\W+'), t -> length(t) >= 2)"
 _STOPWORD_SQL = sql_string_list(ENGLISH_STOPWORDS)
@@ -71,7 +71,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality heuristics: token count, mean token length,
     stopword ratio, and a composite score (length saturation x content
     ratio) — the length/punct/stopword family of pre-training filters."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = tokenize("text")
     sw = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
     t = docs.select(
@@ -135,7 +135,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Function-word-hit language heuristic (de/en/es/fr + CJK-script zh,
     'und' when no marker hits). Ties resolve alphabetically via the
     ordered CASE — identical on both engines."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = F.array_distinct(tokenize("text"))
 
     def hits(lang: str):
@@ -177,7 +177,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace tokens and a BPE-ish pre-token
     regex (letter runs | digit runs | single punctuation) — the standard
     cheap proxy pair for LLM token budgeting."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.regexp_count("text", F.lit(r"\S+")).cast("long").alias("ws_tokens"),
@@ -210,7 +210,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     a rolling-hash-style signature where swapping two tokens changes the
     value, unlike a bag-of-words hash. Pure 64-bit int arithmetic ->
     bit-exact across engines."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.posexplode(tokenize("text")).alias("pos", "token")
     )

@@ -33,7 +33,7 @@ from pyspark_text_classification_spark.functions.text import (
     tokenize,
 )
 from pyspark_text_classification_spark.registry import query
-from pyspark_text_classification_spark.sources.parquet import load_table
+from pyspark_text_classification_spark.sources.parquet import fan_out, load_table
 
 _STOPWORD_SQL = sql_string_list(ENGLISH_STOPWORDS)
 
@@ -362,7 +362,7 @@ def q12_tokenize_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 RegexTokenizer as native split/filter/explode (SURVEY §2.9 Q12;
     sst2_test2.py:50, qnli_test.py:121). Stays inside whole-stage codegen —
     no Python worker, no MLlib transformer object."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
 
 
@@ -377,7 +377,7 @@ def q12_tokenize_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q13_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 StopWordsRemover as an anti-filter against the embedded MLlib
     English list (SURVEY §2.9 Q13; sst2_test2.py:51)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = remove_stopwords(tokenize("text"))
     return docs.select("doc_id", F.explode(toks).alias("token"))
 
@@ -398,7 +398,7 @@ def q14_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency via explode + groupBy (SURVEY §2.9 Q14; sst2_test2.py:52).
     CountVectorizer's top-V selection is this table + orderBy desc limit V
     (tie-ambiguous, so the declared query is the full table)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
     return toks.groupBy("token").agg(
         F.count_distinct("doc_id").alias("df"), F.count("*").alias("tf")
@@ -425,7 +425,7 @@ def q15_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     N arrives via a 1-row broadcast cross join (BroadcastNestedLoopJoin of
     a single aggregate row — no shuffle of the vocab side)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
     dfreq = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
     total = docs.agg(F.count("*").alias("n_docs"))
@@ -456,7 +456,7 @@ def q17_empty_token_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8 EmptyListHandler semantics as pure CASE (SURVEY §2.9 Q17;
     qnli_test.py:23-49). Arrays are exported as space-joined strings so the
     cross-engine value hash is representation-independent."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = guard_empty_tokens(tokenize("text"))
     return docs.select(
         "doc_id", F.array_join(toks, " ").alias("tokens_str")

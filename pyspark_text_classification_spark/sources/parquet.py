@@ -54,6 +54,8 @@ def fan_out(df: DataFrame, per_core: int = 1) -> DataFrame:
     dwarfed by the compute it parallelizes. Row values are unchanged —
     round-robin repartition sorts batches locally for determinism.
     """
+    if df.isStreaming:  # partition count is the source's concern per batch
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism * per_core
     return df.repartition(target) if df.rdd.getNumPartitions() < target else df
 
