@@ -17,6 +17,13 @@ signs (256 buckets) so the pair join is bucket-local (equi-join on the
 bucket key, AQE handles skewed buckets). For 1000-executor scale, raise
 the hyperplane count and add multi-probe (flip one sign) to recover recall
 — both are config knobs, not new plumbing.
+
+Algorithms follow the published formulations: sign-random-projection LSH
+for cosine (Charikar, STOC 2002; multi-table OR-amplification per
+Indyk/Motwani 1998), and the IVF coarse-quantize-then-probe shape of
+Jégou/Douze/Schmid ("Product quantization for nearest neighbor search",
+TPAMI 2011) with the quantizer swapped for a deterministic sample so the
+whole index is oracle-checkable.
 """
 
 from __future__ import annotations
