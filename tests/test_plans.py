@@ -36,18 +36,23 @@ def test_idf_total_is_broadcast_not_shuffle(spark, sf_dir):
     assert uses_broadcast_join(QUERIES["q15_idf"](spark, sf_dir))
 
 
+# the ONLY queries allowed to run Python workers: the declared Arrow
+# mapInPandas stages. Everything else must plan fully JVM-side.
+PANDAS_QUERIES = {"ml_infer_batch", "multimodal_byte_features"}
+# run eagerly on call (streaming drains / iterative fits) — their plans
+# can't be inspected lazily here; streaming twins share their batch
+# implementation, and the ML fits are covered by their own tests
+EAGER_QUERIES = {
+    "events_stream_tumbling_hourly", "events_stream_sessionize",
+    "events_stream_range_join", "ml_infer_stream", "dedup_stream_exact",
+    "dedup_clusters", "ml_tfidf_lr_metrics", "ml_topk_coefficients",
+}
+
+
 def test_relational_core_has_no_python_workers(spark, sf_dir):
-    """Zero Python row UDFs in the core (SURVEY §7.1): tokenization,
-    stopwords, hashing, minhash, windows — all JVM-side."""
-    for name in [
-        "q12_tokenize_explode", "q13_stopword_filter", "q14_vocabulary",
-        "q15_idf", "q17_empty_token_guard", "q18_label_normalize",
-        "dedup_minhash_lsh", "dedup_simhash", "text_fingerprint",
-        "events_user_window", "events_sessionize", "similarity_cosine_topk",
-        "events_asof_join", "events_range_join", "events_trailing_1h",
-        "q24_percentiles",
-        "q25_window_analytics", "ml_hash_tf_buckets", "ml_tfidf_matrix",
-    ]:
+    """Zero Python row UDFs outside the declared pandas stages (SURVEY
+    §7.1) — swept over EVERY lazily-plannable query."""
+    for name in sorted(set(QUERIES) - PANDAS_QUERIES - EAGER_QUERIES):
         nodes = python_eval_nodes(QUERIES[name](spark, sf_dir))
         assert not nodes, f"{name} drops into Python: {nodes}"
 
