@@ -15,6 +15,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark_text_classification_spark.functions.hashing import (
+    char_poly_hash,
+    sql_char_poly_hash,
+)
 from pyspark_text_classification_spark.functions.text import tokenize
 from pyspark_text_classification_spark.registry import query
 from pyspark_text_classification_spark.sources.parquet import fan_out, load_table
@@ -60,3 +64,45 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_tokens").alias("n_tokens"),
         F.count("*").alias("n_copies"),
     ).select("doc_id", "n_tokens", "n_copies")
+
+
+SPLIT_PCT = (80, 90)  # train < 80, val < 90, else test
+
+
+@query(
+    "pipeline_hash_split",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             {sql_char_poly_hash('text')} % 100 AS bucket
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN bucket < {SPLIT_PCT[0]} THEN 'train'
+                WHEN bucket < {SPLIT_PCT[1]} THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS min_doc_id
+    FROM h
+    GROUP BY 1, 2
+    """,
+)
+def pipeline_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: split = content-hash bucket
+    (80/10/10), NOT seeded randomness — the same document lands in the same
+    split on every run, any cluster, any engine (rand()-based splits are
+    neither reproducible across retries nor oracle-checkable). Content
+    hashing also sends exact duplicates to the SAME split, preventing
+    train/test leakage of duplicated documents. Pure map-side expression +
+    one aggregate."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    bucket = char_poly_hash("text") % 100
+    split = (
+        F.when(bucket < SPLIT_PCT[0], "train")
+        .when(bucket < SPLIT_PCT[1], "val")
+        .otherwise("test")
+    )
+    return docs.groupBy("source", split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
