@@ -42,10 +42,25 @@ MINHASH_PERMS: list[tuple[int, int, int]] = [
 SIMHASH_BITS = 32
 
 
+def _poly_hash_sql(operand: str) -> str:
+    return (
+        f"aggregate(transform(filter(split({operand}, ''), ch -> ch != ''), "
+        f"ch -> ascii(ch)), CAST(0 AS BIGINT), "
+        f"(acc, code) -> (acc * {HASH_MULT} + code) % {HASH_MOD})"
+    )
+
+
 def char_poly_hash(col: Column | str) -> Column:
-    """Polynomial rolling hash of a string column (long in [0, 2^31-1))."""
-    c = F.col(col) if isinstance(col, str) else col
-    chars = F.filter(F.split(c, ""), lambda ch: ch != "")
+    """Polynomial rolling hash of a string column (long in [0, 2^31-1)).
+
+    Column-name inputs go through ONE parsed SQL expression — building the
+    filter/transform/aggregate lambdas as Column objects costs ~10 Py4J
+    round-trips per call site, which adds up to whole seconds of driver
+    time in queries that hash several derived columns.
+    """
+    if isinstance(col, str):
+        return F.expr(_poly_hash_sql(col))
+    chars = F.filter(F.split(col, ""), lambda ch: ch != "")
     codes = F.transform(chars, F.ascii)
     return F.aggregate(
         codes,
