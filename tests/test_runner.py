@@ -84,3 +84,25 @@ def test_run_glue_task_end_to_end(spark, sst2_files, tmp_path):
     assert os.path.isdir(os.path.join(out_dir, "model"))
     conf = spark.read.parquet(os.path.join(out_dir, "confusion.parquet"))
     assert conf.count() <= 4
+
+
+def test_run_glue_task_qnli_end_to_end(spark, tmp_path):
+    """QNLI shape: string labels, pair concat, Word2Vec recipe (the
+    heaviest reference pipeline) survives end to end on a tiny fixture."""
+    qs = [("why is sky blue", "rayleigh scattering of light", "entailment"),
+          ("why is sky blue", "bananas are yellow fruit", "not_entailment")]
+    rows = []
+    for i in range(10):
+        for q, s, lab in qs:
+            rows.append(f"{len(rows)}\t{q} {i}\t{s} {i}\t{lab}")
+    body = "index\tquestion\tsentence\tlabel\n" + "\n".join(rows) + "\n"
+    train = _write(tmp_path, "train.tsv", body)
+    dev = _write(tmp_path, "dev.tsv", body)
+    out_dir = str(tmp_path / "out_qnli")
+    metrics = run_glue_task(
+        spark, "qnli", train, dev, out_dir, write_csv_copy=False
+    )
+    # Word2Vec on a toy corpus won't separate well; the contract is the
+    # pipeline RUNS and emits sane artifacts, not model quality
+    assert 0.0 <= metrics["accuracy"] <= 1.0
+    assert os.path.isdir(os.path.join(out_dir, "model"))
