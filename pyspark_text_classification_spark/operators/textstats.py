@@ -221,3 +221,77 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.groupBy("doc_id")
         .agg((F.sum(contrib) % HASH_MOD).cast("long").alias("fingerprint"))
     )
+
+
+@query(
+    "text_readability",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             {_SQL_TOKENS} AS toks,
+             greatest(length(list_filter(str_split_regex(text, '[.!?]+'),
+                                         s -> trim(s) != '')), 1) AS n_sent
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_sent,
+             greatest(length(toks), 1) AS n_words,
+             greatest(list_sum(list_prepend(CAST(0 AS BIGINT),
+               list_transform(toks, w -> CAST(greatest(
+                 length(regexp_extract_all(w, '[aeiouy]+')), 1) AS BIGINT)))),
+               1) AS n_syll
+      FROM t
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sent AS BIGINT) AS n_sentences,
+           CAST(n_syll AS BIGINT) AS n_syllables,
+           {sql_round_half_up(
+               '206.835 - 1.015 * (n_words / n_sent)'
+               ' - 84.6 * (n_syll / n_words)', 4)} AS flesch
+    FROM s
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with a deterministic
+    vowel-run syllable heuristic (min 1 per word) — the classic cheap
+    readability filter for pre-training corpora. Sentences = non-empty
+    [.!?] segments (min 1). Pure expressions, one pass, no shuffle."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = tokenize("text")
+    n_sent = F.greatest(
+        F.size(
+            F.filter(
+                F.split("text", r"[.!?]+"), lambda s: F.trim(s) != ""
+            )
+        ),
+        F.lit(1),
+    )
+    syll = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: F.greatest(
+                F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))),
+                F.lit(1),
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    t = docs.select(
+        "doc_id",
+        F.greatest(F.size(toks), F.lit(1)).cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        F.greatest(syll, F.lit(1)).cast("long").alias("n_syllables"),
+    )
+    return t.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        round_half_up(
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("n_words") / F.col("n_sentences"))
+            - F.lit(84.6) * (F.col("n_syllables") / F.col("n_words")),
+            4,
+        ).alias("flesch"),
+    )

@@ -1,0 +1,77 @@
+"""Watermark semantics: in append mode a record arriving LATER than the
+watermark allows is dropped, and only watermark-finalized windows are
+emitted — the state-bounding contract that makes unbounded streams viable."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pyspark_text_classification_spark.streaming.events import (
+    EVENTS_STREAM_SCHEMA,
+)
+
+HOUR_NS = 3_600_000_000_000
+
+
+def test_append_mode_drops_late_event_and_emits_final_windows(spark, tmp_path):
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    # the watermark is an EVICTION bound, not a hard drop line: a late row
+    # is only dropped once its window was finalized in an EARLIER batch.
+    # batch 1: events at hour 0 and hour 3 -> watermark advances to 2h
+    batch1 = pd.DataFrame(
+        [(1, 0 * HOUR_NS + 1, 7, "click", 1.0, "{}"),
+         (2, 3 * HOUR_NS + 1, 7, "click", 1.0, "{}")],
+        columns=cols,
+    )
+    # batch 2 (runs with wm=2h): hour-0 window is finalized+evicted here
+    batch2 = pd.DataFrame(
+        [(4, 4 * HOUR_NS + 1, 7, "click", 1.0, "{}")], columns=cols
+    )
+    # batch 3 (wm=3h): a LATE event back at hour 0 — state gone -> dropped
+    batch3 = pd.DataFrame(
+        [(3, 0 * HOUR_NS + 2, 7, "click", 1.0, "{}")], columns=cols
+    )
+    d = tmp_path / "wm_src"
+    os.makedirs(d)
+    batch1.to_parquet(str(d / "a_first.parquet"), index=False)
+    batch2.to_parquet(str(d / "b_second.parquet"), index=False)
+    batch3.to_parquet(str(d / "c_third.parquet"), index=False)
+    now = time.time()
+    os.utime(d / "a_first.parquet", (now - 200, now - 200))
+    os.utime(d / "b_second.parquet", (now - 100, now - 100))
+    os.utime(d / "c_third.parquet", (now, now))
+
+    src = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    agg = (
+        src.withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("event_ts", "1 hour")
+        .groupBy(F.window("event_ts", "1 hour"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("hour_s"), "cnt"
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_windows")
+        .outputMode("append")  # only watermark-closed windows are emitted
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.hour_s: r.cnt for r in spark.table("wm_windows").collect()}
+    # hour-0 window closed with ONE event: the late arrival was dropped,
+    # not merged (complete/update mode or no watermark would show 2)
+    assert got.get(0) == 1, got
+    # hour-3 and hour-4 windows never passed the final 3h watermark ->
+    # unemitted open state, exactly the append-mode contract
+    assert 3 * 3600 not in got and 4 * 3600 not in got, got
