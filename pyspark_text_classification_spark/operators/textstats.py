@@ -295,3 +295,55 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("flesch"),
     )
+
+
+@query(
+    "text_entropy",
+    oracle=f"""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch
+      FROM documents WHERE length(text) > 0
+    ),
+    counts AS (
+      SELECT doc_id, ch, count(*) AS n FROM chars GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT doc_id, sum(n) AS total FROM counts GROUP BY 1
+    )
+    SELECT c.doc_id,
+           CAST(t.total AS BIGINT) AS n_chars_total,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           {sql_round_half_up(
+               '-sum((c.n / t.total) * log2(c.n / t.total))', 4)} AS entropy
+    FROM counts c JOIN totals t ON c.doc_id = t.doc_id
+    GROUP BY c.doc_id, t.total
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the cheap randomness
+    signal that flags binary junk (high) and boilerplate/repetition (low)
+    in pre-training corpora. Explode to (doc, char) -> two hash aggregates;
+    the entropy sum is per-group float addition whose ordering differences
+    are absorbed by round_half_up(4)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    chars = docs.filter(F.length("text") > 0).select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", ""), lambda c: c != "")).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("doc_id").agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total")
+    return (
+        counts.join(totals, "doc_id")
+        .groupBy("doc_id", "total")
+        .agg(
+            F.count("*").alias("n_distinct_chars"),
+            round_half_up(-F.sum(p * F.log2(p)), 4).alias("entropy"),
+        )
+        .select(
+            "doc_id",
+            F.col("total").cast("long").alias("n_chars_total"),
+            F.col("n_distinct_chars").cast("long").alias("n_distinct_chars"),
+            "entropy",
+        )
+    )
