@@ -191,3 +191,73 @@ def events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_trailing"),
         round_half_up(F.sum("value").over(w), 4).alias("sum_trailing"),
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events
+    ),
+    s AS (
+      SELECT user_id, min(ts_us) AS t_signup
+      FROM e WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts_us) AS t_click
+      FROM e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts_us > s.t_signup
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts_us) AS t_purchase
+      FROM e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts_us > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT 'signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s
+    UNION ALL SELECT 'signup>click', count(*) FROM c
+    UNION ALL SELECT 'signup>click>purchase', count(*) FROM p
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users whose first signup precedes a
+    click precedes a purchase, counted per stage. Three cascaded
+    min-aggregates, each joined to the previous stage's anchor time — the
+    standard product-analytics query, strictly ordered (a purchase before
+    the first post-signup click does NOT count). Every stage shuffles on
+    user_id only; stage frames shrink monotonically."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+    )
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_signup"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts_us") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_purchase"))
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage("signup", s)
+        .unionByName(stage("signup>click", c))
+        .unionByName(stage("signup>click>purchase", p))
+    )
