@@ -261,3 +261,47 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("signup>click", c))
         .unionByName(stage("signup>click>purchase", p))
     )
+
+
+WEEK_US = 7 * 86_400 * 1_000_000  # one week in microseconds
+
+
+@query(
+    "events_cohort_retention",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, (epoch_ns(ts) // 1000) // {WEEK_US} AS week
+      FROM events
+    ),
+    first AS (
+      SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id
+    ),
+    activity AS (SELECT DISTINCT user_id, week FROM e)
+    SELECT f.cohort_week,
+           a.week - f.cohort_week AS weeks_since,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM activity a JOIN first f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity week, counted in
+    each subsequent week they return — the standard retention triangle.
+    One aggregate for cohorts, one distinct for activity, one equi-join on
+    user_id (broadcast-eligible: cohorts are one row per user), final
+    group on the two small keys. Integer week arithmetic on µs timestamps,
+    deterministic on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", F.expr(f"(ts div 1000) div {WEEK_US}").alias("week")
+    )
+    first = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = e.distinct()
+    return (
+        activity.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
