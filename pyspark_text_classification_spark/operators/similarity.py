@@ -28,6 +28,7 @@ whole index is oracle-checkable.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -146,7 +147,7 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("neighbor_id"),
             (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
         )
-        .persist()
+        .persist(StorageLevel.DISK_ONLY)  # O(n^2) rows: keep off-heap
     )
     pairs = half.unionByName(
         half.select(
@@ -325,7 +326,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(y, "neighbor_id")
         .select("vec_id", "neighbor_id",
                 (dot / (F.col("xn") * F.col("yn"))).alias("cos"))
-        .persist()
+        .persist(StorageLevel.DISK_ONLY)  # O(n^2) rows: keep off-heap
     )
     pairs = half.unionByName(
         half.select(
