@@ -36,6 +36,8 @@ HEADLINE = [
     "q22_rollup",
     "text_quality",
     "text_fingerprint",
+    "text_entropy",
+    "text_readability",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -49,6 +51,10 @@ HEADLINE = [
     "events_asof_join",
     "events_range_join",
     "events_trailing_1h",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_retention_pivot",
+    "pipeline_hash_split",
     "q24_percentiles",
     "q25_window_analytics",
     "q26_approx_sketches",

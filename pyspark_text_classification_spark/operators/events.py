@@ -305,3 +305,61 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+RETENTION_WEEKS = (0, 1, 2, 3)
+
+
+@query(
+    "events_retention_pivot",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, (epoch_ns(ts) // 1000) // {WEEK_US} AS week
+      FROM events
+    ),
+    first AS (
+      SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id
+    ),
+    activity AS (SELECT DISTINCT user_id, week FROM e),
+    r AS (
+      SELECT f.cohort_week, a.week - f.cohort_week AS ws
+      FROM activity a JOIN first f ON a.user_id = f.user_id
+    )
+    SELECT cohort_week,
+           {', '.join(
+               f'CAST(count(*) FILTER (ws = {w}) AS BIGINT) AS week_{w}'
+               for w in RETENTION_WEEKS
+           )}
+    FROM r GROUP BY cohort_week
+    """,
+)
+def events_retention_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention triangle PIVOTED to one row per cohort with fixed
+    week columns — exercises groupBy().pivot() (Spark's relational
+    transpose; the explicit value list keeps the schema static, which a
+    100 TB plan requires anyway: dynamic pivot needs an extra distinct
+    scan). Oracle is conditional aggregation with matching column names."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", F.expr(f"(ts div 1000) div {WEEK_US}").alias("week")
+    )
+    first = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    r = (
+        e.distinct()
+        .join(first, "user_id")
+        .select(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("ws")
+        )
+    )
+    pivoted = (
+        r.groupBy("cohort_week")
+        .pivot("ws", list(RETENTION_WEEKS))
+        .agg(F.count(F.lit(1)))  # count("*") is invalid inside Pivot
+    )
+    return pivoted.select(
+        "cohort_week",
+        *[
+            F.coalesce(F.col(str(w)), F.lit(0)).cast("long").alias(f"week_{w}")
+            for w in RETENTION_WEEKS
+        ],
+    )
