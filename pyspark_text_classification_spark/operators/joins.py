@@ -173,3 +173,45 @@ def q23_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_partkey").alias("d_parts"),
         F.count_distinct("l_suppkey").alias("d_supps"),
     )
+
+
+@query(
+    "q27_semi_anti_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) FILTER (EXISTS (
+             SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+           )) AS BIGINT) AS with_orders,
+           CAST(count(*) FILTER (NOT EXISTS (
+             SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+           )) AS BIGINT) AS without_orders
+    FROM customer c
+    GROUP BY 1
+    """,
+)
+def q27_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit left-semi and left-anti joins (EXISTS / NOT EXISTS): per
+    market segment, customers with and without orders. Both plan as hash
+    joins carrying only the join key of the right side — no row
+    multiplication, the correct shape for existence checks at any scale
+    (a regular join + distinct would explode then dedupe)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    with_o = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("with_orders"))
+    )
+    without_o = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("without_orders"))
+    )
+    return (
+        with_o.join(without_o, "c_mktsegment", "full")
+        .select(
+            "c_mktsegment",
+            F.coalesce("with_orders", F.lit(0)).alias("with_orders"),
+            F.coalesce("without_orders", F.lit(0)).alias("without_orders"),
+        )
+    )
