@@ -215,3 +215,37 @@ def q27_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("without_orders", F.lit(0)).alias("without_orders"),
         )
     )
+
+
+@query(
+    "q28_subquery_decorrelation",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey
+    FROM orders o
+    WHERE o.o_totalprice > 2 * (
+      SELECT avg(o2.o_totalprice) FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def q28_subquery_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL frontend: orders costing
+    more than twice their customer's average. Catalyst decorrelates the
+    subquery into an aggregate + equi-join (SURVEY §4 'inherited free') —
+    the plan contains no per-row subquery execution. Also the engine's
+    demonstration that spark.sql() strings and the DataFrame API share one
+    optimizer: every other declared query is API-built, this one is parsed.
+
+    The 2x margin keeps the float comparison far from avg-summation-order
+    boundaries, so both engines agree on every row."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey
+        FROM v_orders o
+        WHERE o.o_totalprice > 2 * (
+          SELECT avg(o2.o_totalprice) FROM v_orders o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
