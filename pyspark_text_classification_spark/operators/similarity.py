@@ -56,6 +56,27 @@ def _as_double_vec(col: str = "embedding") -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+# When True (production / the driver's sequential verify session), finalize
+# eagerly: checkpoint the small result and release the O(n^2) working caches.
+# Plan-contract tests flip this off to inspect the lazy plan.
+EAGER_RELEASE = True
+
+
+def _finalize(result: DataFrame, *caches: DataFrame) -> DataFrame:
+    """Materialize the (small, O(n·k)-row) result and release working caches.
+
+    The driver's verify runs every query sequentially in ONE session; a
+    persisted O(n^2) pair matrix left behind by a finished query crowds
+    the storage pool for everything after it. Eagerly checkpointing the
+    final rows cuts their lineage from the caches, so unpersisting is safe."""
+    if not EAGER_RELEASE:
+        return result
+    out = result.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
+
+
 def _fold_sum(arr: Column) -> Column:
     """Sequential left-fold sum — deterministic IEEE order."""
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
@@ -158,11 +179,12 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos4 = round_half_up(F.col("cos"), 4)
     w = Window.partitionBy("vec_id").orderBy(cos4.desc(), "neighbor_id")
-    return (
+    topk = (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("vec_id", "neighbor_id", cos4.alias("cos_sim"), "rank")
     )
+    return _finalize(topk, e, half)
 
 
 @query(
@@ -337,11 +359,12 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos4 = round_half_up(F.col("cos"), 4)
     w = Window.partitionBy("vec_id").orderBy(cos4.desc(), "neighbor_id")
-    return (
+    topk = (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("vec_id", "neighbor_id", cos4.alias("cos_sim"), "rank")
     )
+    return _finalize(topk, e, bk, half)
 
 
 # ---------------------------------------------------------------------------
@@ -462,8 +485,9 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos4 = round_half_up(F.col("cos"), 4)
     w = Window.partitionBy("vec_id").orderBy(cos4.desc(), "neighbor_id")
-    return (
+    topk = (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("vec_id", "neighbor_id", cos4.alias("cos_sim"), "rank")
     )
+    return _finalize(topk, e, ranked)

@@ -49,9 +49,14 @@ EAGER_QUERIES = {
 }
 
 
-def test_relational_core_has_no_python_workers(spark, sf_dir):
+def test_relational_core_has_no_python_workers(spark, sf_dir, monkeypatch):
     """Zero Python row UDFs outside the declared pandas stages (SURVEY
     §7.1) — swept over EVERY lazily-plannable query."""
+    from pyspark_text_classification_spark.operators import similarity
+
+    # keep the similarity queries lazy so their real plans are inspectable
+    # (in production they eagerly checkpoint + release their pair caches)
+    monkeypatch.setattr(similarity, "EAGER_RELEASE", False)
     for name in sorted(set(QUERIES) - PANDAS_QUERIES - EAGER_QUERIES):
         nodes = python_eval_nodes(QUERIES[name](spark, sf_dir))
         assert not nodes, f"{name} drops into Python: {nodes}"
