@@ -85,6 +85,64 @@ def sql_char_poly_hash(expr: str) -> str:
     )
 
 
+# Combining multiplier for token-hash shingles: shingle hash = left fold
+# (acc * SHINGLE_MULT + token_hash) mod HASH_MOD over k consecutive token
+# hashes. acc < 2^31 and SHINGLE_MULT < 2^20, so acc * mult + h < 2^52 —
+# exact under ANSI 64-bit arithmetic in both engines.
+SHINGLE_MULT = 1_000_003
+
+
+def _shingle_fold_sql(arr: str) -> str:
+    return (
+        f"aggregate({arr}, CAST(0 AS BIGINT), "
+        f"(acc, h) -> (acc * {SHINGLE_MULT} + h) % {HASH_MOD})"
+    )
+
+
+def token_shingle_hashes_sql(th: str, k: int = 2) -> str:
+    """Spark SQL: k-shingle hashes from an ``array<long>`` of token hashes.
+
+    Each token is char-hashed ONCE upstream; a shingle's hash is a
+    polynomial fold over its k token hashes — O(total chars + k x
+    positions) instead of the string-shingle path's O(k x total chars)
+    (every char re-folded k times through array_join + char hashing).
+    Documents shorter than k tokens fold their whole hash sequence, so
+    every document still contributes >= 1 shingle. k=2 (the common case)
+    skips the per-position aggregate for a single zip_with pass.
+    """
+    if k == 2:
+        grams = (
+            f"zip_with(slice({th}, 1, size({th}) - 1), "
+            f"slice({th}, 2, size({th}) - 1), "
+            f"(x, y) -> (x * {SHINGLE_MULT} + y) % {HASH_MOD})"
+        )
+    else:
+        grams = (
+            f"transform(sequence(1, size({th}) - {k - 1}), "
+            f"i -> {_shingle_fold_sql(f'slice({th}, i, {k})')})"
+        )
+    return (
+        f"CASE WHEN size({th}) < {k} THEN array({_shingle_fold_sql(th)}) "
+        f"ELSE {grams} END"
+    )
+
+
+def sql_token_shingle_hashes(th: str, k: int = 2) -> str:
+    """DuckDB twin of :func:`token_shingle_hashes_sql` (1-indexed slices)."""
+
+    def fold(arr: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), {arr}), "
+            f"(acc, h) -> (acc * {SHINGLE_MULT} + h) % {HASH_MOD})"
+        )
+
+    return (
+        f"CASE WHEN length({th}) < {k} THEN [{fold(th)}] "
+        f"ELSE list_transform(range(1, length({th}) - {k - 1} + 1), "
+        f"i -> {fold(f'list_slice({th}, i, i + {k - 1})')}) END"
+    )
+
+
 def word_shingles(tokens: Column, k: int = 3) -> Column:
     """Word k-shingles of a token array, as space-joined strings (WITH
     positional duplicates — callers needing set semantics dedupe on the

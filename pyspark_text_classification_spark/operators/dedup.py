@@ -36,10 +36,11 @@ from pyspark_text_classification_spark.functions.hashing import (
     HASH_MOD,
     MINHASH_PERMS,
     SIMHASH_BITS,
+    _poly_hash_sql,
     char_poly_hash,
     sql_char_poly_hash,
-    sql_word_shingles,
-    word_shingles,
+    sql_token_shingle_hashes,
+    token_shingle_hashes_sql,
 )
 from pyspark_text_classification_spark.functions.text import (
     round_half_up,
@@ -86,24 +87,42 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Spark-SQL twin of tokenize(): SQL string literals unescape backslashes,
+# so the regex \W+ is spelled \\W+ inside the parsed expression.
+_SPARK_TOKS = r"filter(split(lower(text), '\\W+'), t -> length(t) >= 2)"
+
+
 def shingle_hashes(docs: DataFrame, k: int = 2) -> DataFrame:
-    """(doc_id, h): distinct polynomial hashes of word k-shingles."""
-    toks = tokenize("text")
-    exploded = fan_out(docs).select(
-        "doc_id", F.explode(word_shingles(toks, k)).alias("shingle")
+    """(doc_id, h): distinct k-shingle hashes via token-hash combination.
+
+    Each token is char-hashed ONCE; a shingle's hash is then a polynomial
+    fold over its k consecutive token hashes (hashing.py SHINGLE_MULT) —
+    O(total chars) instead of the string-shingle formulation's O(k x total
+    chars), which re-folded every character through array_join + char
+    hashing once per overlapping shingle. At sf0.1 the end-to-end time is
+    unchanged (the distinct shuffle dominates); the win is per-char work
+    that no longer scales with k, and 2 parsed SQL strings instead of
+    lambda-built Column chains at construction.
+    """
+    th = f"transform({_SPARK_TOKS}, t -> {_poly_hash_sql('t')})"
+    return (
+        fan_out(docs)
+        .selectExpr("doc_id", f"{th} AS th")
+        .selectExpr(
+            "doc_id", f"explode({token_shingle_hashes_sql('th', k)}) AS h"
+        )
+        .distinct()
     )
-    return exploded.select(
-        "doc_id", char_poly_hash("shingle").alias("h")
-    ).distinct()
 
 
 def _sql_shingle_hashes(k: int = 2) -> str:
     """DuckDB twin of :func:`shingle_hashes` as a CTE body."""
+    th = f"list_transform({_SQL_TOKENS}, t -> {sql_char_poly_hash('t')})"
     return f"""
-    SELECT DISTINCT doc_id, {sql_char_poly_hash('shingle')} AS h
-    FROM (SELECT doc_id,
-                 unnest({sql_word_shingles(_SQL_TOKENS, k)}) AS shingle
-          FROM documents)
+    SELECT DISTINCT doc_id, h FROM (
+      SELECT doc_id, unnest({sql_token_shingle_hashes('th', k)}) AS h
+      FROM (SELECT doc_id, {th} AS th FROM documents)
+    )
     """
 
 
