@@ -58,6 +58,9 @@ HEADLINE = [
     "q24_percentiles",
     "q25_window_analytics",
     "q26_approx_sketches",
+    "q29_grouping_sets",
+    "text_collocations_pmi",
+    "pipeline_stratified_sample",
     "ml_infer_batch",
     "ml_hash_tf_buckets",
     "ml_tfidf_matrix",

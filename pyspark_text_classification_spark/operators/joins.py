@@ -155,6 +155,40 @@ def q22_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q29_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty_fl,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q29_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 explicit GROUPING SETS through the SQL frontend (rollup's
+    generalization — arbitrary set lists, not just prefixes), with
+    grouping() flags distinguishing real NULL keys from subtotal rows.
+    Catalyst plans one Expand + single hash aggregate, not one scan per
+    set. Quantities are floored to BIGINT before summing so the subtotal
+    sums are exact integer arithmetic on both engines."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+                 AS sum_qty_fl,
+               count(*) AS n_rows,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status
+        FROM v_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
     "q23_distinct_counts",
     oracle="""
     SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)  AS d_orders,

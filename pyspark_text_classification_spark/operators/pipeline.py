@@ -106,3 +106,60 @@ def pipeline_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+# per-language keep rates (percent): downsample the dominant language,
+# keep most of the rest — classic corpus rebalancing before training
+SAMPLE_PCT_DEFAULT = 40
+SAMPLE_PCT = {"en": 10}
+_SAMPLE_SALT = "|sample"  # decouples the sampling stream from the split stream
+
+
+def _rate_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in SAMPLE_PCT.items()
+    )
+    return f"CASE {whens} ELSE {SAMPLE_PCT_DEFAULT} END"
+
+
+@query(
+    "pipeline_stratified_sample",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {sql_char_poly_hash(f"text || '{_SAMPLE_SALT}'")} % 100
+               < ({_rate_sql()}) AS keep
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (keep) AS BIGINT) AS n_sampled,
+           min(CASE WHEN keep THEN doc_id END) AS first_kept,
+           CAST(sum(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT)
+             AS kept_id_sum
+    FROM s GROUP BY lang
+    """,
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates applied
+    by content hash, NOT seeded randomness — the engine's replacement for
+    ``df.sampleBy`` (whose Bernoulli draws differ per partitioning and
+    rerun). A document's fate depends only on its text, so resampling a
+    grown corpus keeps every previously-kept document (stable training
+    sets), duplicates land on the same side of the cut, and the whole
+    operator is a map-side expression + one aggregate — no shuffle of the
+    kept rows themselves. The hash stream is salted so sampling decisions
+    are independent of pipeline_hash_split's train/val/test buckets.
+    kept_id_sum is the cross-engine checksum that pins the exact kept set,
+    not just its size."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    rate = F.lit(SAMPLE_PCT_DEFAULT)
+    for lang, pct in SAMPLE_PCT.items():
+        rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
+    keep = char_poly_hash(F.concat(F.col("text"), F.lit(_SAMPLE_SALT))) % 100 < rate
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.count_if(keep).alias("n_sampled"),
+        F.min(F.when(keep, F.col("doc_id"))).alias("first_kept"),
+        F.sum(F.when(keep, F.col("doc_id")).otherwise(0)).alias("kept_id_sum"),
+    )

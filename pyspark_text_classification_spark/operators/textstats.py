@@ -73,11 +73,12 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio) — the length/punct/stopword family of pre-training filters."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = tokenize("text")
-    sw = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
     t = docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+        # IN-set lookup (Catalyst OptimizeIn -> InSet hash set), not
+        # array_contains against a literal array — see remove_stopwords
+        F.size(F.filter(toks, lambda x: x.isin(*ENGLISH_STOPWORDS)))
         .cast("long")
         .alias("n_stop"),
         F.aggregate(
@@ -139,8 +140,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.array_distinct(tokenize("text"))
 
     def hits(lang: str):
-        marker = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
-        return F.size(F.filter(toks, lambda x: F.array_contains(marker, x)))
+        return F.size(F.filter(toks, lambda x: x.isin(*LANG_MARKERS[lang])))
 
     h = docs.select(
         "doc_id",
@@ -346,4 +346,92 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_distinct_chars").cast("long").alias("n_distinct_chars"),
             "entropy",
         )
+    )
+
+
+MIN_PAIR_COUNT = 5  # collocation min support
+
+
+@query(
+    "text_collocations_pmi",
+    oracle=f"""
+    WITH t AS (SELECT {_SQL_TOKENS} AS toks FROM documents),
+    uni AS (
+      SELECT w, count(*) AS n_w
+      FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+    ),
+    bg AS (
+      SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS n_pair
+      FROM (SELECT unnest(list_transform(range(1, length(toks)),
+                   i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS bg
+            FROM t WHERE length(toks) >= 2)
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST((SELECT sum(n_w) FROM uni) AS DOUBLE) AS n1,
+             CAST((SELECT sum(n_pair) FROM bg) AS DOUBLE) AS n2
+    )
+    SELECT b.w1, b.w2, CAST(b.n_pair AS BIGINT) AS n_pair,
+           {sql_round_half_up(
+               'log2((b.n_pair / t.n2) / ((a.n_w / t.n1) * (c.n_w / t.n1)))', 4
+           )} AS pmi
+    FROM bg b
+    JOIN uni a ON a.w = b.w1
+    JOIN uni c ON c.w = b.w2
+    CROSS JOIN tot t
+    WHERE b.n_pair >= {MIN_PAIR_COUNT}
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram collocations scored by pointwise mutual
+    information: PMI(w1,w2) = log2(p(w1,w2) / (p(w1) p(w2))) (Church &
+    Hanks 1990), with min support to kill noise pairs.
+
+    Scale shape: unigram and bigram counts are vocabulary-bounded hash
+    aggregates with map-side partials; the scoring joins broadcast the
+    unigram table (bounded by vocabulary, not corpus) and the two scalar
+    totals, so nothing re-shuffles the corpus. The bigram stream comes
+    from an in-row zip of each token array with its own tail — no
+    self-join on position. PMI itself is a pure scalar expression over
+    exactly-representable integer counts, so both engines compute
+    bit-identical doubles before rounding."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    t = docs.select(tokenize("text").alias("toks"))
+    uni = (
+        t.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w"))
+    )
+    bg = (
+        t.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1), "
+                    "slice(toks, 2, size(toks) - 1), "
+                    "(a, b) -> named_struct('w1', a, 'w2', b))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= MIN_PAIR_COUNT)
+    )
+    tot = uni.agg(F.sum("n_w").cast("double").alias("n1")).crossJoin(
+        t.filter(F.size("toks") >= 2)
+        .select((F.size("toks") - 1).alias("k"))
+        .agg(F.sum("k").cast("double").alias("n2"))
+    )
+    a = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a"))
+    c = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_c"))
+    pmi = F.log2(
+        (F.col("n_pair") / F.col("n2"))
+        / ((F.col("n_a") / F.col("n1")) * (F.col("n_c") / F.col("n1")))
+    )
+    return (
+        bg.join(F.broadcast(a), "w1")
+        .join(F.broadcast(c), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n_pair", round_half_up(pmi, 4).alias("pmi"))
     )
