@@ -76,6 +76,13 @@ def main() -> None:
     # warm the JVM + parquet footer caches once so we measure query time,
     # not first-touch session overhead
     QUERIES[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warm the Python worker pool: the first Arrow stage otherwise pays a
+    # cold fork + pandas import per worker (~20s across 32 workers at
+    # local[32]), which would be charged to whichever pandas query runs
+    # first rather than to the session
+    spark.range(0, 32, 1, 32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:
