@@ -526,3 +526,118 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = jac.select("doc_a", "doc_b").localCheckpoint(eager=True)
     release_shingles()
     return connected_components(pairs)
+
+
+def _undirected(pairs: DataFrame) -> DataFrame:
+    """Directed both-ways view (u, v) of an unordered pair list."""
+    return pairs.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionByName(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+
+
+def _large_star(pairs: DataFrame) -> DataFrame:
+    """One large-star round: every neighbor v > u re-links to
+    m = min(u, min neighbors of u). Strictly decreases large components'
+    diameter; cannot create edges above a node's component min."""
+    nbr = _undirected(pairs)
+    mins = nbr.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("u"), F.col("mn"))
+    return (
+        nbr.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), m.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(pairs: DataFrame) -> DataFrame:
+    """One small-star round: each node links itself and all its smaller
+    neighbors to their minimum. Every undirected edge is processed at its
+    LARGER endpoint, so the two stars together cover every edge."""
+    sm = _undirected(pairs).filter(F.col("v") < F.col("u"))
+    mins = sm.groupBy("u").agg(F.min("v").alias("mn"))
+    return (
+        sm.join(mins, "u")
+        .select(F.col("v").alias("a"), F.col("mn").alias("b"))
+        .unionByName(
+            mins.select(F.col("u").alias("a"), F.col("mn").alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def two_star_components(pairs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id): connected components via the alternating
+    large-star / small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014).
+
+    Label propagation (connected_components above) needs O(diameter)
+    rounds; the two-star alternation converges in O(log^2 n) — at most
+    O(log n) in practice — regardless of diameter, which is the 100 TB
+    shape when near-dup chains get long (e.g. boilerplate drift across a
+    crawl). Each round is two self-grouped joins on bounded pair sets;
+    termination compares consecutive edge sets (cheap: the sets shrink
+    toward the star forest). Output contract is identical to
+    connected_components: cluster_id = component-minimum doc_id."""
+    # each round is localCheckpoint'ed: the star transforms + convergence
+    # compare would otherwise stack ~4 plan copies per round and Catalyst
+    # re-optimization time grows exponentially with iteration depth
+    cur = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        _undirected(cur)
+        .select(F.col("u").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        changed = (
+            nxt.exceptAll(cur).count() + cur.exceptAll(nxt).count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+    # at the fixpoint `cur` is a star forest rooted at component minima
+    labels = cur.select(
+        F.col("a").alias("doc_id"), F.col("b").alias("cluster_id")
+    ).groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
+    return (
+        nodes.join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+@query(
+    "dedup_clusters_twostar",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_sql_minhash(2, 0.8)}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(id, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters via large-star/small-star — the
+    diameter-independent scale path next to dedup_clusters' label
+    propagation; both are held to the same recursive-CTE oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    jac, release_shingles = _minhash_lsh_dedup_parts(docs, 2, 0.8)
+    pairs = jac.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    release_shingles()
+    return two_star_components(pairs)

@@ -117,3 +117,30 @@ def test_minhash_candidates_superset_of_high_jaccard(spark):
     assert truth, "fixture should contain planted near-dups"
     missed = truth - cands
     assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+
+
+def test_two_star_matches_label_propagation_and_handles_deep_chains(spark):
+    """two_star_components must agree with connected_components on real
+    LSH pairs AND converge on a deep path graph (the diameter-bound case
+    label propagation is slow on and two-star exists for)."""
+    from pyspark_text_classification_spark.operators.dedup import (
+        _minhash_lsh_dedup_parts,
+        connected_components,
+        two_star_components,
+    )
+    from pyspark_text_classification_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    jac, release = _minhash_lsh_dedup_parts(docs, 2, 0.8)
+    pairs = jac.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    release()
+    lp = {(r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()}
+    ts = {(r.doc_id, r.cluster_id) for r in two_star_components(pairs).collect()}
+    assert lp == ts and lp, "two-star must reproduce label-propagation clusters"
+
+    # 0-1-2-...-29 path plus a disjoint 2-cycle {100, 101}
+    chain = [(i, i + 1) for i in range(30)] + [(100, 101)]
+    cdf = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    got = {(r.doc_id, r.cluster_id) for r in two_star_components(cdf).collect()}
+    want = {(i, 0) for i in range(31)} | {(100, 100), (101, 100)}
+    assert got == want

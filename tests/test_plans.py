@@ -45,7 +45,8 @@ PANDAS_QUERIES = {"ml_infer_batch", "multimodal_byte_features"}
 EAGER_QUERIES = {
     "events_stream_tumbling_hourly", "events_stream_sessionize",
     "events_stream_range_join", "ml_infer_stream", "dedup_stream_exact",
-    "dedup_clusters", "ml_tfidf_lr_metrics", "ml_topk_coefficients",
+    "dedup_clusters", "dedup_clusters_twostar", "ml_tfidf_lr_metrics",
+    "ml_topk_coefficients",
 }
 
 
