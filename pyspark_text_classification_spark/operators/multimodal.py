@@ -147,3 +147,110 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary round-trip bit-exact."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return extract_byte_features(attach_binary_payload(docs))
+
+
+FRAME_BYTES = 256     # pseudo-video frame size
+SAMPLE_EVERY = 4      # keep every 4th frame
+RESIZE_STRIDE = 7     # pseudo-resize: keep every 7th byte
+
+FRAME_SCHEMA = "doc_id LONG, frame_idx INT, frame_len INT, frame_checksum LONG"
+RESIZE_SCHEMA = "doc_id LONG, n_bytes_out LONG, resized_checksum LONG"
+
+
+def sample_frames(payloads: DataFrame) -> DataFrame:
+    """Frame-sampling stage: treat each payload as a stream of
+    FRAME_BYTES-sized frames and keep every SAMPLE_EVERY-th one — the
+    execution shape of video keyframe extraction (1:N row fan-out through
+    mapInPandas, schema-changing, partition-local, no shuffle). A real
+    decoder drops into the slice loop via decode_media(); the byte
+    arithmetic here keeps the whole stage oracle-checkable."""
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(buf)
+                for idx in range(0, -(-len(b) // FRAME_BYTES), SAMPLE_EVERY):
+                    fr = b[idx * FRAME_BYTES:(idx + 1) * FRAME_BYTES]
+                    rows.append((doc_id, idx, len(fr), sum(fr) % ADLER_MOD))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "frame_len", "frame_checksum"],
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        frames, schema=FRAME_SCHEMA
+    )
+
+
+def resize_payloads(payloads: DataFrame) -> DataFrame:
+    """Resize stage: deterministic downsample keeping every
+    RESIZE_STRIDE-th byte — the execution shape of image resizing
+    (payload in, smaller payload summary out, 1:1, partition-local)."""
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                small = bytes(buf)[::RESIZE_STRIDE]
+                rows.append((doc_id, len(small), sum(small) % ADLER_MOD))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes_out", "resized_checksum"]
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        resize, schema=RESIZE_SCHEMA
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(idx AS INTEGER) AS frame_idx,
+           CAST(length(fr) AS INTEGER) AS frame_len,
+           CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(fr, ''),
+                               c -> CAST(unicode(c) AS BIGINT))))
+                % {ADLER_MOD} AS BIGINT) AS frame_checksum
+    FROM (
+      SELECT doc_id, idx,
+             substr(text, idx * {FRAME_BYTES} + 1, {FRAME_BYTES}) AS fr
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(ceil(length(text) / {FRAME_BYTES}.0)
+                 AS BIGINT), {SAMPLE_EVERY})) AS idx
+        FROM documents WHERE length(text) > 0
+      )
+    )
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe-style sampling over binary payloads, value-verified: the
+    SQL twin recomputes each sampled frame's length and checksum from the
+    text the payload encodes (ASCII corpus => byte == codepoint)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return sample_frames(
+        attach_binary_payload(docs.filter(F.length("text") > 0))
+    )
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(small) AS BIGINT) AS n_bytes_out,
+           CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+                list_transform(small, c -> CAST(unicode(c) AS BIGINT))))
+                % {ADLER_MOD} AS BIGINT) AS resized_checksum
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split(text, ''),
+                         (c, i) -> (i - 1) % {RESIZE_STRIDE} = 0) AS small
+      FROM documents
+    )
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-downsample ('resize') over binary payloads via mapInPandas,
+    value-verified against byte arithmetic recomputed in SQL."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return resize_payloads(attach_binary_payload(docs))

@@ -38,7 +38,10 @@ def test_idf_total_is_broadcast_not_shuffle(spark, sf_dir):
 
 # the ONLY queries allowed to run Python workers: the declared Arrow
 # mapInPandas stages. Everything else must plan fully JVM-side.
-PANDAS_QUERIES = {"ml_infer_batch", "multimodal_byte_features"}
+PANDAS_QUERIES = {
+    "ml_infer_batch", "multimodal_byte_features",
+    "multimodal_frame_sample", "multimodal_resize",
+}
 # run eagerly on call (streaming drains / iterative fits) — their plans
 # can't be inspected lazily here; streaming twins share their batch
 # implementation, and the ML fits are covered by their own tests
@@ -70,8 +73,8 @@ def test_tfidf_join_broadcasts_vocab(spark, sf_dir):
 
 
 def test_pandas_operators_use_arrow_map(spark, sf_dir):
-    """The two declared pandas stages use MapInPandas (Arrow batches, no
+    """Every declared pandas stage uses MapInPandas (Arrow batches, no
     shuffle) — not grouped-map (which would shuffle) and not row pickling."""
-    for name in ["ml_infer_batch", "multimodal_byte_features"]:
+    for name in sorted(PANDAS_QUERIES):
         nodes = python_eval_nodes(QUERIES[name](spark, sf_dir))
         assert nodes == ["MapInPandas"], f"{name}: {nodes}"
