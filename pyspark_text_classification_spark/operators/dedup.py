@@ -202,36 +202,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_band_signatures(shingles: DataFrame) -> DataFrame:
     """(doc_id, band, sig): LSH band signatures from 32 minhashes.
 
-    ONE shuffle: collect each doc's shingle hashes into an array, then all
-    32 permutation minimums are ``array_min(transform(...))`` expressions
-    over that array — JVM-side, no 32x row blow-up, no second aggregate
-    (the earlier shape crossJoined a perm table into the shingle stream and
-    shuffled (doc, perm) pairs twice). Band signature = '-'-joined minhash
-    values in perm order. Per-doc arrays hold DISTINCT shingle hashes, so
-    array size is bounded by vocabulary, not document length.
+    All 32 permutation minima are plain relational ``min()`` aggregates
+    over the (doc_id, h) stream — whole-stage-codegen'd with map-side
+    partial aggregation, so the shuffle carries 32 longs per document
+    instead of every shingle hash. The earlier array formulation
+    (collect_list + 32 interpreted ``array_min(transform(...))`` folds)
+    measured 9.2s at sf0.1 vs ~1s for this shape: higher-order functions
+    run interpreted (~10µs/element here), while the permutation
+    arithmetic inside a codegen'd aggregate is nanoseconds per row.
+    Band signature = '-'-joined minhash values in perm order.
     """
-    hs = shingles.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
-
-    def perm_min_sql(a: int, b: int) -> str:
-        return (
-            f"CAST(array_min(transform(hs, "
-            f"h -> ({a}L * h + {b}L) % {HASH_MOD}L)) AS STRING)"
-        )
-
+    mins = shingles.groupBy("doc_id").agg(
+        *[
+            F.expr(f"min(({a}L * h + {b}L) % {HASH_MOD}L)").alias(f"m{p}")
+            for p, a, b in MINHASH_PERMS
+        ]
+    )
     n_bands = len(MINHASH_PERMS) // BAND_ROWS
     band_sigs = ", ".join(
         "concat_ws('-', "
         + ", ".join(
-            perm_min_sql(*MINHASH_PERMS[band * BAND_ROWS + r][1:])
+            f"CAST(m{band * BAND_ROWS + r} AS STRING)"
             for r in range(BAND_ROWS)
         )
         + ")"
         for band in range(n_bands)
     )
-    # ONE selectExpr: building the 32 permutation expressions as Column
-    # objects costs hundreds of Py4J round-trips (~2s of driver time per
-    # query construction); a single parsed SQL string is one call.
-    return hs.selectExpr(
+    return mins.selectExpr(
         "doc_id", f"posexplode(array({band_sigs})) AS (band, sig)"
     )
 
