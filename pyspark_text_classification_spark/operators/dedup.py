@@ -352,45 +352,28 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """32-bit SimHash per document from token polynomial hashes.
 
     Each token votes +count / -count on every bit of its hash; the
-    fingerprint sets bit j iff the weighted sum is positive. Each token row
-    carries its 32 votes as ONE array; a single groupBy(doc) sums the vote
-    vectors with an elementwise zip_with fold and recombines bits — one
-    shuffle of (doc, 32 longs) instead of exploding a (doc, token, bit)
-    row per bit (measured 1.6x faster at 8x sf0.1).
+    fingerprint sets bit j iff the weighted sum is positive. The 32
+    per-bit vote sums are plain conditional ``sum()`` aggregates in ONE
+    groupBy(doc) — whole-stage codegen with map-side partials, the same
+    reformulation as minhash_band_signatures (2.2x at sf0.1 over the
+    previous per-token vote-array + interpreted zip_with fold; integer
+    sums, so order-independent and oracle-identical). Bit reassembly is a
+    pure projection.
     """
     toks = fan_out(docs).select("doc_id", F.explode(tokenize("text")).alias("token"))
-    tok_h = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
-    tok_h = tok_h.select(
-        "doc_id", "cnt", char_poly_hash("token").alias("h")
+    tok_h = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+        .select("doc_id", "cnt", char_poly_hash("token").alias("h"))
     )
-    votes_arr = F.expr(
-        f"transform(sequence(0, {SIMHASH_BITS - 1}), "
-        "bit -> IF((shiftright(h, bit) & 1) = 1, cnt, -cnt))"
+    votes = tok_h.groupBy("doc_id").agg(
+        *[
+            F.expr(f"sum(IF((shiftright(h, {j}) & 1) = 1, cnt, -cnt))").alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
     )
-    zeros = (
-        f"transform(sequence(0, {SIMHASH_BITS - 1}), b -> CAST(0 AS BIGINT))"
-    )
-    summed = (
-        tok_h.select("doc_id", votes_arr.alias("va"))
-        .groupBy("doc_id")
-        .agg(F.collect_list("va").alias("vas"))
-        .select(
-            "doc_id",
-            F.expr(
-                f"aggregate(vas, {zeros}, "
-                "(acc, arr) -> zip_with(acc, arr, (x, y) -> x + y))"
-            ).alias("votes"),
-        )
-    )
-    return summed.select(
-        "doc_id",
-        F.expr(
-            f"aggregate(transform(sequence(0, {SIMHASH_BITS - 1}), "
-            "bit -> IF(element_at(votes, bit + 1) > 0, "
-            "shiftleft(CAST(1 AS BIGINT), bit), CAST(0 AS BIGINT))), "
-            "CAST(0 AS BIGINT), (a, x) -> a + x)"
-        ).alias("simhash"),
-    )
+    bits = " + ".join(f"IF(v{j} > 0, {1 << j}L, 0L)" for j in range(SIMHASH_BITS))
+    return votes.selectExpr("doc_id", f"CAST({bits} AS BIGINT) AS simhash")
 
 
 @query(
