@@ -66,6 +66,24 @@ def test_relational_core_has_no_python_workers(spark, sf_dir, monkeypatch):
         assert not nodes, f"{name} drops into Python: {nodes}"
 
 
+def test_pmi_broadcasts_unigram_tables(spark, sf_dir):
+    """Collocation scoring must broadcast the vocabulary-bounded unigram
+    counts and scalar totals — never shuffle the bigram stream for them."""
+    assert uses_broadcast_join(QUERIES["text_collocations_pmi"](spark, sf_dir))
+
+
+def test_stratified_sample_is_single_aggregate(spark, sf_dir):
+    """The sampling decision is a map-side expression; the plan must be
+    scan -> project -> one hash aggregate (plus its exchange) — any join
+    or second shuffle means the operator stopped being embarrassingly
+    parallel."""
+    df = QUERIES["pipeline_stratified_sample"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, f"unexpected join in sampling plan:\n{plan}"
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 2, f"{n_exchanges} exchanges in sampling plan"
+
+
 def test_tfidf_join_broadcasts_vocab(spark, sf_dir):
     """The doc-term matrix join must broadcast the bounded vocabulary,
     never shuffle the big tf side."""
