@@ -42,9 +42,9 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
-@query(
-    "text_quality",
-    oracle=f"""
+# shared with the streaming twin (streaming/quality.py), which wraps it in
+# a WHERE on the score
+QUALITY_ORACLE_SQL = f"""
     WITH t AS (
       SELECT doc_id, length(text) AS n_chars_obs, {_SQL_TOKENS} AS toks
       FROM documents
@@ -65,13 +65,20 @@ LANG_MARKERS: dict[str, list[str]] = {
                'CASE WHEN n_tokens >= 100 THEN 1.0 ELSE n_tokens / 100.0 END'
                ' * (CASE WHEN n_tokens > 0 THEN 1.0 - n_stop / n_tokens ELSE 0.0 END)', 4)} AS quality_score
     FROM s
-    """,
-)
+    """
+
+
+@query("text_quality", oracle=QUALITY_ORACLE_SQL)
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality heuristics: token count, mean token length,
     stopword ratio, and a composite score (length saturation x content
     ratio) — the length/punct/stopword family of pre-training filters."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return quality_stats(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+def quality_stats(docs: DataFrame) -> DataFrame:
+    """The text_quality column program as a reusable (batch OR streaming —
+    it is stateless) transformation over a (doc_id, text) frame."""
     toks = tokenize("text")
     t = docs.select(
         "doc_id",

@@ -48,6 +48,7 @@ PANDAS_QUERIES = {
 EAGER_QUERIES = {
     "events_stream_tumbling_hourly", "events_stream_sessionize",
     "events_stream_range_join", "ml_infer_stream", "dedup_stream_exact",
+    "pipeline_stream_quality_filter",
     "dedup_clusters", "dedup_clusters_twostar", "ml_tfidf_lr_metrics",
     "ml_topk_coefficients",
 }
