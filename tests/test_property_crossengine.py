@@ -101,3 +101,60 @@ def test_round_half_up_matches_duckdb(spark, values):
         for v in values
     ]
     assert got == pytest.approx(want, abs=0.0)
+
+
+def py_token_shingles(texts: str, k: int = 2) -> list[int]:
+    from pyspark_text_classification_spark.functions.hashing import SHINGLE_MULT
+
+    th = [py_poly_hash(t) for t in py_tokenize(texts)]
+    def fold(hs):
+        acc = 0
+        for h in hs:
+            acc = (acc * SHINGLE_MULT + h) % HASH_MOD
+        return acc
+    if len(th) < k:
+        return sorted({fold(th)})
+    return sorted({fold(th[i:i + k]) for i in range(len(th) - k + 1)})
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=20), st.sampled_from([2, 3]))
+def test_token_shingle_hashes_three_way(spark, texts, k):
+    """The token-hash shingle family (Spark expression, DuckDB twin, and a
+    pure-Python reference) must agree on arbitrary text — this is the
+    primitive every dedup oracle rests on."""
+    from pyspark_text_classification_spark.functions.hashing import (
+        sql_token_shingle_hashes,
+        token_shingle_hashes_sql,
+    )
+    from pyspark_text_classification_spark.functions.text import (
+        TOKEN_PATTERN,  # noqa: F401  (documents the shared pattern)
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    spark_toks = r"filter(split(lower(text), '\\W+'), t -> length(t) >= 2)"
+    th = (
+        f"transform({spark_toks}, "
+        "t -> aggregate(transform(filter(split(t, ''), ch -> ch != ''), "
+        f"ch -> ascii(ch)), CAST(0 AS BIGINT), "
+        f"(acc, code) -> (acc * {HASH_MULT} + code) % {HASH_MOD}))"
+    )
+    got = {
+        r.doc_id: sorted(set(r.hs))
+        for r in df.selectExpr(
+            "doc_id", f"{token_shingle_hashes_sql(th, k)} AS hs"
+        ).collect()
+    }
+    want = {i: py_token_shingles(t, k) for i, t in rows}
+    assert got == want
+
+    con = duckdb.connect()
+    duck_toks = r"list_filter(str_split_regex(lower(t.text), '\W+'), x -> length(x) >= 2)"
+    duck_th = f"list_transform({duck_toks}, x -> {sql_char_poly_hash('x')})"
+    for i, t in rows:
+        (hs,) = con.execute(
+            f"SELECT {sql_token_shingle_hashes(duck_th, k)} "
+            "FROM (SELECT ? AS text) t", [t]
+        ).fetchone()
+        assert sorted(set(hs)) == want[i], f"duckdb shingles mismatch for {t!r}"
