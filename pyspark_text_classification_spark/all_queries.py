@@ -15,6 +15,7 @@ import pyspark_text_classification_spark.operators.joins  # noqa: F401
 import pyspark_text_classification_spark.operators.multimodal  # noqa: F401
 import pyspark_text_classification_spark.operators.pipeline  # noqa: F401
 import pyspark_text_classification_spark.operators.similarity  # noqa: F401
+import pyspark_text_classification_spark.operators.skew  # noqa: F401
 import pyspark_text_classification_spark.operators.temporal  # noqa: F401
 import pyspark_text_classification_spark.operators.textstats  # noqa: F401
 import pyspark_text_classification_spark.streaming.dedup  # noqa: F401

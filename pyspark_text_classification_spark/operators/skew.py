@@ -128,3 +128,76 @@ def bucketed_join(
         .hint("merge")
         .join(spark.table(right_table).hint("merge"), key)
     )
+
+
+# ---------------------------------------------------------------------------
+# registered query surface: the salted operators held to plain-SQL oracles
+# (salting must be RESULT-INVISIBLE — the oracle is the unsalted query)
+# ---------------------------------------------------------------------------
+
+from pyspark_text_classification_spark.registry import query  # noqa: E402
+from pyspark_text_classification_spark.sources.parquet import load_table  # noqa: E402
+
+
+@query(
+    "q30_salted_skew_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty_fl,
+           CAST(min(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS min_qty,
+           CAST(max(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q30_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a low-cardinality (worst-case
+    skew: 3 values over 600k+ rows) group key. The oracle is the PLAIN
+    aggregate — salting must change the shuffle layout, never the result.
+    Quantities are floored to BIGINT so partial sums are exact integers
+    (algebraic merge is order-independent on both engines)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor("l_quantity").cast("long").alias("qty_int"),
+    )
+    return salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "n_rows": "count(*)",
+            "sum_qty_fl": "sum(qty_int)",
+            "min_qty": "min(qty_int)",
+            "max_qty": "max(qty_int)",
+        },
+    )
+
+
+@query(
+    "q31_salted_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice) AS BIGINT)) AS BIGINT)
+             AS sum_price_fl
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q31_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-dim join (dim replicated x16, fact keys spread over 16
+    reducers) aggregated per market segment. Oracle is the unsalted join:
+    salting is a pure execution-layout change. This is the portable skew
+    lever for when the small side exceeds broadcast size and AQE skew
+    splitting is unavailable."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.floor("o_totalprice").cast("long").alias("price_int")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, cust, key="o_custkey", salt=16)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("price_int").alias("sum_price_fl"),
+    )
