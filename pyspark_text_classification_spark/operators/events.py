@@ -363,3 +363,40 @@ def events_retention_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             for w in RETENTION_WEEKS
         ],
     )
+
+
+@query(
+    "events_sliding_1h_15m",
+    oracle=f"""
+    SELECT ((epoch_ns(ts) // 1000) // 900000000 - k) * 900 AS win_start_s,
+           event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {sql_round_half_up('sum(value)', 4)} AS sum_value
+    FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k)
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregate: 1-hour windows advancing every 15
+    minutes (every event lands in exactly 4 overlapping windows).
+    Spark's native window() plans this as a 4-row Expand + ONE hash
+    aggregate — not 4 scans; the oracle derives the same 4 window starts
+    per event with integer µs arithmetic (both sides truncate the NANOS
+    timestamps to µs first, per the cross-engine timestamp contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window(
+        F.timestamp_micros(F.expr("ts div 1000")), "1 hour", "15 minutes"
+    )
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            round_half_up(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("win_start_s"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
