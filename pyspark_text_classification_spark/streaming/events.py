@@ -99,3 +99,56 @@ query(
     GROUP BY 1, 2
     """,
 )(stream_tumbling_hourly)
+
+
+def stream_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream(events) -> watermark -> SLIDING 1h/15m window x
+    event_type aggregate (each event in 4 overlapping windows — the
+    streaming state holds 4 open windows per key instead of 1), drained
+    with availableNow into a memory sink."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    agg = (
+        src.withColumn("event_ts", ts)
+        .withWatermark("event_ts", "1 hour")
+        .groupBy(F.window("event_ts", "1 hour", "15 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            round_half_up(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start_s"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+    sink_name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name)
+
+
+query(
+    "events_stream_sliding_1h_15m",
+    oracle=f"""
+    SELECT ((epoch_ns(ts) // 1000) // 900000000 - k) * 900 AS win_start_s,
+           event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {sql_round_half_up('sum(value)', 4)} AS sum_value
+    FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k)
+    GROUP BY 1, 2
+    """,
+)(stream_sliding_1h_15m)

@@ -46,7 +46,8 @@ PANDAS_QUERIES = {
 # can't be inspected lazily here; streaming twins share their batch
 # implementation, and the ML fits are covered by their own tests
 EAGER_QUERIES = {
-    "events_stream_tumbling_hourly", "events_stream_sessionize",
+    "events_stream_tumbling_hourly", "events_stream_sliding_1h_15m",
+    "events_stream_sessionize",
     "events_stream_range_join", "ml_infer_stream", "dedup_stream_exact",
     "pipeline_stream_quality_filter",
     "dedup_clusters", "dedup_clusters_twostar", "ml_tfidf_lr_metrics",
