@@ -491,3 +491,49 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "neighbor_id", cos4.alias("cos_sim"), "rank")
     )
     return _finalize(topk, e, ranked)
+
+
+@query(
+    "similarity_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE n AS ({_SQL_NORMED}),
+    p AS ({_SQL_PAIR_COS}),
+    near AS (
+      SELECT vec_id AS a, neighbor_id AS b FROM p
+      WHERE vec_id < neighbor_id AND {sql_round_half_up('cos', 4)} >= 0.45
+    ),
+    edges AS (SELECT a AS src, b AS dst FROM near
+              UNION SELECT b, a FROM near),
+    reach(id, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def similarity_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate CLUSTERS: threshold the pairwise
+    cosine graph (>= 0.45, the similarity_near_dup surface) and take
+    connected components via the two-star algorithm — the semantic-dedup
+    composition (embed -> pair -> cluster -> keep one per cluster) used
+    for near-identical training examples that exact/minhash dedup misses.
+    Oracle: recursive-CTE transitive closure, an independent formulation
+    of the same fixpoint."""
+    from pyspark_text_classification_spark.operators.dedup import (
+        two_star_components,
+    )
+
+    e = with_norms(load_table(spark, sf_dir, "embeddings"))
+    pairs = (
+        pairwise_cosine(e)
+        .filter(F.col("vec_id") < F.col("neighbor_id"))
+        .filter(round_half_up(F.col("cos"), 4) >= 0.45)
+        .select(
+            F.col("vec_id").alias("doc_a"), F.col("neighbor_id").alias("doc_b")
+        )
+        .localCheckpoint(eager=True)  # pin the O(n^2) pair scan ONCE
+    )
+    return two_star_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )

@@ -50,8 +50,8 @@ EAGER_QUERIES = {
     "events_stream_sessionize",
     "events_stream_range_join", "ml_infer_stream", "dedup_stream_exact",
     "pipeline_stream_quality_filter",
-    "dedup_clusters", "dedup_clusters_twostar", "ml_tfidf_lr_metrics",
-    "ml_topk_coefficients",
+    "dedup_clusters", "dedup_clusters_twostar", "similarity_dedup_clusters",
+    "ml_tfidf_lr_metrics", "ml_topk_coefficients",
 }
 
 
