@@ -41,7 +41,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "similarity_cosine_topk",
+    "similarity_near_dup",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "pipeline_clean_corpus",

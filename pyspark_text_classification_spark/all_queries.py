@@ -6,22 +6,25 @@ tests, and bench.py use.
 
 from __future__ import annotations
 
+# Registration order == the order the driver's oracle sweep visits queries.
+# Cheapest-per-query modules first so a budget-limited sweep still covers
+# everything; the O(candidate-pairs) similarity family goes last.
 import pyspark_text_classification_spark.queries  # noqa: F401  (core Q1-Q18)
-import pyspark_text_classification_spark.ml.queries  # noqa: F401
-import pyspark_text_classification_spark.operators.analytics  # noqa: F401
-import pyspark_text_classification_spark.operators.dedup  # noqa: F401
-import pyspark_text_classification_spark.operators.events  # noqa: F401
-import pyspark_text_classification_spark.operators.joins  # noqa: F401
-import pyspark_text_classification_spark.operators.multimodal  # noqa: F401
+import pyspark_text_classification_spark.operators.textstats  # noqa: F401
 import pyspark_text_classification_spark.operators.pipeline  # noqa: F401
-import pyspark_text_classification_spark.operators.similarity  # noqa: F401
+import pyspark_text_classification_spark.operators.multimodal  # noqa: F401
+import pyspark_text_classification_spark.operators.analytics  # noqa: F401
+import pyspark_text_classification_spark.operators.joins  # noqa: F401
 import pyspark_text_classification_spark.operators.skew  # noqa: F401
 import pyspark_text_classification_spark.operators.temporal  # noqa: F401
-import pyspark_text_classification_spark.operators.textstats  # noqa: F401
+import pyspark_text_classification_spark.operators.events  # noqa: F401
+import pyspark_text_classification_spark.ml.queries  # noqa: F401
 import pyspark_text_classification_spark.streaming.dedup  # noqa: F401
 import pyspark_text_classification_spark.streaming.infer  # noqa: F401
 import pyspark_text_classification_spark.streaming.joins  # noqa: F401
 import pyspark_text_classification_spark.streaming.quality  # noqa: F401
 import pyspark_text_classification_spark.streaming.sessionize  # noqa: F401
 import pyspark_text_classification_spark.streaming.events  # noqa: F401
+import pyspark_text_classification_spark.operators.dedup  # noqa: F401
+import pyspark_text_classification_spark.operators.similarity  # noqa: F401
 from pyspark_text_classification_spark.registry import ORACLES, QUERIES  # noqa: F401

@@ -117,10 +117,22 @@ def q26_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(sketch) bytes per group instead of O(rows). Accuracy vs the exact
     queries is asserted in tests (rel. error < 5%)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    sketched = li.groupBy("l_returnflag").agg(
         F.approx_percentile(
             "l_extendedprice", F.lit(list(PCTS)), F.lit(10_000)
         ).alias("approx_pcts"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.count("*").alias("n"),
+    )
+    # Flattened to scalar columns (p25..p95): array-typed outputs are not
+    # canonicalizable by the driver's rows-only comparator (pandas cannot
+    # hash list cells), and scalars are what a report sink wants anyway.
+    return sketched.select(
+        "l_returnflag",
+        *[
+            F.col("approx_pcts")[i].alias(f"ap{int(p * 100)}")
+            for i, p in enumerate(PCTS)
+        ],
+        "approx_parts",
+        "n",
     )

@@ -1,22 +1,33 @@
 """Similarity search over embedding columns (array<float>).
 
 Extension surface (SURVEY.md §7.2 layer 7 / BASELINE.json north star):
-brute-force cosine top-k as the exact baseline, a sign-random-projection
-LSH bucketing as the scale path, and a cosine near-duplicate threshold scan.
+brute-force cosine top-k as the exact ground-truth baseline, sign-random-
+projection LSH bucketing as the scale path, cosine near-duplicate pairs and
+clusters driven by the LSH candidates, and an IVF coarse-quantize index.
 
-Float determinism strategy: all arithmetic is double, and every reduction
-is a SEQUENTIAL left fold (Spark ``aggregate``/``zip_with``; DuckDB
+Float determinism strategy: every exported cosine is a double computed by a
+SEQUENTIAL left fold (Spark ``aggregate``/``zip_with``; DuckDB
 ``list_reduce``/``list_transform``) so both engines execute the identical
-IEEE op sequence — the exported cosines are bit-equal before rounding, and
-ranking ties are broken by neighbor id. No Python UDF anywhere: the folds
-run inside whole-stage codegen.
+IEEE op sequence — bit-equal before rounding, ties broken by neighbor id.
+
+LSH determinism strategy: bucket signs come from INTEGER dot products —
+vector components floor-quantized to 2^20 (exact in double: a float times a
+power of two only shifts the exponent) against LCG-derived integer
+hyperplane components. Integer sums are order-independent, so Spark may
+compute them as hash-aggregate partial sums (whole-stage codegen over an
+exploded (vec_id, dim, q) form — no interpreted higher-order folds on the
+hot path) while DuckDB folds sequentially, and the buckets still match
+bit-for-bit. Quantization merely perturbs each hyperplane by <2^-20 — the
+Charikar sign-LSH guarantees are unaffected.
 
 Scale notes (100 TB): brute-force is O(n^2) pairs and exists as ground
-truth + small-n fallback; the LSH path buckets vectors by 8 hyperplane
-signs (256 buckets) so the pair join is bucket-local (equi-join on the
-bucket key, AQE handles skewed buckets). For 1000-executor scale, raise
-the hyperplane count and add multi-probe (flip one sign) to recover recall
-— both are config knobs, not new plumbing.
+truth + small-n recall oracle (pytest); everything else is bucket-local.
+The candidate join is an equi-join on (table, bucket) — AQE handles skewed
+buckets — and near-dup pair generation + clustering consume those
+candidates, never a cross join. For 1000-executor scale, raise
+NUM_HYPERPLANES (more buckets -> smaller buckets) and NUM_TABLES or add
+multi-probe (flip one sign) to recover recall — config knobs, not new
+plumbing.
 
 Algorithms follow the published formulations: sign-random-projection LSH
 for cosine (Charikar, STOC 2002; multi-table OR-amplification per
@@ -39,17 +50,28 @@ from pyspark_text_classification_spark.functions.text import (
 from pyspark_text_classification_spark.registry import query
 from pyspark_text_classification_spark.sources.parquet import fan_out, load_table
 
-# LCG-style deterministic pseudo-random hyperplane component in [-0.5, 0.5):
-#   u(g, d) = ((1103515245 * (g * 64 + d) + 12345) mod 2^31) / 2^31 - 0.5
-# where g = table * NUM_HYPERPLANES + j is the global plane index.
-# Multi-table OR-amplification: a pair is a candidate if it shares a bucket
-# in ANY of the NUM_TABLES independent tables — recall 1-(1-p^b)^L instead
-# of the single-table p^b, the standard trade for near-orthogonal vectors.
+# LCG-style deterministic pseudo-random integer hyperplane component:
+#   h(g, d) = ((1103515245 * (g * 64 + d) + 12345) mod 2^31) - 2^30
+# centered in [-2^30, 2^30), where g = table * NUM_HYPERPLANES + j is the
+# global plane index and d the dimension. Multi-table OR-amplification: a
+# pair is a candidate if it shares a bucket in ANY of the NUM_TABLES
+# independent tables — recall 1-(1-p^b)^L instead of the single-table p^b,
+# the standard trade for near-orthogonal vectors.
 NUM_HYPERPLANES = 6   # bits per table -> 64 buckets
 NUM_TABLES = 8
+NUM_PLANES = NUM_TABLES * NUM_HYPERPLANES  # 48 global planes
 _LCG_A = 1_103_515_245
 _LCG_C = 12_345
 _LCG_M = 2_147_483_648  # 2^31
+_LCG_HALF = 1_073_741_824  # 2^30, centering offset
+# Component quantizer: q = floor(v * 2^20). v is a float widened to double,
+# and multiplying by a power of two is exact, so floor is identical in both
+# engines. |q| <= 2^21, |h| < 2^30 => |q*h| < 2^51; 64-dim sums stay < 2^57,
+# far inside int64.
+QUANT_SCALE = 1 << 20
+
+NEAR_DUP_THRESHOLD = 0.45
+TOP_K = 5
 
 
 def _as_double_vec(col: str = "embedding") -> Column:
@@ -57,7 +79,7 @@ def _as_double_vec(col: str = "embedding") -> Column:
 
 
 # When True (production / the driver's sequential verify session), finalize
-# eagerly: checkpoint the small result and release the O(n^2) working caches.
+# eagerly: checkpoint the small result and release the working caches.
 # Plan-contract tests flip this off to inspect the lazy plan.
 EAGER_RELEASE = True
 
@@ -66,9 +88,9 @@ def _finalize(result: DataFrame, *caches: DataFrame) -> DataFrame:
     """Materialize the (small, O(n·k)-row) result and release working caches.
 
     The driver's verify runs every query sequentially in ONE session; a
-    persisted O(n^2) pair matrix left behind by a finished query crowds
-    the storage pool for everything after it. Eagerly checkpointing the
-    final rows cuts their lineage from the caches, so unpersisting is safe."""
+    persisted pair matrix left behind by a finished query crowds the
+    storage pool for everything after it. Eagerly checkpointing the final
+    rows cuts their lineage from the caches, so unpersisting is safe."""
     if not EAGER_RELEASE:
         return result
     out = result.localCheckpoint(eager=True)
@@ -99,7 +121,11 @@ def with_norms(embeddings: DataFrame) -> DataFrame:
 
 
 def pairwise_cosine(e: DataFrame) -> DataFrame:
-    """(vec_id, neighbor_id, cos): all ordered pairs, exact double cosine."""
+    """(vec_id, neighbor_id, cos): all ordered pairs, exact double cosine.
+
+    O(n^2) BRUTE FORCE — the ground-truth baseline for recall tests and a
+    small-n fallback, never the scale path (the registered near-dup/cluster
+    queries consume LSH candidates instead)."""
     a, b = e.alias("a"), e.alias("b")
     dot = _fold_sum(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y))
     return (
@@ -123,21 +149,24 @@ _SQL_NORMED = """
     FROM embeddings
 """
 
-_SQL_PAIR_COS = """
+# Fold cost is the oracle's dominant term, and cos(a,b) = cos(b,a): fold
+# only the n(n-1)/2 unordered pairs (h), mirror to the ordered form (p).
+_SQL_HALF_COS = """
     SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
            list_reduce(
              list_prepend(0.0, list_transform(
                range(1, length(a.v) + 1), i -> a.v[i] * b.v[i])),
              (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos
-    FROM n a JOIN n b ON a.vec_id != b.vec_id
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
 """
 
+_SQL_MIRROR = """
+    SELECT vec_id, neighbor_id, cos FROM h
+    UNION ALL
+    SELECT neighbor_id AS vec_id, vec_id AS neighbor_id, cos FROM h
+"""
 
-@query(
-    "similarity_cosine_topk",
-    oracle=f"""
-    WITH n AS ({_SQL_NORMED}),
-    p AS ({_SQL_PAIR_COS})
+_SQL_TOPK_TAIL = f"""
     SELECT vec_id, neighbor_id, {sql_round_half_up('cos', 4)} AS cos_sim,
            CAST(rnk AS INT) AS rank
     FROM (
@@ -147,16 +176,27 @@ _SQL_PAIR_COS = """
                ORDER BY {sql_round_half_up('cos', 4)} DESC, neighbor_id
              ) AS rnk
       FROM p
-    ) WHERE rnk <= 5
+    ) WHERE rnk <= {TOP_K}
+"""
+
+
+@query(
+    "similarity_cosine_topk",
+    oracle=f"""
+    WITH n AS ({_SQL_NORMED}),
+    h AS ({_SQL_HALF_COS}),
+    p AS ({_SQL_MIRROR})
+    {_SQL_TOPK_TAIL}
     """,
 )
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 neighbors for every vector.
 
-    cos(a,b) = cos(b,a), so the fold — the dominant cost — runs only for
-    the n(n-1)/2 unordered pairs; the persisted half-matrix (3 scalars per
-    pair, no vectors) is then mirrored to the ordered form the per-vector
-    window needs."""
+    The declared ground truth (ANN recall is measured against it in
+    tests) and the small-n fallback. cos(a,b) = cos(b,a), so the fold —
+    the dominant cost — runs only for the n(n-1)/2 unordered pairs; the
+    persisted half-matrix (3 scalars per pair, no vectors) is then
+    mirrored to the ordered form the per-vector window needs."""
     e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
     a, b = e.alias("a"), e.alias("b")
     dot = _fold_sum(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y))
@@ -170,146 +210,194 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist(StorageLevel.DISK_ONLY)  # O(n^2) rows: keep off-heap
     )
-    pairs = half.unionByName(
+    topk = _rank_topk(_mirror(half))
+    return _finalize(topk, e, half)
+
+
+def _mirror(half: DataFrame) -> DataFrame:
+    """Unordered (vec_id < neighbor_id) pair cosines -> ordered pairs."""
+    return half.unionByName(
         half.select(
             F.col("neighbor_id").alias("vec_id"),
             F.col("vec_id").alias("neighbor_id"),
             "cos",
         )
     )
+
+
+def _rank_topk(pairs: DataFrame, k: int = TOP_K) -> DataFrame:
     cos4 = round_half_up(F.col("cos"), 4)
     w = Window.partitionBy("vec_id").orderBy(cos4.desc(), "neighbor_id")
-    topk = (
+    return (
         pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
+        .filter(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", cos4.alias("cos_sim"), "rank")
     )
-    return _finalize(topk, e, half)
 
 
-@query(
-    "similarity_near_dup",
-    oracle=f"""
-    WITH n AS ({_SQL_NORMED}),
-    p AS ({_SQL_PAIR_COS})
-    SELECT vec_id, neighbor_id, {sql_round_half_up('cos', 4)} AS cos_sim
-    FROM p
-    WHERE vec_id < neighbor_id AND {sql_round_half_up('cos', 4)} >= 0.45
-    """,
-)
-def similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine high-similarity pairs (cos >= 0.45, unordered).
+# ---------------------------------------------------------------------------
+# Sign-LSH over quantized-integer dots
+# ---------------------------------------------------------------------------
 
-    The synthetic embeddings carry no planted exact near-dups (max pair
-    cosine ~0.6), so the threshold sits where real pairs exist at every
-    scale factor — the operator itself takes any threshold."""
-    e = with_norms(load_table(spark, sf_dir, "embeddings"))
-    pairs = pairwise_cosine(e)
-    cos4 = round_half_up(F.col("cos"), 4)
-    return (
-        pairs.filter(F.col("vec_id") < F.col("neighbor_id"))
-        .select("vec_id", "neighbor_id", cos4.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.45)
+
+def _h_plane(g: int) -> Column:
+    """Integer hyperplane component h(g, d) for the exploded dim column d."""
+    seed = (F.lit(g * 64).cast("long") + F.col("d")) * F.lit(_LCG_A) + F.lit(
+        _LCG_C
+    )
+    return seed % F.lit(_LCG_M) - F.lit(_LCG_HALF)
+
+
+def lsh_plane_dots(e: DataFrame) -> DataFrame:
+    """(vec_id, h0..h47): integer dots against all hyperplanes at once.
+
+    Explode each vector to (vec_id, d, q) rows and compute the 48 dots as
+    codegen'd long ``sum()`` aggregates — one hash aggregate whose partial
+    sums complete map-side (each vector's rows never leave their
+    partition), so the shuffle carries 48 longs per vector. This replaces
+    48 interpreted higher-order folds per vector (~1-2 µs/element) with
+    whole-stage-codegen multiply-adds — the same reformulation that bought
+    30% on MinHash signatures and 2.2x on SimHash (operators/dedup.py)."""
+    q = F.transform("v", lambda x: F.floor(x * F.lit(float(QUANT_SCALE))))
+    exploded = e.select("vec_id", F.posexplode(q).alias("d", "q"))
+    return exploded.groupBy("vec_id").agg(
+        *[
+            F.sum(F.col("q") * _h_plane(g)).alias(f"h{g}")
+            for g in range(NUM_PLANES)
+        ]
     )
 
 
-def _hyperplane_dot(v: Column, g: int) -> Column:
-    """dot(v, hyperplane_g) with LCG-derived components, sequential fold;
-    g is the global plane index (table * NUM_HYPERPLANES + j).
-
-    (A precomputed literal-array plane measured 3x SLOWER here: Spark
-    evaluates the 512-child CreateArray per row rather than folding it to
-    a constant, so the inline LCG arithmetic wins.)"""
-    def comp(d: Column) -> Column:
-        seed = (F.lit(g * 64).cast("long") + d) * F.lit(_LCG_A) + F.lit(_LCG_C)
-        return (seed % _LCG_M).cast("double") / F.lit(float(_LCG_M)) - F.lit(0.5)
-
-    prods = F.transform(
-        F.sequence(F.lit(0), F.size(v) - 1), lambda d: F.get(v, d) * comp(d)
-    )
-    return _fold_sum(prods)
-
-
-def lsh_bucket(v: Column, table: int = 0) -> Column:
-    """64-bucket sign-LSH key for one table: bit j set iff dot(v, hp) > 0."""
-    bits = [
-        F.when(_hyperplane_dot(v, table * NUM_HYPERPLANES + j) > 0, F.lit(1 << j))
-        .otherwise(0)
-        for j in range(NUM_HYPERPLANES)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
+def _bucket_of_table(t: int) -> Column:
+    """64-bucket sign key for table t: bit j set iff dot(v, plane) > 0."""
+    out: Column = F.lit(0)
+    for j in range(NUM_HYPERPLANES):
+        out = out + F.when(
+            F.col(f"h{t * NUM_HYPERPLANES + j}") > 0, F.lit(1 << j)
+        ).otherwise(0)
     return out.cast("int")
 
 
-def _sql_lsh_bucket(v_expr: str, table: int = 0) -> str:
-    terms = []
-    for j in range(NUM_HYPERPLANES):
-        g = table * NUM_HYPERPLANES + j
-        dot = (
-            f"list_reduce(list_prepend(0.0, list_transform("
-            f"range(1, length({v_expr}) + 1), "
-            f"d -> {v_expr}[d] * ("
-            f"CAST((({g} * 64 + (d - 1)) * {_LCG_A} + {_LCG_C}) % {_LCG_M} AS DOUBLE)"
-            f" / {float(_LCG_M)} - 0.5))), (acc, x) -> acc + x)"
+def lsh_bucket_table(e: DataFrame) -> DataFrame:
+    """(vec_id, tbl, bucket): one row per vector per LSH table."""
+    dots = lsh_plane_dots(e)
+    buckets = F.array(*[_bucket_of_table(t) for t in range(NUM_TABLES)])
+    return dots.select("vec_id", F.posexplode(buckets).alias("tbl", "bucket"))
+
+
+def lsh_candidate_pairs(bk: DataFrame) -> DataFrame:
+    """Unordered distinct candidate pairs: share a bucket in ANY table."""
+    a, b = bk.alias("a"), bk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END")
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+
+
+def candidate_cosines(e: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact sequential-fold cosine for each unordered candidate pair."""
+    x = e.select(
+        F.col("vec_id"), F.col("v").alias("xv"), F.col("nrm").alias("xn")
+    )
+    y = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("yv"),
+        F.col("nrm").alias("yn"),
+    )
+    dot = _fold_sum(F.zip_with(F.col("xv"), F.col("yv"), lambda p, q: p * q))
+    return (
+        cand.join(x, "vec_id")
+        .join(y, "neighbor_id")
+        .select(
+            "vec_id",
+            "neighbor_id",
+            (dot / (F.col("xn") * F.col("yn"))).alias("cos"),
+        )
+    )
+
+
+def _sql_int_dot(v_expr: str, g: int) -> str:
+    """DuckDB twin of one integer plane dot (order-independent int64 sum)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+        f"range(1, length({v_expr}) + 1), "
+        f"d -> CAST(floor({v_expr}[d] * {float(QUANT_SCALE)}) AS BIGINT)"
+        f" * (((({g} * 64 + (d - 1)) * {_LCG_A} + {_LCG_C}) % {_LCG_M})"
+        f" - {_LCG_HALF}))), (acc, x) -> acc + x)"
+    )
+
+
+def _sql_int_bucket(v_expr: str, t: int) -> str:
+    terms = [
+        f"CASE WHEN {_sql_int_dot(v_expr, t * NUM_HYPERPLANES + j)} > 0"
+        f" THEN {1 << j} ELSE 0 END"
+        for j in range(NUM_HYPERPLANES)
+    ]
     return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+_SQL_BK = (
+    f"SELECT vec_id, unnest(range(0, {NUM_TABLES})) AS tbl, unnest(["
+    + ", ".join(_sql_int_bucket("v", t) for t in range(NUM_TABLES))
+    + "]) AS bucket FROM n"
+)
+
+_SQL_CAND = """
+    SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+    FROM bk a JOIN bk b
+      ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+"""
+
+_SQL_CAND_COS = """
+    SELECT c.vec_id, c.neighbor_id,
+           list_reduce(
+             list_prepend(0.0, list_transform(
+               range(1, length(x.v) + 1), i -> x.v[i] * y.v[i])),
+             (acc, q) -> acc + q) / (x.nrm * y.nrm) AS cos
+    FROM cand c
+    JOIN n x ON x.vec_id = c.vec_id
+    JOIN n y ON y.vec_id = c.neighbor_id
+"""
+
+_SQL_LSH_PRELUDE = f"""
+    n AS ({_SQL_NORMED}),
+    bk AS ({_SQL_BK}),
+    cand AS ({_SQL_CAND}),
+    h AS ({_SQL_CAND_COS})
+"""
 
 
 @query(
     "similarity_lsh_buckets",
     oracle=f"""
     WITH n AS ({_SQL_NORMED})
-    SELECT vec_id, {_sql_lsh_bucket('v')} AS bucket FROM n
+    SELECT vec_id, {_sql_int_bucket('v', 0)} AS bucket FROM n
     """,
 )
 def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic sign-LSH bucket assignment (the ANN partition key)."""
+    """Deterministic sign-LSH bucket assignment (the ANN partition key);
+    table 0 of the multi-table index."""
     e = with_norms(load_table(spark, sf_dir, "embeddings"))
-    return e.select("vec_id", lsh_bucket(F.col("v")).alias("bucket"))
-
-
-_SQL_BUCKET_LIST = "[" + ", ".join(
-    _sql_lsh_bucket("v", t) for t in range(NUM_TABLES)
-) + "]"
+    return lsh_plane_dots(e).select(
+        "vec_id", _bucket_of_table(0).alias("bucket")
+    )
 
 
 @query(
     "similarity_ann_lsh",
     oracle=f"""
-    WITH n AS ({_SQL_NORMED}),
-    bk AS (
-      SELECT vec_id, unnest(range(0, {NUM_TABLES})) AS tbl,
-             unnest({_SQL_BUCKET_LIST}) AS bucket
-      FROM n
-    ),
-    cand AS (
-      SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
-      FROM bk a JOIN bk b
-        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id != b.vec_id
-    ),
-    p AS (
-      SELECT c.vec_id, c.neighbor_id,
-             list_reduce(
-               list_prepend(0.0, list_transform(
-                 range(1, length(x.v) + 1), i -> x.v[i] * y.v[i])),
-               (acc, q) -> acc + q) / (x.nrm * y.nrm) AS cos
-      FROM cand c
-      JOIN n x ON x.vec_id = c.vec_id
-      JOIN n y ON y.vec_id = c.neighbor_id
-    )
-    SELECT vec_id, neighbor_id, {sql_round_half_up('cos', 4)} AS cos_sim,
-           CAST(rnk AS INT) AS rank
-    FROM (
-      SELECT vec_id, neighbor_id, cos,
-             row_number() OVER (
-               PARTITION BY vec_id
-               ORDER BY {sql_round_half_up('cos', 4)} DESC, neighbor_id
-             ) AS rnk
-      FROM p
-    ) WHERE rnk <= 5
+    WITH {_SQL_LSH_PRELUDE},
+    p AS ({_SQL_MIRROR})
+    {_SQL_TOPK_TAIL}
     """,
 )
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,50 +409,99 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n^2) cross join; recall vs the brute-force baseline is asserted in
     tests. Raising NUM_TABLES buys recall linearly in join cost without
     new plumbing."""
-    # e feeds three subtrees (bucket table + both sides of the cosine join)
-    # and bk feeds both sides of the candidate self-join; without persist
-    # Spark recomputes the 48 hyperplane folds per vector once PER subtree.
+    # e feeds the plane dots + both sides of the cosine join and bk feeds
+    # both sides of the candidate self-join; persist so neither subtree
+    # recomputes (the checkpointed result releases both).
     e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
-    buckets = F.array(*[lsh_bucket(F.col("v"), t) for t in range(NUM_TABLES)])
-    bk = e.select("vec_id", F.posexplode(buckets).alias("tbl", "bucket")).persist()
-    a, b = bk.alias("a"), bk.alias("b")
-    cand = (
-        a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("a.vec_id").alias("vec_id"),
-                F.col("b.vec_id").alias("neighbor_id"))
-        .distinct()
+    bk = lsh_bucket_table(e).persist()
+    half = candidate_cosines(e, lsh_candidate_pairs(bk)).persist(
+        StorageLevel.DISK_ONLY
     )
-    # candidate sharing is symmetric: each unordered pair gets ONE cosine
-    # fold below, mirrored afterwards — halves distinct() input and dots.
-    x = e.select(F.col("vec_id").alias("vec_id"), F.col("v").alias("xv"),
-                 F.col("nrm").alias("xn"))
-    y = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("yv"),
-                 F.col("nrm").alias("yn"))
-    dot = _fold_sum(F.zip_with(F.col("xv"), F.col("yv"), lambda p, q: p * q))
-    half = (
-        cand.join(x, "vec_id")
-        .join(y, "neighbor_id")
-        .select("vec_id", "neighbor_id",
-                (dot / (F.col("xn") * F.col("yn"))).alias("cos"))
-        .persist(StorageLevel.DISK_ONLY)  # O(n^2) rows: keep off-heap
+    topk = _rank_topk(_mirror(half))
+    return _finalize(topk, e, bk, half)
+
+
+@query(
+    "similarity_near_dup",
+    oracle=f"""
+    WITH {_SQL_LSH_PRELUDE}
+    SELECT vec_id, neighbor_id, {sql_round_half_up('cos', 4)} AS cos_sim
+    FROM h
+    WHERE {sql_round_half_up('cos', 4)} >= {NEAR_DUP_THRESHOLD}
+    """,
+)
+def similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine high-similarity pairs (cos >= 0.45, unordered) over
+    LSH candidates — the linear-cost scale path; the brute-force twin
+    (``pairwise_cosine``) stays a pytest-only recall oracle.
+
+    At a production near-dup threshold (cos >= 0.9) the 8-table index
+    surfaces ~98% of true pairs; the synthetic embeddings carry no planted
+    near-dups (max pair cosine ~0.6), so the registered threshold sits
+    where real pairs exist at every scale factor and recall (~0.5 at
+    cos 0.45-0.6, near-orthogonal regime) is characterized in tests."""
+    e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
+    bk = lsh_bucket_table(e).persist()
+    cos4 = round_half_up(F.col("cos"), 4)
+    near = (
+        candidate_cosines(e, lsh_candidate_pairs(bk))
+        .select("vec_id", "neighbor_id", cos4.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= NEAR_DUP_THRESHOLD)
     )
-    pairs = half.unionByName(
-        half.select(
-            F.col("neighbor_id").alias("vec_id"),
-            F.col("vec_id").alias("neighbor_id"),
-            "cos",
+    return _finalize(near, e, bk)
+
+
+def lsh_near_dup_pairs(e: DataFrame) -> DataFrame:
+    """(doc_a, doc_b): LSH-candidate pairs with cos >= threshold — the
+    lazily-plannable edge generator shared by the cluster query (plan
+    contract: bucket equi-join, no cartesian product)."""
+    bk = lsh_bucket_table(e)
+    return (
+        candidate_cosines(e, lsh_candidate_pairs(bk))
+        .filter(round_half_up(F.col("cos"), 4) >= NEAR_DUP_THRESHOLD)
+        .select(
+            F.col("vec_id").alias("doc_a"), F.col("neighbor_id").alias("doc_b")
         )
     )
-    cos4 = round_half_up(F.col("cos"), 4)
-    w = Window.partitionBy("vec_id").orderBy(cos4.desc(), "neighbor_id")
-    topk = (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("vec_id", "neighbor_id", cos4.alias("cos_sim"), "rank")
+
+
+@query(
+    "similarity_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_LSH_PRELUDE},
+    near AS (
+      SELECT vec_id AS a, neighbor_id AS b FROM h
+      WHERE {sql_round_half_up('cos', 4)} >= {NEAR_DUP_THRESHOLD}
+    ),
+    edges AS (SELECT a AS src, b AS dst FROM near
+              UNION SELECT b, a FROM near),
+    reach(id, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
     )
-    return _finalize(topk, e, bk, half)
+    SELECT id AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def similarity_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate CLUSTERS: the LSH-candidate cosine
+    graph (>= 0.45, the similarity_near_dup surface) closed into connected
+    components via the two-star algorithm — the semantic-dedup composition
+    (embed -> bucket -> pair -> cluster -> keep one per cluster) used for
+    near-identical training examples that exact/minhash dedup misses.
+    Pair generation is the LSH bucket equi-join, never a cross join.
+    Oracle: recursive-CTE transitive closure over the same candidate
+    edges, an independent formulation of the same fixpoint."""
+    from pyspark_text_classification_spark.operators.dedup import (
+        two_star_components,
+    )
+
+    e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
+    pairs = lsh_near_dup_pairs(e).localCheckpoint(eager=True)  # pin edges ONCE
+    e.unpersist()
+    return two_star_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -406,23 +543,14 @@ _SQL_IVF_DOT = (
       FROM probes p JOIN members m
         ON p.cent_id = m.cent_id AND p.vec_id != m.vec_id
     ),
-    pairs AS (
+    p AS (
       SELECT c.vec_id, c.neighbor_id,
              {_SQL_IVF_DOT.format(a='x.v', b='y.v')} / (x.nrm * y.nrm) AS cos
       FROM cand c
       JOIN n x ON x.vec_id = c.vec_id
       JOIN n y ON y.vec_id = c.neighbor_id
     )
-    SELECT vec_id, neighbor_id, {sql_round_half_up('cos', 4)} AS cos_sim,
-           CAST(rnk AS INT) AS rank
-    FROM (
-      SELECT vec_id, neighbor_id, cos,
-             row_number() OVER (
-               PARTITION BY vec_id
-               ORDER BY {sql_round_half_up('cos', 4)} DESC, neighbor_id
-             ) AS rnk
-      FROM pairs
-    ) WHERE rnk <= 5
+    {_SQL_TOPK_TAIL}
     """,
 )
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,73 +595,6 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "neighbor_id")
         .distinct()
     )
-    x = e.select(F.col("vec_id"), F.col("v").alias("xv"), F.col("nrm").alias("xn"))
-    y = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("yv"),
-        F.col("nrm").alias("yn"),
-    )
-    dot_xy = _fold_sum(F.zip_with(F.col("xv"), F.col("yv"), lambda p, q: p * q))
-    pairs = (
-        cand.join(x, "vec_id")
-        .join(y, "neighbor_id")
-        .select(
-            "vec_id",
-            "neighbor_id",
-            (dot_xy / (F.col("xn") * F.col("yn"))).alias("cos"),
-        )
-    )
-    cos4 = round_half_up(F.col("cos"), 4)
-    w = Window.partitionBy("vec_id").orderBy(cos4.desc(), "neighbor_id")
-    topk = (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("vec_id", "neighbor_id", cos4.alias("cos_sim"), "rank")
-    )
+    pairs = candidate_cosines(e, cand)
+    topk = _rank_topk(pairs)
     return _finalize(topk, e, ranked)
-
-
-@query(
-    "similarity_dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE n AS ({_SQL_NORMED}),
-    p AS ({_SQL_PAIR_COS}),
-    near AS (
-      SELECT vec_id AS a, neighbor_id AS b FROM p
-      WHERE vec_id < neighbor_id AND {sql_round_half_up('cos', 4)} >= 0.45
-    ),
-    edges AS (SELECT a AS src, b AS dst FROM near
-              UNION SELECT b, a FROM near),
-    reach(id, lab) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
-    )
-    SELECT id AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY id
-    """,
-)
-def similarity_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate CLUSTERS: threshold the pairwise
-    cosine graph (>= 0.45, the similarity_near_dup surface) and take
-    connected components via the two-star algorithm — the semantic-dedup
-    composition (embed -> pair -> cluster -> keep one per cluster) used
-    for near-identical training examples that exact/minhash dedup misses.
-    Oracle: recursive-CTE transitive closure, an independent formulation
-    of the same fixpoint."""
-    from pyspark_text_classification_spark.operators.dedup import (
-        two_star_components,
-    )
-
-    e = with_norms(load_table(spark, sf_dir, "embeddings"))
-    pairs = (
-        pairwise_cosine(e)
-        .filter(F.col("vec_id") < F.col("neighbor_id"))
-        .filter(round_half_up(F.col("cos"), 4) >= 0.45)
-        .select(
-            F.col("vec_id").alias("doc_a"), F.col("neighbor_id").alias("doc_b")
-        )
-        .localCheckpoint(eager=True)  # pin the O(n^2) pair scan ONCE
-    )
-    return two_star_components(pairs).select(
-        F.col("doc_id").alias("vec_id"), "cluster_id"
-    )

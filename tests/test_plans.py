@@ -68,6 +68,26 @@ def test_relational_core_has_no_python_workers(spark, sf_dir, monkeypatch):
         assert not nodes, f"{name} drops into Python: {nodes}"
 
 
+def test_near_dup_family_has_no_cartesian_product(spark, sf_dir, monkeypatch):
+    """Near-dup pair generation must be the LSH bucket equi-join, never an
+    all-pairs cross join — the O(n^2) brute force (pairwise_cosine) is a
+    test-only recall oracle. Covers similarity_near_dup directly and
+    similarity_dedup_clusters via its shared edge generator."""
+    from pyspark_text_classification_spark.operators import similarity
+    from pyspark_text_classification_spark.sources.parquet import load_table
+
+    monkeypatch.setattr(similarity, "EAGER_RELEASE", False)
+    e = similarity.with_norms(load_table(spark, sf_dir, "embeddings"))
+    for df in (
+        QUERIES["similarity_near_dup"](spark, sf_dir),
+        QUERIES["similarity_ann_lsh"](spark, sf_dir),
+        similarity.lsh_near_dup_pairs(e),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_pmi_broadcasts_unigram_tables(spark, sf_dir):
     """Collocation scoring must broadcast the vocabulary-bounded unigram
     counts and scalar totals — never shuffle the bigram stream for them."""
