@@ -60,9 +60,14 @@ def sql_string_list(words: list[str]) -> str:
     return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
 
 
-def tokenize(col: Column | str, min_token_length: int = 2) -> Column:
+def tokenize(col: Column | str, min_token_length: int = 1) -> Column:
     """RegexTokenizer(pattern='\\W', gaps=True, toLowercase=True,
     minTokenLength=n) as a native expression.
+
+    Default minTokenLength=1 matches MLlib's RegexTokenizer (the sst2/qqp
+    reference semantics) and ml/featurize.build_regex_tokenizer — the two
+    layers tokenize identically by default. The dedup/textstats/core-query
+    surfaces pass 2 explicitly (their oracle twins encode it).
 
     DuckDB twin: list_filter(str_split_regex(lower(c), '\\W+'),
                              t -> length(t) >= n)

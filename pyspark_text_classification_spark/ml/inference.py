@@ -60,13 +60,24 @@ class DeterministicStubModel:
         return labels, confs
 
 
-_MODEL_CACHE: dict[int, TextClassifier] = {}
+_MODEL_CACHE: dict[tuple[str, str], TextClassifier] = {}
 
 
 def _get_model(factory: Callable[[], TextClassifier]) -> TextClassifier:
     """Per-worker lazy singleton: one model load per Python worker process,
-    not per task (the reference reloads per task deserialization)."""
-    key = id(factory)
+    not per task (the reference reloads per task deserialization).
+
+    Keyed by the factory's (module, qualname), NOT ``id(factory)``: every
+    task deserializes its own copy of a closure-captured factory, so an
+    identity key would miss on every task and silently reload per task —
+    exactly the reference defect this module exists to fix. Classes and
+    module-level functions pickle by reference and name-key identically.
+    Two DIFFERENT factories must therefore be distinct named functions,
+    not one closure instantiated with different captured state."""
+    key = (
+        getattr(factory, "__module__", "?"),
+        getattr(factory, "__qualname__", repr(factory)),
+    )
     model = _MODEL_CACHE.get(key)
     if model is None:
         model = factory()

@@ -139,7 +139,7 @@ def ml_hash_tf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_text_classification_spark.functions.text import tokenize
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    toks = docs.select("doc_id", F.explode(tokenize("text", 2)).alias("token"))
     return toks.groupBy(
         "doc_id",
         (char_poly_hash("token") % HASH_TF_BUCKETS).cast("int").alias("bucket"),
@@ -173,7 +173,7 @@ def ml_tfidf_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    toks = docs.select("doc_id", F.explode(tokenize("text", 2)).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     dfreq = (
         toks.groupBy("token")

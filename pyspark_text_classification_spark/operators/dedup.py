@@ -360,7 +360,7 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     sums, so order-independent and oracle-identical). Bit reassembly is a
     pure projection.
     """
-    toks = fan_out(docs).select("doc_id", F.explode(tokenize("text")).alias("token"))
+    toks = fan_out(docs).select("doc_id", F.explode(tokenize("text", 2)).alias("token"))
     tok_h = (
         toks.groupBy("doc_id", "token")
         .agg(F.count("*").alias("cnt"))

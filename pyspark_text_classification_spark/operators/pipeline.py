@@ -55,7 +55,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     it absorbed. The quality predicate runs BEFORE the dedup shuffle —
     filtered rows never enter the exchange."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    toks = tokenize("text")
+    toks = tokenize("text", 2)
     q = docs.select(
         "doc_id", "text", F.size(toks).cast("long").alias("n_tokens")
     ).filter(F.col("n_tokens") >= MIN_TOKENS)

@@ -30,11 +30,24 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _content_salt(df: DataFrame, salt: int, salt_cols: Sequence[str] | None) -> Column:
+    """pmod(hash(<data columns>), salt): retry-deterministic row salt.
+
+    Derived from row CONTENT, never row position — a salt built on
+    ``monotonically_increasing_id`` changes when a stage retry recomputes
+    rows after a round-robin repartition, so two attempts of the same task
+    could salt the same row differently. Content hashing is stable across
+    retries; identical rows sharing a salt only costs a little spread."""
+    cols = list(salt_cols) if salt_cols else df.columns
+    return F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(salt))
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: Sequence[str],
     aggs: dict[str, str],
     salt: int = 16,
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation.
 
@@ -43,9 +56,7 @@ def salted_aggregate(
     count which merges with sum).
     """
     merge_fn = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
-    salt_col = F.pmod(
-        F.hash(F.monotonically_increasing_id()), F.lit(salt)
-    ).alias("__salt")
+    salt_col = _content_salt(df, salt, salt_cols).alias("__salt")
     partial = df.withColumn("__salt", salt_col).groupBy(*keys, "__salt")
     partial_aggs, final_aggs = [], []
     for out, spec in aggs.items():
@@ -66,23 +77,34 @@ def salted_aggregate(
     )
 
 
+_SALT_SAFE_JOINS = {"inner", "left", "leftouter", "left_outer", "left_semi",
+                    "leftsemi", "semi"}
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
     key: str,
     salt: int = 16,
     how: str = "inner",
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Equi-join with the big side's hot keys spread over ``salt`` reducers.
 
     The small side is replicated ``salt`` times (explode over the salt
     domain — cost: |small| x salt rows through the shuffle), the big side
-    gets a random-but-deterministic salt from its row identity, and the
-    join key becomes (key, salt). Result equals ``big.join(small, key)``.
+    gets a content-derived deterministic salt, and the join key becomes
+    (key, salt). Result equals ``big.join(small, key, how)`` for the
+    big-side-preserving joins only — right/full outer would emit each
+    UNMATCHED small-side row once per replica (``salt`` null-padded
+    duplicates), so those are rejected rather than silently wrong.
     """
-    salted_big = big.withColumn(
-        "__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt))
-    )
+    if how not in _SALT_SAFE_JOINS:
+        raise ValueError(
+            f"salted_join supports {sorted(_SALT_SAFE_JOINS)} joins; "
+            f"{how!r} would duplicate unmatched replicated small-side rows"
+        )
+    salted_big = big.withColumn("__salt", _content_salt(big, salt, salt_cols))
     replicated = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )

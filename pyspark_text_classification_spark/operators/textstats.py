@@ -79,7 +79,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_stats(docs: DataFrame) -> DataFrame:
     """The text_quality column program as a reusable (batch OR streaming —
     it is stateless) transformation over a (doc_id, text) frame."""
-    toks = tokenize("text")
+    toks = tokenize("text", 2)
     t = docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
@@ -144,7 +144,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     'und' when no marker hits). Ties resolve alphabetically via the
     ordered CASE — identical on both engines."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    toks = F.array_distinct(tokenize("text"))
+    toks = F.array_distinct(tokenize("text", 2))
 
     def hits(lang: str):
         return F.size(F.filter(toks, lambda x: x.isin(*LANG_MARKERS[lang])))
@@ -219,7 +219,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact across engines."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
-        "doc_id", F.posexplode(tokenize("text")).alias("pos", "token")
+        "doc_id", F.posexplode(tokenize("text", 2)).alias("pos", "token")
     )
     contrib = (
         ((F.col("pos") + 1) * _FP_P1) % HASH_MOD * char_poly_hash("token")
@@ -264,7 +264,7 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     readability filter for pre-training corpora. Sentences = non-empty
     [.!?] segments (min 1). Pure expressions, one pass, no shuffle."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    toks = tokenize("text")
+    toks = tokenize("text", 2)
     n_sent = F.greatest(
         F.size(
             F.filter(
@@ -314,45 +314,57 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts AS (
       SELECT doc_id, ch, count(*) AS n FROM chars GROUP BY 1, 2
     ),
-    totals AS (
-      SELECT doc_id, sum(n) AS total FROM counts GROUP BY 1
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(n) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS nd,
+             list(n ORDER BY n) AS ns
+      FROM counts GROUP BY doc_id
     )
-    SELECT c.doc_id,
-           CAST(t.total AS BIGINT) AS n_chars_total,
-           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+    SELECT doc_id,
+           total AS n_chars_total,
+           nd AS n_distinct_chars,
            {sql_round_half_up(
-               '-sum((c.n / t.total) * log2(c.n / t.total))', 4)} AS entropy
-    FROM counts c JOIN totals t ON c.doc_id = t.doc_id
-    GROUP BY c.doc_id, t.total
+               '-list_reduce(list_prepend(0.0, list_transform('
+               'ns, n -> (n / total) * log2(n / total))), '
+               '(acc, x) -> acc + x)', 4)} AS entropy
+    FROM per_doc
     """,
 )
 def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level Shannon entropy per document — the cheap randomness
     signal that flags binary junk (high) and boilerplate/repetition (low)
-    in pre-training corpora. Explode to (doc, char) -> two hash aggregates;
-    the entropy sum is per-group float addition whose ordering differences
-    are absorbed by round_half_up(4)."""
+    in pre-training corpora.
+
+    Two hash aggregates, no join: (doc, char) counts (whose map-side
+    partial aggregation already shrinks the shuffle to one row per
+    DISTINCT char per doc — each doc's exploded chars never leave their
+    partition), then one per-doc aggregate collecting the ~O(alphabet)
+    count list. The entropy sum is a sequential fold over the SORTED
+    count list on both engines — equal counts contribute identical
+    terms, so the fold order is fully deterministic and the doubles are
+    bit-equal before rounding (no reliance on rounding to absorb
+    float-associativity noise)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     chars = docs.filter(F.length("text") > 0).select(
         "doc_id",
         F.explode(F.filter(F.split("text", ""), lambda c: c != "")).alias("ch"),
     )
     counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("n"))
-    totals = counts.groupBy("doc_id").agg(F.sum("n").alias("total"))
-    p = F.col("n") / F.col("total")
-    return (
-        counts.join(totals, "doc_id")
-        .groupBy("doc_id", "total")
-        .agg(
-            F.count("*").alias("n_distinct_chars"),
-            round_half_up(-F.sum(p * F.log2(p)), 4).alias("entropy"),
-        )
-        .select(
-            "doc_id",
-            F.col("total").cast("long").alias("n_chars_total"),
-            F.col("n_distinct_chars").cast("long").alias("n_distinct_chars"),
-            "entropy",
-        )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("n").alias("total"),
+        F.count("*").alias("nd"),
+        F.sort_array(F.collect_list("n")).alias("ns"),
+    )
+    p_term = lambda n: (n / F.col("total")) * F.log2(n / F.col("total"))  # noqa: E731
+    ent = -F.aggregate(
+        F.col("ns"), F.lit(0.0), lambda acc, n: acc + p_term(n)
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("total").cast("long").alias("n_chars_total"),
+        F.col("nd").cast("long").alias("n_distinct_chars"),
+        round_half_up(ent, 4).alias("entropy"),
     )
 
 
@@ -403,7 +415,7 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-representable integer counts, so both engines compute
     bit-identical doubles before rounding."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    t = docs.select(tokenize("text").alias("toks"))
+    t = docs.select(tokenize("text", 2).alias("toks"))
     uni = (
         t.select(F.explode("toks").alias("w"))
         .groupBy("w")

@@ -363,7 +363,7 @@ def q12_tokenize_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     sst2_test2.py:50, qnli_test.py:121). Stays inside whole-stage codegen —
     no Python worker, no MLlib transformer object."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    return docs.select("doc_id", F.explode(tokenize("text", 2)).alias("token"))
 
 
 @query(
@@ -378,7 +378,7 @@ def q13_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 StopWordsRemover as an anti-filter against the embedded MLlib
     English list (SURVEY §2.9 Q13; sst2_test2.py:51)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    toks = remove_stopwords(tokenize("text"))
+    toks = remove_stopwords(tokenize("text", 2))
     return docs.select("doc_id", F.explode(toks).alias("token"))
 
 
@@ -399,7 +399,7 @@ def q14_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     CountVectorizer's top-V selection is this table + orderBy desc limit V
     (tie-ambiguous, so the declared query is the full table)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    toks = docs.select("doc_id", F.explode(tokenize("text", 2)).alias("token"))
     return toks.groupBy("token").agg(
         F.count_distinct("doc_id").alias("df"), F.count("*").alias("tf")
     )
@@ -426,7 +426,7 @@ def q15_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     N arrives via a 1-row broadcast cross join (BroadcastNestedLoopJoin of
     a single aggregate row — no shuffle of the vocab side)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    toks = docs.select("doc_id", F.explode(tokenize("text", 2)).alias("token"))
     dfreq = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
     total = docs.agg(F.count("*").alias("n_docs"))
     return (
@@ -457,7 +457,7 @@ def q17_empty_token_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     qnli_test.py:23-49). Arrays are exported as space-joined strings so the
     cross-engine value hash is representation-independent."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    toks = guard_empty_tokens(tokenize("text"))
+    toks = guard_empty_tokens(tokenize("text", 2))
     return docs.select(
         "doc_id", F.array_join(toks, " ").alias("tokens_str")
     )

@@ -33,6 +33,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     default (PARQUET_TYPE_ILLEGAL); the legacy conf reads it as a long of
     epoch nanoseconds, and queries derive micro/second timestamps from it
     (exact integer division — no float drift vs the DuckDB oracle).
+
+    NOTE: the conf is SESSION-WIDE and intentionally left set (the engine's
+    own session factory already declares it at build time; setting it here
+    too covers driver-provided vanilla sessions). It only affects
+    TIMESTAMP(NANOS) parquet columns — the MILLIS/MICROS tables are
+    untouched — and every engine query expects the long-typed reading, so
+    leaving it set is the declared engine contract, not a leak.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -4,6 +4,7 @@ batched inference."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pytest
@@ -125,6 +126,46 @@ def test_batch_infer_matches_stub_locally(spark):
     for i, text in rows:
         labels, confs = stub.predict([text])
         assert got[i] == (labels[0], confs[0])
+
+
+def test_model_loads_once_per_worker_not_per_task(spark, tmp_path):
+    """The scale claim batch_infer's docstring makes, proven: a 'heavy'
+    factory injected through model_factory loads AT MOST once per Python
+    worker process across many tasks — never once per task (the reference
+    reloads per task, transformers_test.py:123-131). Each factory call
+    appends a line to a pid-named marker file; worker reuse means a pid's
+    file must hold exactly one line."""
+    marker_dir = str(tmp_path / "loads")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def counting_factory():
+        import os as _os
+
+        with open(f"{marker_dir}/{_os.getpid()}", "a") as fh:
+            fh.write("load\n")
+        return DeterministicStubModel()
+
+    # > local[32]'s worker count so loads-per-worker < tasks is provable
+    # (and > defaultParallelism so batch_infer's fan_out keeps the count)
+    n_tasks = 64
+    rows = [(i, f"text number {i}") for i in range(480)]
+    df = spark.createDataFrame(
+        rows, schema="doc_id long, text string"
+    ).repartition(n_tasks)
+    out = batch_infer(df, model_factory=counting_factory)
+    assert out.count() == 480
+
+    marker_files = os.listdir(marker_dir)
+    loads_per_worker = [
+        len(open(f"{marker_dir}/{f}").readlines()) for f in marker_files
+    ]
+    n_loads = sum(loads_per_worker)
+    assert 0 < n_loads < n_tasks, (
+        f"{n_loads} loads for {n_tasks} tasks — looks per-task, not per-worker"
+    )
+    assert all(n == 1 for n in loads_per_worker), (
+        f"a worker loaded the model more than once: {loads_per_worker}"
+    )
 
 
 def test_pipeline_model_save_load_roundtrip(spark, tmp_path):
