@@ -87,6 +87,36 @@ def log_to_mlflow(
     return True
 
 
+def save_roc_plot(points: DataFrame, path: str) -> bool:
+    """Optional matplotlib ROC curve from the AGGREGATED ``roc_points``
+    output (~n_bins rows regardless of corpus size) — the distributed twin
+    of the reference's sklearn.roc_curve-over-full-collect plot
+    (sst2_test2.py:105-128). Returns False when matplotlib is absent."""
+    try:
+        import matplotlib  # noqa: PLC0415
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt  # noqa: PLC0415
+    except ImportError:
+        return False
+    rows = points.orderBy(F.col("threshold").desc()).collect()  # ~n_bins
+    total_pos = max((r.cum_pos for r in rows), default=0)
+    total_neg = max((r.cum_neg for r in rows), default=0)
+    if not total_pos or not total_neg:
+        return False  # degenerate: single-class predictions, no curve
+    fpr = [r.cum_neg / total_neg for r in rows]
+    tpr = [r.cum_pos / total_pos for r in rows]
+    fig, ax = plt.subplots()
+    ax.plot([0.0, *fpr, 1.0], [0.0, *tpr, 1.0])
+    ax.plot([0, 1], [0, 1], linestyle="--")
+    ax.set_xlabel("false positive rate")
+    ax.set_ylabel("true positive rate")
+    ax.set_title("ROC")
+    fig.savefig(path)
+    plt.close(fig)
+    return True
+
+
 def save_confusion_plot(confusion: DataFrame, path: str) -> bool:
     """Optional matplotlib confusion-matrix heatmap from the AGGREGATED
     matrix (4 rows for binary), never raw predictions. Returns False when

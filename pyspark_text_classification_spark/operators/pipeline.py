@@ -12,7 +12,7 @@ anything moves.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_text_classification_spark.functions.hashing import (
@@ -105,6 +105,67 @@ def pipeline_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("source", split.alias("split")).agg(
         F.count("*").alias("n_docs"),
         F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+# PII scrubbing: the standard pre-training redaction pass. Patterns are
+# deliberately alternation-free so Java regex (Spark) and RE2 (DuckDB)
+# agree on every match; production swaps in a richer pattern set (or an
+# NER model via batch_infer) behind the same (count, scrub) surface.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+# scrub order matters (an IPv4 tail can look phone-ish): email -> ip -> phone
+PII_PATTERNS = (
+    (PII_EMAIL, "<EMAIL>"),
+    (PII_IPV4, "<IP>"),
+    (PII_PHONE, "<PHONE>"),
+)
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Sequential regexp_replace of every PII pattern (all occurrences)."""
+    col = F.col(text) if isinstance(text, str) else text
+    for pat, token in PII_PATTERNS:
+        col = F.regexp_replace(col, F.lit(pat), F.lit(token))
+    return col
+
+
+def _sql_scrub(expr: str) -> str:
+    for pat, token in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    return expr
+
+
+@query(
+    "pipeline_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(length(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT)
+             AS n_ips,
+           CAST(length(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT)
+             AS n_phones,
+           {sql_char_poly_hash(_sql_scrub('text'))} AS scrubbed_hash
+    FROM documents
+    """,
+)
+def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus: count + scrub emails, IPv4s, and
+    phone numbers per document. Pure map-side expression — zero shuffle,
+    linear to 100 TB. The output pins the exact scrubbed text via a
+    content hash (cross-engine checksum) instead of shipping megabytes of
+    text through the comparator; the scrub semantics themselves are
+    asserted on a constructed PII fixture in tests (the synthetic corpus
+    is PII-free, so the counts here are the all-zero ground truth)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count("text", F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        char_poly_hash(scrub_pii("text")).alias("scrubbed_hash"),
     )
 
 

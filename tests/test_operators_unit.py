@@ -25,11 +25,16 @@ def _tok(spark, text, **kw):
 
 
 def test_tokenize_edge_cases(spark):
-    assert _tok(spark, "Hello, World! a I") == ["hello", "world"]
+    # default now matches MLlib RegexTokenizer (minTokenLength=1)
+    assert _tok(spark, "Hello, World! a I") == ["hello", "world", "a", "i"]
+    assert _tok(spark, "Hello, World! a I", min_token_length=2) == [
+        "hello", "world"
+    ]
     assert _tok(spark, "") == []
     assert _tok(spark, "!!! ... ???") == []
     assert _tok(spark, "a b c", min_token_length=1) == ["a", "b", "c"]
-    assert _tok(spark, "naïve café") == ["na", "ve", "caf"]  # \W is ASCII-class
+    # \W is ASCII-class
+    assert _tok(spark, "naïve café", min_token_length=2) == ["na", "ve", "caf"]
 
 
 def test_stopword_filter_preserves_duplicates(spark):
@@ -144,3 +149,45 @@ def test_two_star_matches_label_propagation_and_handles_deep_chains(spark):
     got = {(r.doc_id, r.cluster_id) for r in two_star_components(cdf).collect()}
     want = {(i, 0) for i in range(31)} | {(100, 100), (101, 100)}
     assert got == want
+
+
+def test_pii_scrub_semantics_and_cross_engine_regex(spark, oracle_con):
+    """Scrub semantics on a constructed PII fixture (the synthetic corpus
+    is PII-free): counts and scrubbed text for emails / IPv4s / phones,
+    and Java-regex vs RE2 agreement on the same strings — the property the
+    registered query's content-hash oracle relies on."""
+    from pyspark_text_classification_spark.operators.pipeline import (
+        PII_PATTERNS,
+        scrub_pii,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "contact me at jane.doe+spam@example.co.uk for details"),
+        (2, "server at 192.168.1.254 answered; backup 10.0.0.1 did not"),
+        (3, "call 555-123-4567 or +44 20 7946 0958 after hours"),
+        (4, "no pii here, just 3.14 and v1.2.3 and a@b (not an email)"),
+        (5, "a@b.io then 1.2.3.4 then 800.555.1212 mixed together"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = {
+        r.doc_id: r.scrubbed
+        for r in df.select(
+            "doc_id", scrub_pii("text").alias("scrubbed")
+        ).collect()
+    }
+    assert got[1] == "contact me at <EMAIL> for details"
+    assert got[2] == "server at <IP> answered; backup <IP> did not"
+    assert got[3].startswith("call <PHONE> or ")  # +44 format not matched
+    assert got[4] == rows[3][1]  # untouched
+    assert got[5] == "<EMAIL> then <IP> then <PHONE> mixed together"
+
+    # RE2 (DuckDB) must scrub identically, pattern by pattern
+    for doc_id, text in rows:
+        expr = "t"
+        for pat, token in PII_PATTERNS:
+            expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+        duck = oracle_con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS t)", [text]
+        ).fetchone()[0]
+        assert duck == got[doc_id], f"engine disagreement on doc {doc_id}"

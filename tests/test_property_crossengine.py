@@ -75,10 +75,11 @@ def test_tokenize_matches_python_reference(spark, texts):
     df = spark.createDataFrame([(t,) for t in texts], schema="text string")
     got = [
         r.toks
-        for r in df.select(F.array_join(tokenize("text"), "\x00").alias("toks"))
-        .collect()
+        for r in df.select(
+            F.array_join(tokenize("text", 2), "\x00").alias("toks")
+        ).collect()
     ]
-    want = ["\x00".join(py_tokenize(t)) for t in texts]
+    want = ["\x00".join(py_tokenize(t, min_len=2)) for t in texts]
     assert got == want
 
 

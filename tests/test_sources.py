@@ -80,6 +80,28 @@ def test_roc_points_small(spark):
     assert top.cum_pos <= 3 and top.cum_neg <= 3
 
 
+def test_roc_plot_writer_from_aggregated_points(spark, tmp_path):
+    """save_roc_plot consumes the ~n_bins roc_points aggregate (never raw
+    predictions); matplotlib-gated — absent => clean False, present =>
+    the PNG lands on disk."""
+    from pyspark_text_classification_spark.ml.reporting import save_roc_plot
+
+    preds = spark.createDataFrame(
+        [(1, 0.9), (1, 0.8), (0, 0.3), (0, 0.6), (1, 0.2), (0, 0.1)],
+        schema="label int, positive_prob double",
+    )
+    path = str(tmp_path / "roc.png")
+    wrote = save_roc_plot(roc_points(preds, n_bins=10), path)
+    assert wrote in (True, False)
+    assert wrote == os.path.exists(path)
+    # degenerate single-class input: no curve, no file, no crash
+    one_class = spark.createDataFrame(
+        [(1, 0.9), (1, 0.2)], schema="label int, positive_prob double"
+    )
+    assert save_roc_plot(roc_points(one_class, n_bins=10),
+                         str(tmp_path / "none.png")) is False
+
+
 def test_metrics_report_and_optional_mlflow(tmp_path):
     path = str(tmp_path / "report.json")
     write_metrics_report({"accuracy": 0.9}, path, run_name="t")

@@ -71,7 +71,8 @@ def test_approx_sketches_close_to_exact(spark, sf_dir):
     approx = QUERIES["q26_approx_sketches"](spark, sf_dir).collect()
     assert len(approx) == len(exact)
     for r in approx:
-        for got, want in zip(r.approx_pcts, exact[r.l_returnflag]):
+        sketched = (r.ap25, r.ap50, r.ap75, r.ap95)
+        for got, want in zip(sketched, exact[r.l_returnflag]):
             assert abs(got - want) / want < 0.05, (r.l_returnflag, got, want)
     # HLL++ rel error ~2.3% at the default rsd -> 5% bound per group
     from pyspark_text_classification_spark.sources.parquet import load_table
