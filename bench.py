@@ -38,6 +38,9 @@ HEADLINE = [
     "text_fingerprint",
     "text_entropy",
     "text_readability",
+    "text_langid",
+    "text_token_counts",
+    "pipeline_pii_scrub",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -285,22 +285,51 @@ def lsh_bucket_table(e: DataFrame) -> DataFrame:
     return dots.select("vec_id", F.posexplode(buckets).alias("tbl", "bucket"))
 
 
-def lsh_candidate_pairs(bk: DataFrame) -> DataFrame:
-    """Unordered distinct candidate pairs: share a bucket in ANY table."""
-    a, b = bk.alias("a"), bk.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+def lsh_candidate_pairs(bk: DataFrame, multi_probe: bool = False) -> DataFrame:
+    """Unordered distinct candidate pairs: share a bucket in ANY table.
+
+    ``multi_probe=True`` additionally probes every single-bit-flipped
+    bucket (the Lv et al., VLDB 2007 trade: ~7x probe rows buys the recall
+    of ~NUM_HYPERPLANES extra tables without recomputing any plane dots or
+    storing a bigger index — the flip happens on the PROBE side only, so
+    the stored bucket table is unchanged). The registered queries use the
+    plain index; the knob's recall gain is asserted in tests."""
+    if not multi_probe:
+        a, b = bk.alias("a"), bk.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("vec_id"),
+                F.col("b.vec_id").alias("neighbor_id"),
+            )
+            .distinct()
         )
-        .select(
-            F.col("a.vec_id").alias("vec_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-        )
-        .distinct()
+    flips = F.array(
+        F.col("bucket"),
+        *[
+            F.expr(f"CAST(bucket ^ {1 << j} AS INT)")
+            for j in range(NUM_HYPERPLANES)
+        ],
     )
+    probe = bk.select("vec_id", "tbl", F.explode(flips).alias("bucket"))
+    # probing is asymmetric (only the probe side flips bits), so both
+    # orientations must join; least/greatest re-normalizes to unordered
+    a, b = probe.alias("a"), bk.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.tbl") == F.col("b.tbl"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_id"),
+        F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("neighbor_id"),
+    )
+    return pairs.distinct()
 
 
 def candidate_cosines(e: DataFrame, cand: DataFrame) -> DataFrame:
