@@ -58,6 +58,7 @@ HEADLINE = [
     "events_cohort_retention",
     "events_retention_pivot",
     "pipeline_hash_split",
+    "pipeline_pack_chunks",
     "q24_percentiles",
     "q25_window_analytics",
     "q26_approx_sketches",

@@ -12,7 +12,7 @@ anything moves.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_text_classification_spark.functions.hashing import (
@@ -223,4 +223,70 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(keep).alias("n_sampled"),
         F.min(F.when(keep, F.col("doc_id"))).alias("first_kept"),
         F.sum(F.when(keep, F.col("doc_id")).otherwise(0)).alias("kept_id_sum"),
+    )
+
+
+CONTEXT_WINDOW = 512  # tokens per packed training sequence
+
+
+@query(
+    "pipeline_pack_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS BIGINT) AS off
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           COALESCE(off, 0) AS token_offset,
+           CAST(floor(COALESCE(off, 0) / {CONTEXT_WINDOW}) AS BIGINT)
+             AS first_chunk,
+           CAST(floor((COALESCE(off, 0) + GREATEST(n_tokens, 1) - 1)
+                      / {CONTEXT_WINDOW}) AS BIGINT) AS last_chunk
+    FROM o
+    """,
+)
+def pipeline_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the pretraining step that
+    concatenates a shard's documents into one token stream and cuts it
+    into fixed context windows. Per source shard, docs ordered by doc_id
+    get a running token offset (one window cumsum = one shuffle on the
+    shard key); each doc reports the first/last chunk it lands in, which
+    is exactly the map a chunk-writer needs to emit packed sequences.
+    At 100 TB the shard key is the unit of parallelism (a global total
+    order would be a single-reducer sort — deliberately avoided);
+    zero-token docs still occupy a point offset (GREATEST(n,1) guards
+    the empty-doc chunk span). Whitespace tokens stand in for the
+    tokenizer; swap text_token_counts' BPE-ish regex or a real tokenizer
+    UDF for production budgets."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.regexp_count("text", F.lit(r"\S+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        off.alias("token_offset"),
+        F.floor(off / CONTEXT_WINDOW).alias("first_chunk"),
+        F.floor(
+            (off + F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / CONTEXT_WINDOW
+        ).alias("last_chunk"),
     )
