@@ -450,15 +450,46 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(topk, e, bk, half)
 
 
-@query(
-    "similarity_near_dup",
-    oracle=f"""
+# shared with the streaming twin (streaming/similarity.py): on a drained
+# full replay the stream-vs-static-index join must equal this batch result
+NEAR_DUP_ORACLE_SQL = f"""
     WITH {_SQL_LSH_PRELUDE}
     SELECT vec_id, neighbor_id, {sql_round_half_up('cos', 4)} AS cos_sim
     FROM h
     WHERE {sql_round_half_up('cos', 4)} >= {NEAR_DUP_THRESHOLD}
-    """,
-)
+    """
+
+
+def rowwise_bucket_array_sql(qv_col: str = "qv") -> str:
+    """Spark-SQL expression: the 8-table bucket array computed PER ROW by
+    interpreted integer folds over the quantized vector — for stateless
+    contexts (a streaming row can't go through the exploded hash
+    aggregate). Integer sums are order-independent, so these buckets are
+    bit-identical to lsh_plane_dots' aggregate form and to the DuckDB
+    oracle. Cost ~1-2 µs/element x 48 planes: fine for per-batch stream
+    volumes, wrong for corpus-scale batch (use lsh_plane_dots there)."""
+
+    def dot(g: int) -> str:
+        return (
+            f"aggregate(zip_with({qv_col}, sequence(0, size({qv_col}) - 1), "
+            f"(q, d) -> q * (((CAST({g * 64} AS BIGINT) + d) * {_LCG_A}"
+            f" + {_LCG_C}) % {_LCG_M} - {_LCG_HALF})), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+
+    buckets = ", ".join(
+        "CAST("
+        + " + ".join(
+            f"IF({dot(t * NUM_HYPERPLANES + j)} > 0, {1 << j}, 0)"
+            for j in range(NUM_HYPERPLANES)
+        )
+        + " AS INT)"
+        for t in range(NUM_TABLES)
+    )
+    return f"array({buckets})"
+
+
+@query("similarity_near_dup", oracle=NEAR_DUP_ORACLE_SQL)
 def similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine high-similarity pairs (cos >= 0.45, unordered) over
     LSH candidates — the linear-cost scale path; the brute-force twin

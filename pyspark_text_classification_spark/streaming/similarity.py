@@ -1,0 +1,127 @@
+"""Streaming near-duplicate detection: incoming embedding vectors checked
+against a STATIC LSH index of the corpus — the online admission filter a
+training-data pipeline runs on fresh crawl batches ("is this example a
+near-dup of something we already hold?").
+
+Execution shape (all stateless except the final pair dedup):
+
+- stream side: per-row quantized-integer bucket array (interpreted folds —
+  order-independent int64 sums, so the buckets are bit-identical to the
+  batch index's exploded hash-aggregate form), exploded to (tbl, bucket);
+- stream-static equi-join against the persisted bucket index, then against
+  the vector table for the exact sequential-fold cosine (no shuffle of the
+  static side per batch beyond the join itself — at cluster scale the
+  static index would be a bucketed table, making the join co-located);
+- a pair surfacing in several tables is collapsed by ``dropDuplicates``
+  AFTER the threshold filter, so streaming state holds only true near-dup
+  pairs (tiny), not the candidate set.
+
+Held to the batch ``similarity_near_dup`` oracle: on a drained full replay
+every vector streams once, and pair (a, b), a < b, is emitted exactly when
+a streams (the a < b guard kills the mirrored match when b streams), so
+the drained table equals the batch result row-for-row.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_text_classification_spark.functions.text import round_half_up
+from pyspark_text_classification_spark.operators.similarity import (
+    NEAR_DUP_ORACLE_SQL,
+    NEAR_DUP_THRESHOLD,
+    QUANT_SCALE,
+    lsh_bucket_table,
+    rowwise_bucket_array_sql,
+    with_norms,
+)
+from pyspark_text_classification_spark.registry import query
+from pyspark_text_classification_spark.sources.parquet import load_table
+
+EMB_STREAM_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def near_dup_stream_frame(
+    src: DataFrame, static_e: DataFrame, index: DataFrame
+) -> DataFrame:
+    """The streaming near-dup plan over any embedding stream: per-row LSH
+    buckets -> stream-static bucket join -> exact cosine -> threshold ->
+    pair dedup. ``static_e``/``index`` are the persisted corpus vectors and
+    bucket table (``with_norms`` / ``lsh_bucket_table``)."""
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    stream_vec = src.select(
+        F.col("vec_id"),
+        v.alias("v"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("nrm"),
+        F.transform(v, lambda x: F.floor(x * F.lit(float(QUANT_SCALE)))).alias(
+            "qv"
+        ),
+    ).withColumn("buckets", F.expr(rowwise_bucket_array_sql("qv")))
+    probes = stream_vec.select(
+        "vec_id", "v", "nrm", F.posexplode("buckets").alias("tbl", "bucket")
+    )
+    cand = probes.join(
+        index.select(
+            F.col("vec_id").alias("neighbor_id"), "tbl", "bucket"
+        ),
+        ["tbl", "bucket"],
+    ).filter(F.col("vec_id") < F.col("neighbor_id"))
+    neighbor = static_e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("yv"),
+        F.col("nrm").alias("yn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("yv"), lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos4 = round_half_up(dot / (F.col("nrm") * F.col("yn")), 4)
+    return (
+        cand.join(neighbor, "neighbor_id")
+        .select("vec_id", "neighbor_id", cos4.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= NEAR_DUP_THRESHOLD)
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+
+
+def stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream(embeddings) -> near_dup_stream_frame -> memory sink,
+    drained with availableNow."""
+    static_e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
+    index = lsh_bucket_table(static_e).persist()
+    index.count()  # materialize ONCE; microbatches reuse the cached index
+    src = (
+        spark.readStream.schema(EMB_STREAM_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(sf_dir)
+    )
+    near = near_dup_stream_frame(src, static_e, index)
+    sink_name = f"stream_near_dup_{uuid.uuid4().hex[:8]}"
+    q = (
+        near.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(sink_name).localCheckpoint(eager=True)
+    static_e.unpersist()
+    index.unpersist()
+    return out
+
+
+query("similarity_stream_near_dup", oracle=NEAR_DUP_ORACLE_SQL)(
+    stream_near_dup
+)

@@ -49,7 +49,7 @@ EAGER_QUERIES = {
     "events_stream_tumbling_hourly", "events_stream_sliding_1h_15m",
     "events_stream_sessionize",
     "events_stream_range_join", "ml_infer_stream", "dedup_stream_exact",
-    "pipeline_stream_quality_filter",
+    "pipeline_stream_quality_filter", "similarity_stream_near_dup",
     "dedup_clusters", "dedup_clusters_twostar", "similarity_dedup_clusters",
     "ml_tfidf_lr_metrics", "ml_topk_coefficients",
 }

@@ -86,3 +86,65 @@ def test_sessionize_state_survives_batch_split(spark, tmp_path):
         assert got[uid * 100 + 1] == 1 and got[uid * 100 + 2] == 1
         assert got[uid * 100 + 3] == 2 and got[uid * 100 + 4] == 2
     assert len(got) == 8
+
+def test_stream_near_dup_across_batches_matches_batch(spark, tmp_path):
+    """The streaming near-dup admission filter must equal the batch
+    similarity_near_dup on a drained replay even when the vectors arrive
+    split across micro-batches — each batch joins the same static LSH
+    index, and the a < b guard keeps every pair exactly once no matter
+    which batch its members arrive in."""
+    import pyarrow.parquet as pq
+
+    from pyspark_text_classification_spark.all_queries import QUERIES
+    from pyspark_text_classification_spark.operators.similarity import (
+        lsh_bucket_table,
+        with_norms,
+    )
+    from pyspark_text_classification_spark.sources.parquet import load_table
+    from pyspark_text_classification_spark.streaming.similarity import (
+        EMB_STREAM_SCHEMA,
+        near_dup_stream_frame,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = {
+        (r.vec_id, r.neighbor_id, r.cos_sim)
+        for r in QUERIES["similarity_near_dup"](spark, sf).collect()
+    }
+    assert want, "fixture should contain near-dup pairs"
+
+    tbl = pq.read_table(f"{sf}/embeddings.parquet")
+    d = tmp_path / "emb_stream"
+    os.makedirs(d)
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half), str(d / "a_first.parquet"))
+    pq.write_table(tbl.slice(half), str(d / "b_second.parquet"))
+    now = time.time()
+    os.utime(d / "a_first.parquet", (now - 100, now - 100))
+    os.utime(d / "b_second.parquet", (now, now))
+
+    static_e = with_norms(load_table(spark, sf, "embeddings")).persist()
+    index = lsh_bucket_table(static_e).persist()
+    index.count()
+    src = (
+        spark.readStream.schema(EMB_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .load(str(d))
+    )
+    near = near_dup_stream_frame(src, static_e, index)
+    q = (
+        near.writeStream.format("memory")
+        .queryName("near_dup_mb")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.vec_id, r.neighbor_id, r.cos_sim)
+        for r in spark.table("near_dup_mb").collect()
+    }
+    static_e.unpersist()
+    index.unpersist()
+    assert got == want
