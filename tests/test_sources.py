@@ -124,3 +124,43 @@ def test_write_csv_roundtrip(spark, tmp_path):
     )
     rows = {(r.id, r.s, r.v) for r in back.collect()}
     assert rows == {(1, "a,b", 0.5), (2, "plain", 1.5)}
+
+
+def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
+    """JSONL source/sink: explicit-schema round-trip preserves values
+    (incl. nested meta), and a malformed line lands in _corrupt_record
+    for quarantine instead of silently vanishing."""
+    from pyspark_text_classification_spark.sources.jsonl import (
+        corrupt_line_stats,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world", ("en", 2)), (2, 'quote " and\ttab', ("de", 7))],
+        schema="doc_id long, text string, "
+        "meta struct<lang: string, score: long>",
+    )
+    out = str(tmp_path / "corpus")
+    write_jsonl(df, out)
+    back = read_jsonl(
+        spark, out,
+        "doc_id long, text string, meta struct<lang: string, score: long>",
+    )
+    got = {(r.doc_id, r.text, r.meta.lang, r.meta.score) for r in back.collect()}
+    assert got == {(1, "hello world", "en", 2), (2, 'quote " and\ttab', "de", 7)}
+
+    # corrupt line: valid JSONL + one junk line in the same directory
+    bad = tmp_path / "mixed"
+    os.makedirs(bad)
+    with open(bad / "part-0.jsonl", "w") as f:
+        f.write('{"doc_id": 1, "text": "ok"}\n')
+        f.write("this is not json\n")
+        f.write('{"doc_id": 2, "text": "also ok"}\n')
+    mixed = read_jsonl(
+        spark, str(bad), "doc_id long, text string", keep_corrupt=True
+    )
+    stats = corrupt_line_stats(mixed).first()
+    assert (stats.n_rows, stats.n_corrupt, stats.n_nonnull_doc_id) == (3, 1, 2)
+    kept = {r.doc_id for r in mixed.filter("_corrupt_record IS NULL").collect()}
+    assert kept == {1, 2}
