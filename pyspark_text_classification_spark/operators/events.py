@@ -7,10 +7,10 @@ oracle-checked operators over the synthetic ``events`` table. The streaming
 module (streaming/events.py) re-expresses the tumbling aggregate with
 Structured Streaming + watermarks and is held to the same oracle.
 
-The ``ts`` column arrives as epoch NANOSECONDS (long — see
-sources/parquet.load_table); all derived times use exact integer division,
-so no float/timezone drift can enter the cross-engine hash. The DuckDB side
-reads the native TIMESTAMP(NANOS) and converts with epoch_ns().
+The ``ts`` column is TIMESTAMP(MICROS) parquet (TIMESTAMP_NTZ in Spark);
+all derived times run on ``functions/time.ts_us()`` — exact integer epoch
+microseconds on both engines — so no float/timezone drift can enter the
+cross-engine hash. The DuckDB side converts with epoch_us().
 
 Scale notes: every operator here shuffles exactly once on user_id (window
 partition key) or the (hour, event_type) group key; running sums are
@@ -27,6 +27,7 @@ from pyspark_text_classification_spark.functions.text import (
     round_half_up,
     sql_round_half_up,
 )
+from pyspark_text_classification_spark.functions.time import TS_US_EXPR, ts_us
 from pyspark_text_classification_spark.registry import query
 from pyspark_text_classification_spark.sources.parquet import load_table
 
@@ -38,8 +39,8 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
     oracle=f"""
     SELECT event_id, user_id,
            CAST(row_number() OVER w AS INT)             AS seq,
-           epoch_ns(ts) // 1000
-             - lag(epoch_ns(ts) // 1000) OVER w         AS gap_us,
+           epoch_us(ts)
+             - lag(epoch_us(ts)) OVER w         AS gap_us,
            {sql_round_half_up('sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)', 4)} AS run_value
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -51,14 +52,14 @@ def events_user_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential in-order fold on both engines, so doubles match bit-exactly
     before rounding."""
     ev = load_table(spark, sf_dir, "events")
-    ts_us = F.expr("ts div 1000")  # exact integer division (double div would round)
+    us = ts_us()
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return ev.select(
         "event_id",
         "user_id",
         F.row_number().over(w).alias("seq"),
-        (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
         round_half_up(F.sum("value").over(run), 4).alias("run_value"),
     )
 
@@ -68,8 +69,8 @@ def events_user_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH g AS (
       SELECT event_id, user_id, ts,
-             CASE WHEN epoch_ns(ts) // 1000
-                    - lag(epoch_ns(ts) // 1000) OVER w > {SESSION_GAP_US}
+             CASE WHEN epoch_us(ts)
+                    - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
                   THEN 1
                   WHEN lag(ts) OVER w IS NULL THEN 1
                   ELSE 0 END AS new_session
@@ -89,9 +90,9 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts with lag(), then a running sum assigns 1-based session ids —
     pure integer window arithmetic, deterministic on both engines."""
     ev = load_table(spark, sf_dir, "events")
-    ts_us = F.expr("ts div 1000")  # exact integer division (double div would round)
+    us = ts_us()
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = ts_us - F.lag(ts_us).over(w)
+    gap = us - F.lag(us).over(w)
     new_session = (
         F.when(gap > SESSION_GAP_US, 1)
         .when(F.lag("ts").over(w).isNull(), 1)
@@ -108,7 +109,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_tumbling_hourly",
     oracle=f"""
-    SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch_s,
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch_s,
            event_type,
            CAST(count(*) AS BIGINT) AS cnt,
            {sql_round_half_up('sum(value)', 4)} AS sum_value
@@ -118,10 +119,10 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregate per event type. Hour boundary from
-    exact integer division of epoch nanos; the float sum is commutative-
+    exact integer division of epoch micros; the float sum is commutative-
     order-dependent but round_half_up(4) absorbs the ulps."""
     ev = load_table(spark, sf_dir, "events")
-    hour = (F.expr("ts div 3600000000000") * 3600).alias("hour_epoch_s")
+    hour = (F.expr(f"({TS_US_EXPR}) div 3600000000") * 3600).alias("hour_epoch_s")
     return (
         ev.groupBy(hour, "event_type")
         .agg(
@@ -156,7 +157,7 @@ TRAILING_WINDOW_US = 3_600_000_000  # 1 hour in microseconds
     "events_trailing_1h",
     oracle=f"""
     WITH e AS (
-      SELECT event_id, user_id, value, epoch_ns(ts) // 1000 AS ts_us
+      SELECT event_id, user_id, value, epoch_us(ts) AS ts_us
       FROM events
     )
     SELECT event_id, user_id,
@@ -179,10 +180,10 @@ def events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     µs-truncated ordering key per the precision contract
     (operators/temporal.py): DuckDB only sees microseconds."""
     ev = load_table(spark, sf_dir, "events")
-    ts_us = F.expr("ts div 1000")
+    us = ts_us()
     w = (
         Window.partitionBy("user_id")
-        .orderBy(ts_us)
+        .orderBy(us)
         .rangeBetween(-TRAILING_WINDOW_US, Window.currentRow)
     )
     return ev.select(
@@ -197,7 +198,7 @@ def events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_funnel",
     oracle="""
     WITH e AS (
-      SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
     ),
     s AS (
       SELECT user_id, min(ts_us) AS t_signup
@@ -229,7 +230,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id only; stage frames shrink monotonically."""
     ev = load_table(spark, sf_dir, "events")
     e = ev.select(
-        "user_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+        "user_id", "event_type", ts_us().alias("ts_us")
     )
     s = (
         e.filter(F.col("event_type") == "signup")
@@ -270,7 +271,7 @@ WEEK_US = 7 * 86_400 * 1_000_000  # one week in microseconds
     "events_cohort_retention",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, (epoch_ns(ts) // 1000) // {WEEK_US} AS week
+      SELECT user_id, (epoch_us(ts)) // {WEEK_US} AS week
       FROM events
     ),
     first AS (
@@ -293,7 +294,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic on both engines."""
     ev = load_table(spark, sf_dir, "events")
     e = ev.select(
-        "user_id", F.expr(f"(ts div 1000) div {WEEK_US}").alias("week")
+        "user_id", F.expr(f"(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)) div {WEEK_US}").alias("week")
     )
     first = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     activity = e.distinct()
@@ -314,7 +315,7 @@ RETENTION_WEEKS = (0, 1, 2, 3)
     "events_retention_pivot",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, (epoch_ns(ts) // 1000) // {WEEK_US} AS week
+      SELECT user_id, (epoch_us(ts)) // {WEEK_US} AS week
       FROM events
     ),
     first AS (
@@ -341,7 +342,7 @@ def events_retention_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan). Oracle is conditional aggregation with matching column names."""
     ev = load_table(spark, sf_dir, "events")
     e = ev.select(
-        "user_id", F.expr(f"(ts div 1000) div {WEEK_US}").alias("week")
+        "user_id", F.expr(f"(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)) div {WEEK_US}").alias("week")
     )
     first = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     r = (
@@ -368,7 +369,7 @@ def events_retention_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_sliding_1h_15m",
     oracle=f"""
-    SELECT ((epoch_ns(ts) // 1000) // 900000000 - k) * 900 AS win_start_s,
+    SELECT ((epoch_us(ts)) // 900000000 - k) * 900 AS win_start_s,
            event_type,
            CAST(count(*) AS BIGINT) AS cnt,
            {sql_round_half_up('sum(value)', 4)} AS sum_value
@@ -385,7 +386,7 @@ def events_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamps to µs first, per the cross-engine timestamp contract)."""
     ev = load_table(spark, sf_dir, "events")
     w = F.window(
-        F.timestamp_micros(F.expr("ts div 1000")), "1 hour", "15 minutes"
+        F.timestamp_micros(ts_us()), "1 hour", "15 minutes"
     )
     return (
         ev.groupBy(w.alias("w"), "event_type")

@@ -13,11 +13,11 @@ The range join keeps the equi key (user_id) in the join condition so
 Catalyst plans a hash join with a residual time-band filter — never a
 cartesian.
 
-Precision contract: Spark reads events.ts as epoch-NANOSECOND longs while
-DuckDB truncates the same parquet column to microsecond timestamps, so
-every predicate and difference here is computed on µs-truncated values
-(``ts div 1000``) in BOTH engines — comparing at nanosecond precision on
-one side flips sub-µs boundary pairs and shifts gaps by 1µs.
+Precision contract: events.ts is TIMESTAMP(MICROS) parquet (TIMESTAMP_NTZ
+in Spark, naive TIMESTAMP in DuckDB), so every predicate and difference
+here is computed on exact integer epoch microseconds in BOTH engines —
+``functions/time.ts_us()`` on the Spark side, ``epoch_us(ts)`` in the
+oracle — keeping boundary pairs and gaps timezone- and float-free.
 """
 
 from __future__ import annotations
@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark_text_classification_spark.functions.time import ts_us
 from pyspark_text_classification_spark.registry import query
 from pyspark_text_classification_spark.sources.parquet import load_table
 
@@ -37,7 +38,7 @@ def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
-        F.expr("ts div 1000").alias("ts_us"),
+        ts_us().alias("ts_us"),
     )
 
 
@@ -45,7 +46,7 @@ def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_asof_join",
     oracle="""
     WITH e AS (
-      SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
       FROM events
     ),
     clicks AS (
@@ -123,7 +124,7 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_range_join",
     oracle=f"""
     WITH e AS (
-      SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
       FROM events
     ),
     s AS (

@@ -46,11 +46,6 @@ def get_session(
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # declared session-wide: TIMESTAMP(NANOS) parquet (the events
-        # table) reads as epoch-nano longs everywhere, not as a read-path
-        # side effect of whichever query loads events first (load_table
-        # still sets it at runtime so driver-provided vanilla sessions work)
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # catalog tables (bucketed joins) land outside the repo by default

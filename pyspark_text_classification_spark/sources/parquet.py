@@ -29,20 +29,13 @@ TESTDATA_TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table (TESTDATA.md) as a DataFrame.
 
-    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark 4 rejects by
-    default (PARQUET_TYPE_ILLEGAL); the legacy conf reads it as a long of
-    epoch nanoseconds, and queries derive micro/second timestamps from it
-    (exact integer division — no float drift vs the DuckDB oracle).
-
-    NOTE: the conf is SESSION-WIDE and intentionally left set (the engine's
-    own session factory already declares it at build time; setting it here
-    too covers driver-provided vanilla sessions). It only affects
-    TIMESTAMP(NANOS) parquet columns — the MILLIS/MICROS tables are
-    untouched — and every engine query expects the long-typed reading, so
-    leaving it set is the declared engine contract, not a leak.
+    ``events.parquet`` carries TIMESTAMP(MICROS), which Spark reads as
+    TIMESTAMP_NTZ. Queries never do timezone-dependent arithmetic on it:
+    all event-time math runs on ``functions/time.ts_us()`` — an NTZ-NTZ
+    ``timestampdiff`` yielding exact epoch microseconds — so results are
+    identical under any ``spark.sql.session.timeZone`` (the grading driver
+    supplies a vanilla session the engine doesn't configure).
     """
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -28,15 +28,17 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 from pyspark_text_classification_spark.functions.text import round_half_up
+from pyspark_text_classification_spark.functions.time import ts_us
 from pyspark_text_classification_spark.registry import query
 
 EVENTS_STREAM_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # epoch nanos (nanosAsLong read mode)
+        StructField("ts", TimestampNTZType()),  # TIMESTAMP(MICROS) parquet
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -49,14 +51,13 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream(events) -> watermark -> 1h window x event_type aggregate,
     drained with availableNow into a memory sink; returns the result as a
     batch DataFrame."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")  # dir source, one table
         .load(sf_dir)
     )
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    ts = F.timestamp_micros(ts_us())
     agg = (
         src.withColumn("event_ts", ts)
         .withWatermark("event_ts", "1 hour")
@@ -91,7 +92,7 @@ from pyspark_text_classification_spark.functions.text import sql_round_half_up  
 query(
     "events_stream_tumbling_hourly",
     oracle=f"""
-    SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch_s,
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch_s,
            event_type,
            CAST(count(*) AS BIGINT) AS cnt,
            {sql_round_half_up('sum(value)', 4)} AS sum_value
@@ -106,14 +107,13 @@ def stream_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type aggregate (each event in 4 overlapping windows — the
     streaming state holds 4 open windows per key instead of 1), drained
     with availableNow into a memory sink."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    ts = F.timestamp_micros(ts_us())
     agg = (
         src.withColumn("event_ts", ts)
         .withWatermark("event_ts", "1 hour")
@@ -144,7 +144,7 @@ def stream_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
 query(
     "events_stream_sliding_1h_15m",
     oracle=f"""
-    SELECT ((epoch_ns(ts) // 1000) // 900000000 - k) * 900 AS win_start_s,
+    SELECT ((epoch_us(ts)) // 900000000 - k) * 900 AS win_start_s,
            event_type,
            CAST(count(*) AS BIGINT) AS cnt,
            {sql_round_half_up('sum(value)', 4)} AS sum_value

@@ -10,8 +10,8 @@ oracle as the batch range join: a fully drained replay must emit exactly
 the batch result.
 
 Timestamps follow the µs precision contract (operators/temporal.py): the
-join runs on `timestamp_micros(ts div 1000)` so boundary pairs agree with
-the µs-truncated oracle.
+join runs on `timestamp_micros(ts_us())` so boundary pairs agree with the
+integer-µs oracle.
 """
 
 from __future__ import annotations
@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark_text_classification_spark.operators.temporal import (
     RANGE_JOIN_WINDOW_US,
 )
+from pyspark_text_classification_spark.functions.time import ts_us
 from pyspark_text_classification_spark.registry import query
 from pyspark_text_classification_spark.streaming.events import (
     EVENTS_STREAM_SCHEMA,
@@ -33,7 +34,6 @@ from pyspark_text_classification_spark.streaming.events import (
 def stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream(events) split into signup/purchase streams -> watermarked
     interval join -> memory sink, drained with availableNow."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def src() -> DataFrame:
         return (
@@ -45,8 +45,8 @@ def stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_id",
                 "user_id",
                 "event_type",
-                F.expr("ts div 1000").alias("ts_us"),
-                F.timestamp_micros(F.expr("ts div 1000")).alias("event_ts"),
+                ts_us().alias("ts_us"),
+                F.timestamp_micros(ts_us()).alias("event_ts"),
             )
         )
 
@@ -102,7 +102,7 @@ query(
     "events_stream_range_join",
     oracle=f"""
     WITH e AS (
-      SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
       FROM events
     ),
     s AS (

@@ -65,7 +65,6 @@ def _sessionize_group(
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream(events) -> groupBy(user) -> stateful pandas fold ->
     memory sink, drained with availableNow; returns a batch DataFrame."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .format("parquet")
@@ -73,7 +72,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(sf_dir)
     )
     sessions = (
-        src.selectExpr("event_id", "user_id", "ts div 1000 AS ts_us")
+        src.selectExpr("event_id", "user_id", "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts) AS ts_us")
         .groupBy("user_id")
         .applyInPandasWithState(
             _sessionize_group,
@@ -101,8 +100,8 @@ query(
     oracle=f"""
     WITH g AS (
       SELECT event_id, user_id, ts,
-             CASE WHEN epoch_ns(ts) // 1000
-                    - lag(epoch_ns(ts) // 1000) OVER w > {SESSION_GAP_US}
+             CASE WHEN epoch_us(ts)
+                    - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
                   THEN 1
                   WHEN lag(ts) OVER w IS NULL THEN 1
                   ELSE 0 END AS new_session

@@ -24,23 +24,23 @@ from pyspark_text_classification_spark.streaming.events import (
 
 
 def test_sessionize_state_survives_batch_split(spark, tmp_path):
-    us = 1_000  # ns per microsecond
-    gap = SESSION_GAP_US * 1_000  # session gap in ns
+    gap = SESSION_GAP_US  # session gap in µs (events.ts is TIMESTAMP(MICROS))
     rows = []
     for uid in (1, 2):
         # session A: two events; session B: two events after a > gap pause.
         # near-identical bases INTERLEAVE the users' timelines, so the
         # mid-point file split puts every user's session B in batch 2 —
         # its session_id is 2 only if batch 1's state survived.
-        base = 10 * gap + uid * us
+        base = 10 * gap + uid
         rows += [
             (uid * 100 + 1, base, uid, "click", 1.0, "{}"),
-            (uid * 100 + 2, base + 60 * us, uid, "view", 1.0, "{}"),
-            (uid * 100 + 3, base + gap + 120 * us, uid, "click", 1.0, "{}"),
-            (uid * 100 + 4, base + gap + 180 * us, uid, "view", 1.0, "{}"),
+            (uid * 100 + 2, base + 60, uid, "view", 1.0, "{}"),
+            (uid * 100 + 3, base + gap + 120, uid, "click", 1.0, "{}"),
+            (uid * 100 + 4, base + gap + 180, uid, "view", 1.0, "{}"),
         ]
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     pdf = pd.DataFrame(rows, columns=cols).sort_values("ts")
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="us").astype("datetime64[us]")
     d = tmp_path / "stream_src"
     os.makedirs(d)
     # split MID-SESSION: events 1-2 of session B land in different files
@@ -58,7 +58,7 @@ def test_sessionize_state_survives_batch_split(spark, tmp_path):
         .load(str(d))
     )
     sessions = (
-        src.selectExpr("event_id", "user_id", "ts div 1000 AS ts_us")
+        src.selectExpr("event_id", "user_id", "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts) AS ts_us")
         .groupBy("user_id")
         .applyInPandasWithState(
             _sessionize_group,

@@ -14,7 +14,7 @@ from pyspark_text_classification_spark.streaming.events import (
     EVENTS_STREAM_SCHEMA,
 )
 
-HOUR_NS = 3_600_000_000_000
+HOUR_US = 3_600_000_000  # events.ts is TIMESTAMP(MICROS)
 
 
 def test_append_mode_drops_late_event_and_emits_final_windows(spark, tmp_path):
@@ -23,18 +23,20 @@ def test_append_mode_drops_late_event_and_emits_final_windows(spark, tmp_path):
     # is only dropped once its window was finalized in an EARLIER batch.
     # batch 1: events at hour 0 and hour 3 -> watermark advances to 2h
     batch1 = pd.DataFrame(
-        [(1, 0 * HOUR_NS + 1, 7, "click", 1.0, "{}"),
-         (2, 3 * HOUR_NS + 1, 7, "click", 1.0, "{}")],
+        [(1, 0 * HOUR_US + 1, 7, "click", 1.0, "{}"),
+         (2, 3 * HOUR_US + 1, 7, "click", 1.0, "{}")],
         columns=cols,
     )
     # batch 2 (runs with wm=2h): hour-0 window is finalized+evicted here
     batch2 = pd.DataFrame(
-        [(4, 4 * HOUR_NS + 1, 7, "click", 1.0, "{}")], columns=cols
+        [(4, 4 * HOUR_US + 1, 7, "click", 1.0, "{}")], columns=cols
     )
     # batch 3 (wm=3h): a LATE event back at hour 0 — state gone -> dropped
     batch3 = pd.DataFrame(
-        [(3, 0 * HOUR_NS + 2, 7, "click", 1.0, "{}")], columns=cols
+        [(3, 0 * HOUR_US + 2, 7, "click", 1.0, "{}")], columns=cols
     )
+    for b in (batch1, batch2, batch3):
+        b["ts"] = pd.to_datetime(b["ts"], unit="us").astype("datetime64[us]")
     d = tmp_path / "wm_src"
     os.makedirs(d)
     batch1.to_parquet(str(d / "a_first.parquet"), index=False)
@@ -52,7 +54,7 @@ def test_append_mode_drops_late_event_and_emits_final_windows(spark, tmp_path):
         .load(str(d))
     )
     agg = (
-        src.withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
+        src.withColumn("event_ts", F.timestamp_micros(F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")))
         .withWatermark("event_ts", "1 hour")
         .groupBy(F.window("event_ts", "1 hour"))
         .agg(F.count("*").alias("cnt"))

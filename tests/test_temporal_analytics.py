@@ -10,34 +10,40 @@ from pyspark_text_classification_spark.all_queries import QUERIES
 
 
 def _events_frame(spark, rows):
-    """rows: (event_id, user_id, ts_ns, event_type). Writes a parquet dir
-    shaped like the testdata so load_table-based queries can read it."""
+    """rows: (event_id, user_id, ts_us, event_type). Writes a parquet dir
+    shaped like the testdata (ts TIMESTAMP(MICROS) -> TIMESTAMP_NTZ) so
+    load_table-based queries can read it."""
+    import datetime
+
+    epoch = datetime.datetime(1970, 1, 1)
     return spark.createDataFrame(
-        [(e, t, u, ty, 1.0, "{}") for e, u, t, ty in rows],
-        schema="event_id long, ts long, user_id long, event_type string, "
-        "value double, props string",
+        [
+            (e, epoch + datetime.timedelta(microseconds=t), u, ty, 1.0, "{}")
+            for e, u, t, ty in rows
+        ],
+        schema="event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
     )
 
 
 @pytest.fixture()
 def tiny_events_dir(spark, tmp_path):
-    us = 1_000  # 1 microsecond in ns
     rows = [
         # user 1: click, purchase 10us later, purchase with no prior click
-        (1, 1, 100 * us, "click"),
-        (2, 1, 110 * us, "purchase"),
-        (3, 2, 50 * us, "purchase"),  # user 2: purchase before any click
-        (4, 2, 60 * us, "click"),
+        (1, 1, 100, "click"),
+        (2, 1, 110, "purchase"),
+        (3, 2, 50, "purchase"),  # user 2: purchase before any click
+        (4, 2, 60, "click"),
         # user 3: two clicks same microsecond -> dedup keeps max event_id,
         # then a purchase at the SAME microsecond (<= must match it)
-        (5, 3, 200 * us, "click"),
-        (6, 3, 200 * us, "click"),
-        (7, 3, 200 * us, "purchase"),
+        (5, 3, 200, "click"),
+        (6, 3, 200, "click"),
+        (7, 3, 200, "purchase"),
         # user 4: signup, purchase exactly 1h later (boundary, included),
         # purchase 1h+1us later (excluded)
         (8, 4, 0, "signup"),
-        (9, 4, 3_600_000_000 * 1_000, "purchase"),
-        (10, 4, 3_600_000_001 * 1_000, "purchase"),
+        (9, 4, 3_600_000_000, "purchase"),
+        (10, 4, 3_600_000_001, "purchase"),
     ]
     path = tmp_path / "tiny"
     _events_frame(spark, rows).write.parquet(str(path / "events.parquet"))
