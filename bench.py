@@ -38,6 +38,7 @@ HEADLINE = [
     "text_fingerprint",
     "text_entropy",
     "text_readability",
+    "text_repetition",
     "text_langid",
     "text_token_counts",
     "pipeline_pii_scrub",
@@ -59,6 +60,7 @@ HEADLINE = [
     "events_retention_pivot",
     "pipeline_hash_split",
     "pipeline_pack_chunks",
+    "pipeline_global_rank",
     "q24_percentiles",
     "q25_window_analytics",
     "q26_approx_sketches",

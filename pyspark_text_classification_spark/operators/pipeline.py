@@ -290,3 +290,70 @@ def pipeline_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             (off + F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / CONTEXT_WINDOW
         ).alias("last_chunk"),
     )
+
+
+RANK_PARTITIONS = 32  # range partitions for the distributed total order
+
+
+@query(
+    "pipeline_global_rank",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                AS BIGINT) AS global_rank
+    FROM documents
+    """,
+)
+def pipeline_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed total-order rank (here: documents by size, the
+    curriculum/data-ordering shape) WITHOUT a single-partition window.
+
+    A naive ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY
+    collapses the whole dataset into ONE task — the classic 100 TB
+    killer. This is the textbook two-pass alternative:
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` on the total
+       order (one range shuffle; Spark samples split points, so
+       partitions are balanced even under skew);
+    2. count rows per range partition (a tiny aggregate — one row per
+       partition reaches the driver, never the data);
+    3. enumerate inside each sorted partition and add that partition's
+       prefix offset (an Arrow ``mapInPandas`` carrying only the rank
+       columns — order within a sorted partition is preserved).
+
+    The only full-data movement is the ONE range exchange every
+    total-order operation needs; ties are broken by doc_id so the rank
+    is deterministic and oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    d = (
+        docs.select("doc_id", "n_chars")
+        .repartitionByRange(RANK_PARTITIONS, *order)
+        .sortWithinPartitions(*order)
+        .persist()
+    )
+    sizes = {
+        r["pid"]: r["cnt"]
+        for r in d.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in range(max(sizes, default=-1) + 1):
+        offsets[pid] = acc
+        acc += sizes.get(pid, 0)
+
+    def enumerate_sorted(batches):
+        from pyspark import TaskContext
+
+        base = offsets.get(TaskContext.get().partitionId(), 0)
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["global_rank"] = range(base + seen + 1, base + seen + 1 + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    return d.mapInPandas(
+        enumerate_sorted, "doc_id long, n_chars long, global_rank long"
+    )

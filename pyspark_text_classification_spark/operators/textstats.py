@@ -454,3 +454,66 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("w1", "w2", "n_pair", round_half_up(pmi, 4).alias("pmi"))
     )
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, CAST(length(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN length(toks) >= 3 THEN
+               list_transform(range(1, length(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+             ELSE CAST([] AS VARCHAR[]) END AS tri
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(length(tri) AS BIGINT) AS n_trigrams,
+           {sql_round_half_up(
+               'CASE WHEN length(tri) > 0 THEN '
+               '(length(tri) - length(list_distinct(tri))) / length(tri) '
+               'ELSE 0.0 END', 4)} AS dup_trigram_ratio
+    FROM g
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signal: fraction of word 3-grams that
+    are duplicates of an earlier 3-gram in the SAME document — the
+    standard boilerplate/degenerate-text filter for pre-training corpora
+    (repeated headers, chorus-like loops, template spam score high).
+
+    Entirely in-row (tokenize -> trigram build -> distinct-count inside
+    one projection): zero joins, zero shuffles, zero Python — the scan
+    stays inside whole-stage codegen and scales embarrassingly to 100 TB.
+    Contrast with dedup_ngram_jaccard (operators/dedup.py), which
+    compares n-grams ACROSS documents and must shuffle."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", tokenize("text", 2).alias("toks"))
+    n = F.size("toks")
+    tri = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i + 1),
+                F.element_at(F.col("toks"), i + 2),
+                F.element_at(F.col("toks"), i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = t.select("doc_id", n.cast("long").alias("n_tokens"), tri.alias("tri"))
+    n_tri = F.size("tri")
+    ratio = F.when(
+        n_tri > 0,
+        (n_tri - F.size(F.array_distinct("tri"))) / n_tri.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        "doc_id",
+        "n_tokens",
+        n_tri.cast("long").alias("n_trigrams"),
+        round_half_up(ratio, 4).alias("dup_trigram_ratio"),
+    )

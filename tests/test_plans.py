@@ -41,6 +41,7 @@ def test_idf_total_is_broadcast_not_shuffle(spark, sf_dir):
 PANDAS_QUERIES = {
     "ml_infer_batch", "multimodal_byte_features",
     "multimodal_frame_sample", "multimodal_resize",
+    "pipeline_global_rank",  # declared Arrow enumerate-sorted-partitions stage
 }
 # run eagerly on call (streaming drains / iterative fits) — their plans
 # can't be inspected lazily here; streaming twins share their batch

@@ -164,3 +164,28 @@ def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
     assert (stats.n_rows, stats.n_corrupt, stats.n_nonnull_doc_id) == (3, 1, 2)
     kept = {r.doc_id for r in mixed.filter("_corrupt_record IS NULL").collect()}
     assert kept == {1, 2}
+
+
+def test_orc_roundtrip_partitioned_and_pushdown(spark, tmp_path):
+    from pyspark_text_classification_spark.sources.orc import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "x")],
+        schema="id long, v string, part string",
+    )
+    path = str(tmp_path / "orc_out")
+    write_orc(df, path, partition_by=["part"])
+    assert os.path.isdir(f"{path}/part=x")  # hive-style pruned layout
+    back = read_orc(spark, path, schema="id long, v string, part string")
+    assert back.count() == 3
+    pruned = read_orc(spark, path).filter(F.col("part") == "x")
+    assert pruned.count() == 2
+    # predicate pushdown reaches the ORC scan
+    plan = (
+        read_orc(spark, path)
+        .filter(F.col("id") > 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,1)]" in plan, plan
