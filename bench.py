@@ -39,6 +39,7 @@ HEADLINE = [
     "text_entropy",
     "text_readability",
     "text_repetition",
+    "text_top_tokens_by_lang",
     "text_langid",
     "text_token_counts",
     "pipeline_pii_scrub",
@@ -48,6 +49,7 @@ HEADLINE = [
     "similarity_near_dup",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
+    "similarity_quantize_int8",
     "pipeline_clean_corpus",
     "events_user_window",
     "events_sessionize",

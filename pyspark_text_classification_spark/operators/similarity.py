@@ -658,3 +658,83 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = candidate_cosines(e, cand)
     topk = _rank_topk(pairs)
     return _finalize(topk, e, ranked)
+
+
+INT8_MAX = 127
+
+
+@query(
+    "similarity_quantize_int8",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, v,
+             list_aggregate(list_transform(v, x -> abs(x)), 'max') AS mx
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, v,
+             CASE WHEN mx > 0 THEN mx / {INT8_MAX} ELSE 1.0 END AS scale,
+             list_transform(v, x ->
+               CASE WHEN mx > 0
+                    THEN floor(x / (mx / {INT8_MAX}) + 0.5) ELSE 0.0 END) AS qv
+      FROM m
+    )
+    SELECT vec_id,
+           {sql_round_half_up('scale', 6)} AS scale_r,
+           {sql_round_half_up(
+               'sqrt(list_reduce(list_prepend(0.0, '
+               'list_transform(range(1, length(v) + 1), '
+               'i -> (v[i] - qv[i] * scale) * (v[i] - qv[i] * scale))), '
+               '(acc, x) -> acc + x))', 6)} AS l2_err,
+           CAST(length(list_filter(qv, x -> abs(x) >= {INT8_MAX}))
+                AS BIGINT) AS n_sat
+    FROM q
+    """,
+)
+def similarity_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the 4x storage/bandwidth
+    compressor a 100 TB embedding corpus stores and ships): per-vector
+    scale = max|v| / 127, components floor(v/scale + 0.5). Emits the
+    scale, the L2 reconstruction error, and the saturated-component
+    count per vector — the audit columns a quantization rollout monitors.
+
+    Fully in-row (no joins, no shuffle); quantize/dequantize are exact
+    IEEE double ops in both engines, and the error fold is sequential, so
+    every exported double is bit-equal before rounding. The int64 LSH
+    pipeline above uses the same trick at 2^20 resolution
+    (QUANT_SCALE); this is the storage-precision variant."""
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _as_double_vec().alias("v")
+    )
+    mx = F.array_max(F.transform("v", F.abs))
+    m = e.select("vec_id", "v", mx.alias("mx"))
+    scale = F.when(F.col("mx") > 0, F.col("mx") / INT8_MAX).otherwise(F.lit(1.0))
+    qv = F.transform(
+        "v",
+        lambda x: F.when(
+            F.col("mx") > 0, F.floor(x / (F.col("mx") / INT8_MAX) + 0.5)
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    q = m.select("vec_id", "v", scale.alias("scale"), qv.alias("qv"))
+    err = F.sqrt(
+        _fold_sum(
+            F.zip_with(
+                F.col("v"),
+                F.col("qv"),
+                lambda x, qc: (x - qc * F.col("scale"))
+                * (x - qc * F.col("scale")),
+            )
+        )
+    )
+    n_sat = F.size(F.filter("qv", lambda x: F.abs(x) >= INT8_MAX))
+    return q.select(
+        "vec_id",
+        round_half_up(F.col("scale"), 6).alias("scale_r"),
+        round_half_up(err, 6).alias("l2_err"),
+        n_sat.cast("long").alias("n_sat"),
+    )

@@ -11,7 +11,7 @@ than the (doc_id-local) explode/groupBy of the fingerprint.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_text_classification_spark.functions.hashing import (
@@ -516,4 +516,51 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         n_tri.cast("long").alias("n_trigrams"),
         round_half_up(ratio, 4).alias("dup_trigram_ratio"),
+    )
+
+
+TOP_TOKENS_K = 10
+
+
+@query(
+    "text_top_tokens_by_lang",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    counts AS (
+      SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY 1, 2
+    )
+    SELECT lang, token, n, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT lang, token, n,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY n DESC, token) AS rnk
+      FROM counts
+    ) WHERE rnk <= {TOP_TOKENS_K}
+    """,
+)
+def text_top_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k heavy hitters: the {TOP_TOKENS_K} most frequent
+    tokens per language (corpus-drift / vocabulary dashboards).
+
+    Two-stage shape that survives skewed groups: the (lang, token) count
+    aggregate does the heavy lifting WITH map-side partial aggregation —
+    the shuffle carries one row per distinct (lang, token), not per token
+    occurrence — and the top-k window then runs over that vocabulary-
+    bounded table (O(langs x vocab) rows), where the tiny lang partition
+    count no longer matters. Ties break on the token string so the rank
+    is total and oracle-checkable."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select("lang", F.explode(tokenize("text", 2)).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "token")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_TOKENS_K)
+        .select("lang", "token", "n", "rnk")
     )

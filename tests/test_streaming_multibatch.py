@@ -148,3 +148,62 @@ def test_stream_near_dup_across_batches_matches_batch(spark, tmp_path):
     static_e.unpersist()
     index.unpersist()
     assert got == want
+
+
+def test_idempotent_sink_exactly_once_on_replay_and_restart(spark, tmp_path):
+    """foreachBatch parquet sink: a replayed batch_id must overwrite its own
+    partition (no duplicates), and a clean restart from the same checkpoint
+    must not reprocess committed batches."""
+    import pyarrow.parquet as pq
+
+    from pyspark_text_classification_spark.sources.parquet import load_table
+    from pyspark_text_classification_spark.streaming.infer import (
+        DOCS_STREAM_SCHEMA,
+    )
+    from pyspark_text_classification_spark.streaming.sink import (
+        idempotent_parquet_sink,
+        write_batch_idempotent,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src_dir = tmp_path / "sink_src"
+    os.makedirs(src_dir)
+    tbl = pq.read_table(f"{sf}/documents.parquet")
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half), str(src_dir / "a_first.parquet"))
+    pq.write_table(tbl.slice(half), str(src_dir / "b_second.parquet"))
+    now = time.time()
+    os.utime(src_dir / "a_first.parquet", (now - 100, now - 100))
+    os.utime(src_dir / "b_second.parquet", (now, now))
+
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+    src = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)  # two micro-batches
+        .load(str(src_dir))
+    )
+    idempotent_parquet_sink(src, out, ckpt).awaitTermination()
+
+    want = load_table(spark, sf, "documents").count()
+    assert spark.read.parquet(out).count() == want
+    # two batch partitions were committed
+    batches = {p for p in os.listdir(out) if p.startswith("batch_id=")}
+    assert batches == {"batch_id=0", "batch_id=1"}
+
+    # crash replay: re-deliver batch 1's frame with the same batch_id —
+    # the partition is overwritten, not appended
+    replay = spark.read.parquet(str(src_dir / "b_second.parquet"))
+    write_batch_idempotent(replay, 1, out)
+    assert spark.read.parquet(out).count() == want
+
+    # clean restart on the same checkpoint: offsets are committed, so the
+    # drained source yields no new batch and the output is untouched
+    src2 = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(str(src_dir))
+    )
+    idempotent_parquet_sink(src2, out, ckpt).awaitTermination()
+    assert spark.read.parquet(out).count() == want
