@@ -63,6 +63,7 @@ HEADLINE = [
     "pipeline_hash_split",
     "pipeline_pack_chunks",
     "pipeline_global_rank",
+    "pipeline_zorder_key",
     "q24_percentiles",
     "q25_window_analytics",
     "q26_approx_sketches",

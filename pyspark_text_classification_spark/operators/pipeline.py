@@ -357,3 +357,89 @@ def pipeline_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         enumerate_sorted, "doc_id long, n_chars long, global_rank long"
     )
+
+
+ZORDER_BITS = 8  # bins per dimension (256 range-normalized buckets)
+
+
+def _z_terms(u_expr: str, h_expr: str, intdiv: str) -> str:
+    """Morton/z-value as pure integer arithmetic — ``(x div 2^i) mod 2``
+    extracts bit i, so the SAME formula runs on any engine without bitwise
+    operators (``intdiv`` is 'div' for Spark SQL, '//' for DuckDB)."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((({u_expr}) {intdiv} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((({h_expr}) {intdiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def _z_bin(x: str, xmin: str, xmax: str, intdiv: str) -> str:
+    """Range-normalize a dimension to [0, 2^ZORDER_BITS): equal-width bins
+    over the OBSERVED min/max. Without this, the wider dimension's high
+    bits dominate the interleave and the z-order degenerates into a 1-D
+    sort (a 4-bit user id against a 10-bit hour range clusters hours
+    only). Integer arithmetic exact on both engines."""
+    n = 1 << ZORDER_BITS
+    return f"((({x}) - ({xmin})) * {n}) {intdiv} (({xmax}) - ({xmin}) + 1)"
+
+
+_SQL_HOUR = "epoch_us(ts) // 3600000000"
+
+
+@query(
+    "pipeline_zorder_key",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_id, user_id, {_SQL_HOUR} AS hr FROM events
+    ),
+    b AS (
+      SELECT event_id,
+             {_z_bin('user_id', 'min(user_id) OVER ()',
+                     'max(user_id) OVER ()', '//')} AS ub,
+             {_z_bin('hr', 'min(hr) OVER ()', 'max(hr) OVER ()', '//')} AS hb
+      FROM h
+    )
+    SELECT event_id, CAST({_z_terms('ub', 'hb', '//')} AS BIGINT) AS zval
+    FROM b
+    """,
+)
+def pipeline_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) key over the two dimensions ad-hoc queries filter
+    events by — user and hour. Each dimension is first range-normalized
+    to 256 equal-width bins over its observed min/max (one tiny global
+    aggregate, broadcast back — the same stats pass any OPTIMIZE ZORDER
+    implementation does), then the bin bits are interleaved. Laying files
+    out in zval order (zorder_layout below) clusters BOTH dimensions at
+    once, so min/max file statistics prune reads for user-range AND
+    time-range predicates — the multi-dimensional data skipping a
+    single-column sort can't give. All integer arithmetic (bit i ==
+    (x div 2^i) mod 2), identical on both engines."""
+    from pyspark_text_classification_spark.functions.time import TS_US_EXPR
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr(f"({TS_US_EXPR}) div 3600000000").alias("hr")
+    )
+    lims = ev.agg(
+        F.min("user_id").alias("umin"), F.max("user_id").alias("umax"),
+        F.min("hr").alias("hmin"), F.max("hr").alias("hmax"),
+    )
+    b = ev.crossJoin(F.broadcast(lims)).select(
+        "event_id",
+        F.expr(_z_bin("user_id", "umin", "umax", "div")).alias("ub"),
+        F.expr(_z_bin("hr", "hmin", "hmax", "div")).alias("hb"),
+    )
+    return b.select(
+        "event_id",
+        F.expr(_z_terms("ub", "hb", "div")).cast("long").alias("zval"),
+    )
+
+
+def zorder_layout(df: DataFrame, zval: Column, n_files: int) -> DataFrame:
+    """Range-partition rows by their z-value (one shuffle — the same
+    exchange any re-layout pays) so each output file covers a compact
+    z-range, i.e. a small rectangle in (dim1, dim2) space. Write the
+    result with one file per partition and both dimensions' parquet
+    min/max stats become selective."""
+    return df.withColumn("__z", zval).repartitionByRange(
+        n_files, "__z"
+    ).sortWithinPartitions("__z").drop("__z")

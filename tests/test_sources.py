@@ -189,3 +189,23 @@ def test_orc_roundtrip_partitioned_and_pushdown(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(id), GreaterThan(id,1)]" in plan, plan
+
+
+def test_compact_files_merges_small_files(spark, tmp_path):
+    from pyspark_text_classification_spark.sources.parquet import compact_files
+
+    src = str(tmp_path / "many")
+    # 20 tiny files (one per partition)
+    spark.range(0, 2000).repartition(20).write.parquet(src)
+    assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 20
+
+    dst = str(tmp_path / "compacted")
+    n = compact_files(spark, src, dst, target_bytes_per_file=10 * 1024 * 1024)
+    out_files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert len(out_files) == n == 1  # tiny input -> one right-sized file
+    assert spark.read.parquet(dst).count() == 2000
+    # values preserved exactly
+    assert (
+        spark.read.parquet(dst).agg(F.sum("id")).first()[0]
+        == sum(range(2000))
+    )
