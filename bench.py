@@ -64,6 +64,7 @@ HEADLINE = [
     "pipeline_pack_chunks",
     "pipeline_global_rank",
     "pipeline_zorder_key",
+    "pipeline_decontaminate",
     "q24_percentiles",
     "q25_window_analytics",
     "q26_approx_sketches",

@@ -20,6 +20,9 @@ from pyspark_text_classification_spark.functions.hashing import (
     sql_char_poly_hash,
 )
 from pyspark_text_classification_spark.functions.text import tokenize
+from pyspark_text_classification_spark.operators.dedup import (
+    _sql_shingle_hashes as _sql_sh,
+)
 from pyspark_text_classification_spark.registry import query
 from pyspark_text_classification_spark.sources.parquet import fan_out, load_table
 
@@ -443,3 +446,67 @@ def zorder_layout(df: DataFrame, zval: Column, n_files: int) -> DataFrame:
     return df.withColumn("__z", zval).repartitionByRange(
         n_files, "__z"
     ).sortWithinPartitions("__z").drop("__z")
+
+
+BENCH_MOD = 37  # pseudo-benchmark: every 37th doc stands in for an eval set
+DECON_K = 3     # shingle width for overlap detection
+DECON_RATIO_PCT = 10  # contaminated if >= 10% of shingles hit the benchmark
+
+
+@query(
+    "pipeline_decontaminate",
+    oracle=f"""
+    WITH sh AS ({_sql_sh(DECON_K)}),
+    b AS (SELECT DISTINCT h FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+    c AS (
+      SELECT s.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(count(b.h) AS BIGINT) AS n_shared
+      FROM sh s LEFT JOIN b ON s.h = b.h
+      WHERE s.doc_id % {BENCH_MOD} <> 0
+      GROUP BY 1
+    )
+    SELECT doc_id, n_shingles, n_shared,
+           CAST(CASE WHEN n_shared * 100 >= n_shingles * {DECON_RATIO_PCT}
+                     AND n_shared > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+    FROM c
+    """,
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose token
+    3-shingles overlap an evaluation set — the contamination check every
+    serious pre-training pipeline runs before release (here every 37th
+    document stands in for the benchmark corpus).
+
+    100 TB shape: benchmark corpora are tiny relative to the training
+    corpus, so the benchmark's distinct shingle set BROADCASTS and the
+    check costs one map-side hash-join probe per corpus shingle — the
+    corpus is never shuffled. Shares the dedup family's shingle machinery
+    (token hashes folded into k-gram hashes, computed once per token)."""
+    from pyspark_text_classification_spark.operators.dedup import (
+        shingle_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_hashes(docs, k=DECON_K)
+    bench = (
+        sh.filter(F.col("doc_id") % BENCH_MOD == 0).select("h").distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+    hits = corpus.join(
+        F.broadcast(bench.withColumn("hit", F.lit(1))), "h", "left"
+    )
+    agg = hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.count("hit").alias("n_shared"),
+    )
+    contaminated = (
+        (F.col("n_shared") * 100 >= F.col("n_shingles") * DECON_RATIO_PCT)
+        & (F.col("n_shared") > 0)
+    )
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        contaminated.cast("int").alias("contaminated"),
+    )

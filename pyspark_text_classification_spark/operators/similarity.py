@@ -738,3 +738,51 @@ def similarity_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(err, 6).alias("l2_err"),
         n_sat.cast("long").alias("n_sat"),
     )
+
+
+HARD_NEG_LO = 0.05  # below this the pair is trivially unrelated, not "hard"
+HARD_NEG_K = 3
+
+
+@query(
+    "similarity_hard_negatives",
+    oracle=f"""
+    WITH {_SQL_LSH_PRELUDE},
+    p AS ({_SQL_MIRROR})
+    SELECT vec_id, neighbor_id, {sql_round_half_up('cos', 4)} AS cos_sim,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT vec_id, neighbor_id, cos,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY {sql_round_half_up('cos', 4)} DESC, neighbor_id
+             ) AS rnk
+      FROM p
+      WHERE {sql_round_half_up('cos', 4)} >= {HARD_NEG_LO}
+        AND {sql_round_half_up('cos', 4)} < {NEAR_DUP_THRESHOLD}
+    ) WHERE rnk <= {HARD_NEG_K}
+    """,
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per vector,
+    the top-3 most similar neighbors that are NOT near-dups
+    (cos in [0.05, 0.45)) — similar enough to be
+    informative, dissimilar enough to be true negatives.
+
+    Rides the same LSH candidate generator as the near-dup family (bucket
+    equi-join, no cross join): hard negatives are by definition the
+    near-misses an LSH index surfaces, so the candidate set that finds
+    duplicates finds the negatives for free. One extra window over the
+    already-small candidate pair table."""
+    e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
+    bk = lsh_bucket_table(e).persist()
+    pairs = _mirror(candidate_cosines(e, lsh_candidate_pairs(bk)))
+    cos4 = round_half_up(F.col("cos"), 4)
+    hard = pairs.filter((cos4 >= HARD_NEG_LO) & (cos4 < NEAR_DUP_THRESHOLD))
+    w = Window.partitionBy("vec_id").orderBy(cos4.desc(), "neighbor_id")
+    out = (
+        hard.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= HARD_NEG_K)
+        .select("vec_id", "neighbor_id", cos4.alias("cos_sim"), "rnk")
+    )
+    return _finalize(out, e, bk)
