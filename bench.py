@@ -74,6 +74,8 @@ HEADLINE = [
     "ml_infer_batch",
     "ml_hash_tf_buckets",
     "ml_tfidf_matrix",
+    "ml_doc_embedding",
+    "events_value_zscore",
 ]
 
 

@@ -193,3 +193,100 @@ def ml_tfidf_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf").cast("long").alias("tf"),
         round_half_up(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash doc embeddings (feature-hashing the embedding way)
+# ---------------------------------------------------------------------------
+
+EMB_DIMS = 8
+_E_A = 1_103_515_245
+_E_C = 12_345
+_E_M = 2_147_483_648  # 2^31
+_E_HALF = 1_073_741_824  # 2^30
+
+
+def _tok_comp(th: str, d: int) -> str:
+    """Component d of a token's pseudo-embedding, in [-1, 1): an LCG draw
+    seeded by (token_hash, dim). ``th`` < 2^31 and the seed is reduced
+    mod 2^31 BEFORE the multiply, so everything stays inside int64 —
+    identical integer math on both engines, then one exact division by
+    2^30 (a power of two: only the exponent changes)."""
+    return (
+        f"((((({th}) * {EMB_DIMS} + {d}) % {_E_M}) * {_E_A} + {_E_C})"
+        f" % {_E_M} - {_E_HALF}) / {float(_E_HALF)}"
+    )
+
+
+@query(
+    "ml_doc_embedding",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(str_split_regex(lower(text), '\\W+'),
+                           t -> length(t) >= 2),
+               t -> {sql_char_poly_hash('t')}) AS th
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, CAST(length(th) AS BIGINT) AS n_tokens,
+             {', '.join(
+                 f"list_reduce(list_prepend(0.0, list_transform(th, "
+                 f"h -> {_tok_comp('h', d)})), (acc, x) -> acc + x)"
+                 f" / greatest(length(th), 1) AS e{d}"
+                 for d in range(EMB_DIMS)
+             )}
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           {', '.join(
+               sql_round_half_up(f'e{d}', 6) + f' AS e{d}'
+               for d in range(4)
+           )},
+           {sql_round_half_up(
+               'sqrt(' + ' + '.join(f'e{d} * e{d}' for d in range(EMB_DIMS)) + ')',
+               6)} AS nrm
+    FROM m
+    """,
+)
+def ml_doc_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based document embeddings (mean-pooled token
+    vectors): each token's pseudo-embedding is an LCG function of its
+    content hash — the feature-hashing trick (Weinberger et al., ICML
+    2009) shaped as a dense embedding, giving every pipeline stage that
+    needs an `array<float>` column (ANN, near-dup, quantization) a
+    model-free, reproducible source. Emits the first 4 dims + the L2 norm
+    per doc.
+
+    Entirely in-row: tokenize -> hash each token once -> 8 sequential
+    folds per doc — no shuffle, no Python, no model download; at 100 TB
+    the cost is one codegen scan. A trained encoder slots in through
+    ml/inference.batch_infer with the same output schema."""
+    from pyspark_text_classification_spark.functions.hashing import (
+        _poly_hash_sql,
+    )
+    from pyspark_text_classification_spark.functions.text import round_half_up
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = "filter(split(lower(text), '\\\\W+'), t -> length(t) >= 2)"
+    th = f"transform({toks}, t -> {_poly_hash_sql('t')})"
+    t = docs.selectExpr("doc_id", f"{th} AS th")
+    means = [
+        F.expr(
+            f"aggregate(th, CAST(0.0 AS DOUBLE), "
+            f"(acc, h) -> acc + ({_tok_comp('h', d)}))"
+            f" / greatest(size(th), 1)"
+        ).alias(f"e{d}")
+        for d in range(EMB_DIMS)
+    ]
+    m = t.select(
+        "doc_id", F.size("th").cast("long").alias("n_tokens"), *means
+    )
+    nrm = F.sqrt(sum(F.col(f"e{d}") * F.col(f"e{d}") for d in range(EMB_DIMS)))
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        *[round_half_up(F.col(f"e{d}"), 6).alias(f"e{d}") for d in range(4)],
+        round_half_up(nrm, 6).alias("nrm"),
+    )

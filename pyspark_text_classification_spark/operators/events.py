@@ -401,3 +401,54 @@ def events_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+ZSCORE_OUTLIER = 3.0
+
+
+@query(
+    "events_value_zscore",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             sum(value) AS sv, sum(value * value) AS svv
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id,
+           {sql_round_half_up(
+               'CASE WHEN s.n >= 2 AND (s.svv - s.sv * s.sv / s.n) > 0 THEN '
+               '(e.value - s.sv / s.n) / '
+               'sqrt((s.svv - s.sv * s.sv / s.n) / (s.n - 1)) '
+               'ELSE 0.0 END', 4)} AS zscore
+    FROM events e JOIN s USING (user_id)
+    """,
+)
+def events_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value anomaly score: each event's z-score against its own
+    user's mean/stddev — the metrics-outlier shape (fraud, telemetry
+    spikes) over a grouped population.
+
+    Two passes, one data shuffle avoided: the per-user moment aggregate
+    (count/sum/sum-of-squares — all algebraic, map-side combinable)
+    produces a USER-bounded table that broadcasts back onto the events
+    scan, so the big side joins without moving. Moments are used instead
+    of stddev_samp() so both engines evaluate the identical closed-form
+    expression (Welford-merge implementations differ in ulps); users with
+    <2 events or zero variance score 0."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sv"),
+        F.sum(F.col("value") * F.col("value")).alias("svv"),
+    )
+    var_num = F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")
+    z = F.when(
+        (F.col("n") >= 2) & (var_num > 0),
+        (F.col("value") - F.col("sv") / F.col("n"))
+        / F.sqrt(var_num / (F.col("n") - 1)),
+    ).otherwise(F.lit(0.0))
+    return ev.join(F.broadcast(s), "user_id").select(
+        "event_id",
+        "user_id",
+        round_half_up(z, 4).alias("zscore"),
+    )
