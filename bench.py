@@ -44,6 +44,7 @@ HEADLINE = [
     "text_token_counts",
     "pipeline_pii_scrub",
     "dedup_exact",
+    "multimodal_dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "similarity_near_dup",

@@ -436,18 +436,29 @@ def events_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression (Welford-merge implementations differ in ulps); users with
     <2 events or zero variance score 0."""
     ev = load_table(spark, sf_dir, "events")
-    s = ev.groupBy("user_id").agg(
+    return zscore_against_moments(ev, user_moments(ev))
+
+
+def user_moments(ev: DataFrame) -> DataFrame:
+    """(user_id, n, sv, svv): per-user value moments — algebraic, so the
+    aggregate completes map-side and the result is user-bounded."""
+    return ev.groupBy("user_id").agg(
         F.count("*").alias("n"),
         F.sum("value").alias("sv"),
         F.sum(F.col("value") * F.col("value")).alias("svv"),
     )
+
+
+def zscore_against_moments(ev: DataFrame, moments: DataFrame) -> DataFrame:
+    """Score each event against a (broadcast) moments table — shared by the
+    batch query and the streaming twin (stream rows vs static moments)."""
     var_num = F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")
     z = F.when(
         (F.col("n") >= 2) & (var_num > 0),
         (F.col("value") - F.col("sv") / F.col("n"))
         / F.sqrt(var_num / (F.col("n") - 1)),
     ).otherwise(F.lit(0.0))
-    return ev.join(F.broadcast(s), "user_id").select(
+    return ev.join(F.broadcast(moments), "user_id").select(
         "event_id",
         "user_id",
         round_half_up(z, 4).alias("zscore"),

@@ -254,3 +254,37 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-verified against byte arithmetic recomputed in SQL."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return resize_payloads(attach_binary_payload(docs))
+
+
+@query(
+    "multimodal_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(octet_length(encode(text))) AS BIGINT) AS n_bytes
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary dedup: group payloads by content digest, keep the
+    canonical (min doc_id) copy — the first pass every petabyte-scale
+    image/audio corpus runs, since crawlers re-fetch identical bytes
+    under many URLs.
+
+    The SHA-256 digest is computed map-side next to the scan (JVM
+    expression), so the shuffle carries (digest, doc_id, n_bytes) — never
+    the payload bytes themselves: at 100 TB the exchange is ~50 bytes/row
+    regardless of payload size. Same keeper policy (min id) as the text
+    dedup family."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(fan_out(docs))
+    return (
+        payloads.groupBy(F.sha2("payload", 256).alias("digest"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("n_copies"),
+            F.min(F.col("meta.n_bytes")).cast("long").alias("n_bytes"),
+        )
+        .drop("digest")
+    )

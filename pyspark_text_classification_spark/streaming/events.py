@@ -152,3 +152,48 @@ query(
     GROUP BY 1, 2
     """,
 )(stream_sliding_1h_15m)
+
+
+def stream_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly scoring against STATIC per-user moments — the
+    model-scoring twin of events_value_zscore: the reference statistics
+    are computed once from the historical table (in production: refreshed
+    on a cadence), broadcast to every executor, and each arriving event
+    scores with a map-side join — no stream-side shuffle, no state. On a
+    drained replay of the same table this must equal the batch query
+    (same oracle)."""
+    import uuid as _uuid
+
+    from pyspark_text_classification_spark.operators.events import (
+        user_moments,
+        zscore_against_moments,
+    )
+    from pyspark_text_classification_spark.sources.parquet import load_table
+
+    static = load_table(spark, sf_dir, "events")
+    moments = user_moments(static)
+    src = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    scored = zscore_against_moments(src, moments)
+    sink_name = f"stream_zscore_{_uuid.uuid4().hex[:8]}"
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name)
+
+
+from pyspark_text_classification_spark.registry import ORACLES  # noqa: E402
+
+query(
+    "events_stream_value_zscore",
+    oracle=ORACLES["events_value_zscore"],
+)(stream_value_zscore)

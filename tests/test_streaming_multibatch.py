@@ -207,3 +207,79 @@ def test_idempotent_sink_exactly_once_on_replay_and_restart(spark, tmp_path):
     )
     idempotent_parquet_sink(src2, out, ckpt).awaitTermination()
     assert spark.read.parquet(out).count() == want
+
+
+def test_closed_sessions_deterministic_across_batch_split(spark, tmp_path):
+    """The closed-session emitter must produce the same session rows no
+    matter where the micro-batch boundary falls — including a boundary in
+    the MIDDLE of a session (state carries the open session across)."""
+    import pyarrow.parquet as pq
+
+    from pyspark_text_classification_spark.all_queries import ORACLES
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            ORACLES["events_stream_closed_sessions"]
+        ).fetchall()
+    }
+    assert want, "fixture should close at least one session"
+
+    # split the events table into three files -> three micro-batches
+    tbl = pq.read_table(f"{sf}/events.parquet")
+    d = tmp_path / "closed_src"
+    os.makedirs(d)
+    third = tbl.num_rows // 3
+    pq.write_table(tbl.slice(0, third), str(d / "a.parquet"))
+    pq.write_table(tbl.slice(third, third), str(d / "b.parquet"))
+    pq.write_table(tbl.slice(2 * third), str(d / "c.parquet"))
+    now = time.time()
+    for i, f in enumerate(("a.parquet", "b.parquet", "c.parquet")):
+        os.utime(d / f, (now - 300 + i * 100, now - 300 + i * 100))
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from pyspark_text_classification_spark.functions.time import TS_US_EXPR
+    from pyspark_text_classification_spark.streaming.sessionize import (
+        _CLOSED_OUT_SCHEMA,
+        _CLOSED_STATE_SCHEMA,
+        _closed_sessions_group,
+    )
+
+    src = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .load(str(d))
+    )
+    closed = (
+        src.selectExpr("event_id", "user_id", f"{TS_US_EXPR} AS ts_us")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _closed_sessions_group,
+            outputStructType=_CLOSED_OUT_SCHEMA,
+            stateStructType=_CLOSED_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        closed.writeStream.format("memory")
+        .queryName("closed_mb")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_id, r.n_events, r.start_us, r.end_us)
+        for r in spark.table("closed_mb").collect()
+    }
+    assert got == want
