@@ -463,3 +463,51 @@ def zscore_against_moments(ev: DataFrame, moments: DataFrame) -> DataFrame:
         "user_id",
         round_half_up(z, 4).alias("zscore"),
     )
+
+
+@query(
+    "events_retention_unpivot",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, (epoch_us(ts)) // {WEEK_US} AS week
+      FROM events
+    ),
+    first AS (
+      SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id
+    ),
+    activity AS (SELECT DISTINCT user_id, week FROM e),
+    r AS (
+      SELECT f.cohort_week, a.week - f.cohort_week AS ws
+      FROM activity a JOIN first f ON a.user_id = f.user_id
+    ),
+    wide AS (
+      SELECT cohort_week,
+             {', '.join(
+                 f'CAST(count(*) FILTER (ws = {w}) AS BIGINT) AS week_{w}'
+                 for w in RETENTION_WEEKS
+             )}
+      FROM r GROUP BY cohort_week
+    )
+    SELECT cohort_week, week_offset, n_active
+    FROM wide
+    UNPIVOT (n_active FOR week_offset IN (
+      {', '.join(f"week_{w} AS '{w}'" for w in RETENTION_WEEKS)}
+    ))
+    """,
+)
+def events_retention_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide retention triangle back to tidy long form
+    — the missing half of the pivot surface (wide sources arrive from
+    spreadsheets/reports; analytics wants long). Spark's native
+    ``unpivot`` plans as an Expand (no shuffle, no UDF) over the already
+    cohort-sized table. Zero-count cells survive the round trip (they are
+    rows with n_active = 0, not dropped rows)."""
+    wide = events_retention_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["cohort_week"],
+        values=[f"week_{w}" for w in RETENTION_WEEKS],
+        variableColumnName="week_offset",
+        valueColumnName="n_active",
+    ).withColumn(
+        "week_offset", F.replace("week_offset", F.lit("week_"), F.lit(""))
+    )

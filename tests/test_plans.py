@@ -119,3 +119,15 @@ def test_pandas_operators_use_arrow_map(spark, sf_dir):
     for name in sorted(PANDAS_QUERIES):
         nodes = python_eval_nodes(QUERIES[name](spark, sf_dir))
         assert nodes == ["MapInPandas"], f"{name}: {nodes}"
+
+
+def test_decontaminate_broadcasts_benchmark_set(spark, sf_dir):
+    """The benchmark shingle set must broadcast — the corpus side of the
+    contamination check never shuffles."""
+    assert uses_broadcast_join(QUERIES["pipeline_decontaminate"](spark, sf_dir))
+
+
+def test_zscore_broadcasts_moments(spark, sf_dir):
+    """Per-user moments are user-bounded: they broadcast back onto the
+    events scan instead of shuffling the events."""
+    assert uses_broadcast_join(QUERIES["events_value_zscore"](spark, sf_dir))
