@@ -58,4 +58,12 @@ def python_eval_nodes(df: DataFrame) -> list[str]:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    return formatted_plan(df).count("WholeStageCodegen")
+    """Number of distinct whole-stage-codegen stages in the plan.
+
+    The formatted plan marks fused operators with ``[codegen id : N]``
+    (the legacy ``WholeStageCodegen`` node name only appears in the
+    simple-mode string); counting distinct ids counts fused spans."""
+    import re
+
+    plan = formatted_plan(df)
+    return len(set(re.findall(r"\[codegen id : (\d+)\]", plan)))

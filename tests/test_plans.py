@@ -131,3 +131,22 @@ def test_zscore_broadcasts_moments(spark, sf_dir):
     """Per-user moments are user-bounded: they broadcast back onto the
     events scan instead of shuffling the events."""
     assert uses_broadcast_join(QUERIES["events_value_zscore"](spark, sf_dir))
+
+
+def test_hot_scans_stay_in_codegen(spark, sf_dir):
+    """Pure-arithmetic column programs must run inside WholeStageCodegen —
+    an interpreted projection on the corpus scan is a 10x regression the
+    rows can't reveal. Scope: queries whose expressions are codegen-capable
+    (array higher-order-function lambdas are CodegenFallback by design in
+    Spark, so the HOF-heavy text/vector programs are excluded — their
+    scale contract is the no-Python sweep above). Under AQE codegen ids
+    only appear in the FINAL plan, so each query is collected first."""
+    from pyspark_text_classification_spark.plans.explain import (
+        codegen_stage_count,
+    )
+
+    for name in ("q01_scan_project", "q09_group_count_2keys",
+                 "pipeline_zorder_key", "events_value_zscore"):
+        df = QUERIES[name](spark, sf_dir)
+        df.collect()  # finalize the adaptive plan on THIS DataFrame
+        assert codegen_stage_count(df) >= 1, name

@@ -209,3 +209,23 @@ def test_compact_files_merges_small_files(spark, tmp_path):
         spark.read.parquet(dst).agg(F.sum("id")).first()[0]
         == sum(range(2000))
     )
+
+
+def test_read_text_lines_and_whole_file(spark, tmp_path):
+    from pyspark_text_classification_spark.sources.text import read_text_lines
+
+    d = tmp_path / "raw"
+    os.makedirs(d)
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("solo document")
+
+    lines = read_text_lines(spark, str(d), with_file=True)
+    got = {(r.value, os.path.basename(r.file.replace("file://", ""))) 
+           for r in lines.collect()}
+    assert got == {
+        ("line one", "a.txt"), ("line two", "a.txt"), ("solo document", "b.txt")
+    }
+
+    docs = read_text_lines(spark, str(d), whole_file=True)
+    texts = sorted(r.value for r in docs.collect())
+    assert texts == ["line one\nline two\n", "solo document"]
