@@ -52,6 +52,7 @@ HEADLINE = [
     "similarity_ann_ivf",
     "similarity_quantize_int8",
     "pipeline_clean_corpus",
+    "pipeline_full_prep",
     "events_user_window",
     "events_sessionize",
     "events_tumbling_hourly",

@@ -510,3 +510,75 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared",
         contaminated.cast("int").alias("contaminated"),
     )
+
+
+@query(
+    "pipeline_full_prep",
+    oracle=f"""
+    WITH scrubbed AS (
+      SELECT doc_id, {_sql_scrub('text')} AS stext FROM documents
+    ),
+    q AS (
+      SELECT doc_id, stext,
+             CAST(length(list_filter(str_split_regex(lower(stext), '\\W+'),
+                                     t -> length(t) >= 2)) AS BIGINT)
+               AS n_tokens
+      FROM scrubbed
+    ),
+    kept AS (
+      SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_copies,
+             min(stext) AS stext
+      FROM q WHERE n_tokens >= {MIN_TOKENS} GROUP BY stext
+    ),
+    split AS (
+      SELECT CASE WHEN {sql_char_poly_hash('stext')} % 100 < {SPLIT_PCT[0]}
+                  THEN 'train'
+                  WHEN {sql_char_poly_hash('stext')} % 100 < {SPLIT_PCT[1]}
+                  THEN 'val' ELSE 'test' END AS split,
+             n_tokens, n_copies
+      FROM kept
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_copies - 1) AS BIGINT) AS dup_copies_absorbed
+    FROM split GROUP BY split
+    """,
+)
+def pipeline_full_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-prep chain END-TO-END in one declarative plan:
+    PII-scrub -> quality filter -> exact dedup (canonical keeper) ->
+    content-hash split assignment -> per-split release stats.
+
+    The point is what Catalyst does with the composition: scrub, tokenize
+    count, and the quality predicate all fuse into the SCAN's projection
+    (filtered rows never reach an exchange); the dedup groupBy is the one
+    wide shuffle; the split expression rides the dedup output and the
+    final per-split aggregate is three rows. One data-sized shuffle for
+    the entire pipeline — composing the five operators costs no more than
+    the most expensive one alone, which is the whole argument for a
+    declarative engine at 100 TB."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    stext = scrub_pii("text").alias("stext")
+    q = docs.select("doc_id", stext).select(
+        "doc_id",
+        "stext",
+        F.size(tokenize("stext", 2)).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= MIN_TOKENS)
+    kept = q.groupBy("stext").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.count("*").alias("n_copies"),
+    )
+    bucket = char_poly_hash("stext") % 100
+    split = (
+        F.when(bucket < SPLIT_PCT[0], "train")
+        .when(bucket < SPLIT_PCT[1], "val")
+        .otherwise("test")
+    )
+    return kept.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.col("n_copies") - 1).alias("dup_copies_absorbed"),
+    )
