@@ -678,9 +678,10 @@ INT8_MAX = 127
     ),
     q AS (
       SELECT vec_id, v,
-             CASE WHEN mx > 0 THEN mx / {INT8_MAX} ELSE 1.0 END AS scale,
+             CASE WHEN mx / {INT8_MAX} > 0 THEN mx / {INT8_MAX}
+                  ELSE 1.0 END AS scale,
              list_transform(v, x ->
-               CASE WHEN mx > 0
+               CASE WHEN mx / {INT8_MAX} > 0
                     THEN floor(x / (mx / {INT8_MAX}) + 0.5) ELSE 0.0 END) AS qv
       FROM m
     )
@@ -713,11 +714,15 @@ def similarity_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = F.array_max(F.transform("v", F.abs))
     m = e.select("vec_id", "v", mx.alias("mx"))
-    scale = F.when(F.col("mx") > 0, F.col("mx") / INT8_MAX).otherwise(F.lit(1.0))
+    # guard on the SCALE being positive, not the max: a subnormal max can
+    # underflow mx/127 to exactly 0.0, and dividing by it would overflow
+    # (caught by the quantization property test)
+    s_pos = F.col("mx") / INT8_MAX > 0
+    scale = F.when(s_pos, F.col("mx") / INT8_MAX).otherwise(F.lit(1.0))
     qv = F.transform(
         "v",
         lambda x: F.when(
-            F.col("mx") > 0, F.floor(x / (F.col("mx") / INT8_MAX) + 0.5)
+            s_pos, F.floor(x / (F.col("mx") / INT8_MAX) + 0.5)
         ).otherwise(F.lit(0).cast("long")),
     )
     q = m.select("vec_id", "v", scale.alias("scale"), qv.alias("qv"))

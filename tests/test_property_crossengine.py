@@ -159,3 +159,68 @@ def test_token_shingle_hashes_three_way(spark, texts, k):
             "FROM (SELECT ? AS text) t", [t]
         ).fetchone()
         assert sorted(set(hs)) == want[i], f"duckdb shingles mismatch for {t!r}"
+
+
+# ---------------------------------------------------------------------------
+# Pure-arithmetic properties (no engine needed — the formulas ARE the spec)
+# ---------------------------------------------------------------------------
+
+
+def _py_interleave(u: int, h: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((u >> i) & 1) << (2 * i)
+        z |= ((h >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@given(
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=200, deadline=None)
+def test_zorder_terms_equal_bit_interleave(u, h):
+    """The div/mod z-value formula (portable across engines without bitwise
+    operators) must equal the classic bit-interleave — and be invertible,
+    so file ranges in z-space map back to rectangles in (dim1, dim2)."""
+    from pyspark_text_classification_spark.operators.pipeline import (
+        ZORDER_BITS,
+        _z_terms,
+    )
+
+    got = eval(  # the generated expression IS python-evaluable with // as div
+        _z_terms(str(u), str(h), "//")
+    )
+    assert got == _py_interleave(u, h, ZORDER_BITS)
+    # invertibility: decode back
+    du = sum(((got >> (2 * i)) & 1) << i for i in range(ZORDER_BITS))
+    dh = sum(((got >> (2 * i + 1)) & 1) << i for i in range(ZORDER_BITS))
+    assert (du, dh) == (u, h)
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-100.0, max_value=100.0,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_int8_quantization_error_bound(v):
+    """Symmetric int8 quantization must satisfy the per-component error
+    bound |x - q*scale| <= scale/2 (floor(x/s + 0.5) rounds to the nearest
+    representable level), hence L2 error <= scale/2 * sqrt(dims)."""
+    import math
+
+    mx = max(abs(x) for x in v)
+    # operator semantics: guard on the scale (mx/127 can underflow to 0.0
+    # for subnormal maxima — then everything quantizes to 0)
+    s = mx / 127
+    scale = s if s > 0 else 1.0
+    q = [math.floor(x / scale + 0.5) if s > 0 else 0 for x in v]
+    assert all(abs(c) <= 127 for c in q)
+    err = math.sqrt(sum((x - c * scale) ** 2 for x, c in zip(v, q)))
+    assert err <= scale / 2 * math.sqrt(len(v)) + 1e-12
