@@ -35,6 +35,7 @@ from pyspark_text_classification_spark.functions.hashing import (
     BAND_ROWS,
     HASH_MOD,
     MINHASH_PERMS,
+    SHINGLE_MULT,
     SIMHASH_BITS,
     _poly_hash_sql,
     char_poly_hash,
@@ -621,3 +622,107 @@ def dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = jac.select("doc_a", "doc_b").localCheckpoint(eager=True)
     release_shingles()
     return two_star_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# sub-document (chunk-level) exact dedup
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32
+
+_CHUNK_FOLD = (
+    f"aggregate(slice(th, i * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS}), "
+    f"CAST(0 AS BIGINT), "
+    f"(acc, h) -> (acc * {SHINGLE_MULT} + h) % {HASH_MOD})"
+)
+
+_SQL_CHUNK_FOLD = (
+    f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    f"list_slice(th, i * {CHUNK_TOKENS} + 1, i * {CHUNK_TOKENS} + {CHUNK_TOKENS})), "
+    f"(acc, h) -> (acc * {SHINGLE_MULT} + h) % {HASH_MOD})"
+)
+
+
+@query(
+    "dedup_chunks",
+    oracle=f"""
+    WITH th AS (
+      SELECT doc_id,
+             list_transform({_SQL_TOKENS}, t -> {sql_char_poly_hash('t')}) AS th
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, u.chunk_hash AS chunk_hash FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(0, CAST(ceil(length(th) / {CHUNK_TOKENS}.0) AS BIGINT)),
+                 i -> {{'chunk_hash': {_SQL_CHUNK_FOLD}}})) AS u
+        FROM th WHERE length(th) > 0
+      )
+    ),
+    d AS (
+      SELECT chunk_hash FROM ch
+      GROUP BY chunk_hash HAVING count(DISTINCT doc_id) > 1
+    )
+    SELECT c.doc_id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(d.chunk_hash) AS BIGINT) AS n_shared_chunks,
+           {sql_round_half_up('count(d.chunk_hash) / count(*)', 4)}
+             AS shared_chunk_ratio
+    FROM ch c LEFT JOIN d ON c.chunk_hash = d.chunk_hash
+    GROUP BY c.doc_id
+    """,
+)
+def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup: split each document into fixed
+    {CHUNK_TOKENS}-token chunks and report, per document, how many of its
+    chunks also occur verbatim in ANOTHER document — the line/passage-level
+    dedup step of web-corpus pipelines (RefinedWeb, C4 remove repeated
+    boilerplate passages that whole-document dedup misses).
+
+    Scale shape: chunking is entirely in-row (each token char-hashed once,
+    each chunk a polynomial fold over its <= {CHUNK_TOKENS} token hashes),
+    so the exploded stream carries (doc_id, chunk_hash) — ~16 bytes/row,
+    never chunk text.  The shared-chunk detection is one hash aggregate
+    over chunk_hash with map-side partials; the flag-back join shuffles
+    hashes only.  Nothing in the plan holds more than a chunk-hash stream,
+    so the operator scales like dedup_exact, not like the n-gram family
+    (chunks are non-overlapping: ~N/{CHUNK_TOKENS} rows, not N x k).
+
+    A chunk repeated only WITHIN one document does not count as shared
+    (count(DISTINCT doc_id) > 1) — within-doc repetition is text_repetition's
+    job (operators/textstats.py)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    th = f"transform({_SPARK_TOKS}, t -> {_poly_hash_sql('t')})"
+    chunks = (
+        docs.selectExpr("doc_id", f"{th} AS th")
+        .where("size(th) > 0")
+        .selectExpr(
+            "doc_id",
+            f"explode(transform("
+            f"sequence(0, CAST(ceil(size(th) / {CHUNK_TOKENS}.0) AS INT) - 1), "
+            f"i -> {_CHUNK_FOLD})) AS chunk_hash",
+        )
+    )
+    shared = (
+        chunks.groupBy("chunk_hash")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("chunk_hash", F.lit(1).alias("dup"))
+    )
+    per_doc = (
+        chunks.join(shared, "chunk_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.count("dup").cast("long").alias("n_shared_chunks"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        "n_shared_chunks",
+        round_half_up(
+            F.col("n_shared_chunks") / F.col("n_chunks"), 4
+        ).alias("shared_chunk_ratio"),
+    )

@@ -519,6 +519,91 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LP_SCALE = 1_000_000  # micro-nat quantization for order-independent sums
+
+
+@query(
+    "text_lm_logprob",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    c AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM ex GROUP BY token
+    ),
+    tot AS (
+      SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c
+    ),
+    lp AS (
+      SELECT token,
+             CAST(floor(ln(CAST(cnt AS DOUBLE) / t.total) * {LP_SCALE}.0 + 0.5)
+                  AS BIGINT) AS lp_q
+      FROM c CROSS JOIN tot t
+    ),
+    d AS (
+      SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(lp.lp_q) AS BIGINT) AS sum_q
+      FROM ex e JOIN lp USING (token) GROUP BY e.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           {sql_round_half_up(
+               f'CAST(sum_q AS DOUBLE) / ({LP_SCALE}.0 * n_tokens)', 4)}
+             AS mean_logprob,
+           {sql_round_half_up(
+               f'exp(-(CAST(sum_q AS DOUBLE) / ({LP_SCALE}.0 * n_tokens)))', 4)}
+             AS perplexity
+    FROM d
+    """,
+)
+def text_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: fit token log-probabilities on
+    the corpus itself, then score each document by its mean token log-prob
+    (and the equivalent unigram perplexity).  This is the cheap end of the
+    perplexity-filter family used for pre-training data curation (CCNet /
+    Wenzek 2020 score documents with a KenLM n-gram model; the unigram
+    case needs no external model and is fully relational).
+
+    Scale shape: the token-count "model fit" is a vocabulary-bounded hash
+    aggregate with map-side partials; the scalar corpus total broadcasts;
+    scoring re-joins log-probs onto the exploded corpus via a BROADCAST
+    hash join (the model table is vocabulary-sized, never corpus-sized),
+    so the only data-sized shuffle is the final per-doc aggregate.
+
+    Determinism: per-token log-probs are quantized to integer micro-nats
+    BEFORE the per-doc sum, so the double summation order (which differs
+    between Spark hash aggregates and DuckDB) cannot perturb the result —
+    the same int64-quantization discipline as the LSH plane dots
+    (operators/similarity.py) and the entropy fold.
+
+    Docs with zero tokens after the min-length-2 tokenizer have no rows to
+    score and are absent from the output on both engines."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    ex = docs.select("doc_id", F.explode(tokenize("text", 2)).alias("token"))
+    c = ex.groupBy("token").agg(F.count("*").alias("cnt"))
+    tot = c.agg(F.sum("cnt").cast("double").alias("total"))
+    lp = c.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.floor(F.log(F.col("cnt").cast("double") / F.col("total")) * LP_SCALE + 0.5)
+        .cast("long")
+        .alias("lp_q"),
+    )
+    d = (
+        ex.join(F.broadcast(lp), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("lp_q").cast("long").alias("sum_q"),
+        )
+    )
+    mean_lp = F.col("sum_q").cast("double") / (F.lit(float(LP_SCALE)) * F.col("n_tokens"))
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        round_half_up(mean_lp, 4).alias("mean_logprob"),
+        round_half_up(F.exp(-mean_lp), 4).alias("perplexity"),
+    )
+
+
 TOP_TOKENS_K = 10
 
 
