@@ -582,3 +582,98 @@ def pipeline_full_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.sum(F.col("n_copies") - 1).alias("dup_copies_absorbed"),
     )
+
+
+# Target mixture for pipeline_mixture_sample, as integer proportion parts
+# (weights as literal doubles would drag inexact division into the keep
+# decision; integer parts keep every rate computation exact on both
+# engines). Unlisted sources get the default part count.
+MIX_PARTS = {"src0": 30, "src1": 20}
+MIX_PART_DEFAULT = 3
+_MIX_SALT = "|mix"  # decouples this hash stream from split/sample streams
+_PPM = 1_000_000
+
+
+def _parts_sql() -> str:
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {p}" for s, p in MIX_PARTS.items()
+    )
+    return f"CASE {whens} ELSE {MIX_PART_DEFAULT} END"
+
+
+@query(
+    "pipeline_mixture_sample",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, source, text, {_parts_sql()} AS parts FROM documents
+    ),
+    c AS (
+      SELECT source, parts, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT min((n * {_PPM}) // parts) AS tq FROM c
+    ),
+    r AS (
+      SELECT source, (parts * tq) // n AS thr_ppm FROM c CROSS JOIN t
+    ),
+    s AS (
+      SELECT p.doc_id, p.source, r.thr_ppm,
+             {sql_char_poly_hash(f"text || '{_MIX_SALT}'")} % {_PPM}
+               < r.thr_ppm AS keep
+      FROM p JOIN r USING (source)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(min(thr_ppm) AS BIGINT) AS thr_ppm,
+           CAST(count(*) FILTER (keep) AS BIGINT) AS n_sampled,
+           CAST(sum(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT)
+             AS kept_id_sum
+    FROM s GROUP BY source
+    """,
+)
+def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reweighting: downsample each source so the sampled corpus
+    matches a TARGET mixture (MIX_PARTS proportions) — the data-mixing
+    step that turns raw per-source availability into the training blend
+    (e.g. "30 parts web, 20 parts books, 3 parts everything else").
+
+    Rates are derived, not configured: waterfilling without upsampling —
+    the feasible sampled total is T = min over sources of (count_s /
+    parts_s), and source s keeps rate_s = parts_s * T / count_s (<= 1 by
+    construction; the scarcest source binds and is kept whole). All rate
+    arithmetic is scaled-integer (ppm) so both engines make bit-identical
+    keep decisions; intermediate products stay under 2^63 up to ~10^13
+    docs per source.
+
+    Scale shape: one source-bounded count aggregate, a scalar min that
+    broadcasts, a broadcast rate join back onto the corpus (sources are
+    few), and the deterministic content-hash keep decision — the same
+    stable-under-regrowth, duplicate-consistent, retry-safe semantics as
+    pipeline_stratified_sample, with the per-source aggregate as the only
+    data-sized shuffle. kept_id_sum pins the exact kept set."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    parts = F.lit(MIX_PART_DEFAULT)
+    for s, pv in MIX_PARTS.items():
+        parts = F.when(F.col("source") == s, pv).otherwise(parts)
+    c = docs.groupBy("source", parts.alias("parts")).agg(
+        F.count("*").alias("n")
+    )
+    tq = c.agg(F.min(F.expr(f"(n * {_PPM}) div parts")).alias("tq"))
+    rates = (
+        c.crossJoin(F.broadcast(tq))
+        .select("source", F.expr("(parts * tq) div n").alias("thr_ppm"))
+    )
+    keep = (
+        char_poly_hash(F.concat(F.col("text"), F.lit(_MIX_SALT))) % _PPM
+        < F.col("thr_ppm")
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.min("thr_ppm").alias("thr_ppm"),
+            F.count_if(keep).alias("n_sampled"),
+            F.sum(F.when(keep, F.col("doc_id")).otherwise(0)).alias("kept_id_sum"),
+        )
+    )

@@ -791,3 +791,119 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "neighbor_id", cos4.alias("cos_sim"), "rnk")
     )
     return _finalize(out, e, bk)
+
+
+KM_SCALE = 1_000_000  # micro-unit quantization for order-independent means
+_SQL_KM_DOT = _SQL_IVF_DOT
+
+
+@query(
+    "similarity_kmeans_step",
+    oracle=f"""
+    WITH n AS ({_SQL_NORMED}),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+      FROM n ORDER BY vec_id LIMIT {IVF_CELLS}
+    ),
+    ac AS (
+      SELECT n.vec_id, c.cent_id,
+             {_SQL_KM_DOT.format(a='n.v', b='c.cv')} / (n.nrm * c.cnrm) AS cos
+      FROM n CROSS JOIN cents c
+    ),
+    ranked AS (
+      SELECT vec_id, cent_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id)
+               AS rk
+      FROM ac
+    ),
+    members AS (SELECT vec_id, cent_id FROM ranked WHERE rk = 1),
+    x AS (
+      SELECT cent_id, u.dim AS dim,
+             CAST(floor(u.val * {KM_SCALE}.0 + 0.5) AS BIGINT) AS q
+      FROM (
+        SELECT m.cent_id,
+               unnest(list_transform(range(1, length(n.v) + 1),
+                 i -> {{'dim': i - 1, 'val': n.v[i]}})) AS u
+        FROM members m JOIN n ON n.vec_id = m.vec_id
+      )
+    )
+    SELECT cent_id, CAST(dim AS INT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_members,
+           {sql_round_half_up(
+               f'CAST(sum(q) AS DOUBLE) / ({KM_SCALE}.0 * count(*))', 4)}
+             AS centroid_val
+    FROM x GROUP BY cent_id, dim
+    """,
+)
+def similarity_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd iteration of distributed k-means over the
+    embedding column: assign every vector to its nearest of {IVF_CELLS}
+    coarse centers (same deterministic init as similarity_ann_ivf — the
+    {IVF_CELLS} lowest vec_ids — so the whole step is oracle-checkable),
+    then recompute each cell's mean, emitted relationally as one row per
+    (cent_id, dim).  Iterating this step IS k-means; production seeds with
+    k-means|| and loops to convergence, re-broadcasting the tiny centroid
+    table each round.
+
+    Scale shape — the textbook distributed-kmeans plan (what MLlib's
+    KMeans does per iteration, expressed declaratively):
+    - assignment is MAP-SIDE ONLY: the {IVF_CELLS}-row centroid table
+      collapses to one array row, broadcasts, and the argmax-cosine fold
+      runs inside the scan projection — the corpus is never shuffled to
+      be assigned;
+    - the mean recompute shuffles quantized (cent_id, dim, q) partial
+      sums with map-side combine, so the exchange carries
+      O(cells x dims) aggregated rows per mapper, not O(vectors x dims);
+    - per-dim means quantize each component to integer micro-units BEFORE
+      summing (sums of int64 are order-independent; double sums are not),
+      the same cross-engine determinism discipline as the LSH plane dots.
+    Assignment ties (equal cos) break to the lowest cent_id: the argmax
+    fold scans an array_sort'ed centroid list with strict '>', matching
+    the oracle's (cos DESC, cent_id) ranking."""
+    e = with_norms(load_table(spark, sf_dir, "embeddings"))
+    cents = (
+        e.orderBy("vec_id")
+        .limit(IVF_CELLS)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    cs = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cv", "cnrm"))).alias("cs")
+    )
+    withc = e.crossJoin(F.broadcast(cs))
+    # named_struct, not struct(...).alias: field aliases are dropped when
+    # built inside a higher-order-function lambda (the fields come out as
+    # col1/col2), which breaks the acc["cos"] access in the fold below
+    cos_arr = F.transform(
+        F.col("cs"),
+        lambda c: F.named_struct(
+            F.lit("cent_id"),
+            c["cent_id"],
+            F.lit("cos"),
+            _fold_sum(F.zip_with(F.col("v"), c["cv"], lambda x, y: x * y))
+            / (F.col("nrm") * c["cnrm"]),
+        ),
+    )
+    best = F.aggregate(
+        cos_arr,
+        F.named_struct(
+            F.lit("cent_id"), F.lit(-1).cast("long"), F.lit("cos"), F.lit(-2.0)
+        ),
+        lambda acc, c: F.when(c["cos"] > acc["cos"], c).otherwise(acc),
+    )
+    x = withc.select(
+        best["cent_id"].alias("cent_id"), F.posexplode("v")
+    ).select(
+        "cent_id",
+        F.col("pos").alias("dim"),
+        F.floor(F.col("col") * KM_SCALE + F.lit(0.5)).cast("long").alias("q"),
+    )
+    return x.groupBy("cent_id", "dim").agg(
+        F.count("*").alias("n_members"),
+        round_half_up(
+            F.sum("q").cast("double") / (F.lit(float(KM_SCALE)) * F.count("*")), 4
+        ).alias("centroid_val"),
+    )
