@@ -229,3 +229,36 @@ def test_read_text_lines_and_whole_file(spark, tmp_path):
     docs = read_text_lines(spark, str(d), whole_file=True)
     texts = sorted(r.value for r in docs.collect())
     assert texts == ["line one\nline two\n", "solo document"]
+
+
+def test_read_binary_files_glob_recursive_and_meta(spark, tmp_path):
+    from pyspark_text_classification_spark.sources.binary import (
+        binary_files_meta,
+        read_binary_files,
+    )
+
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.png").write_bytes(b"\x89PNG\r\n" + b"\x00" * 10)
+    (tmp_path / "b.txt").write_bytes(b"not media")
+    (tmp_path / "sub" / "c.png").write_bytes(b"\x89PNG\r\n" + b"\xff" * 100)
+
+    flat = read_binary_files(spark, str(tmp_path), glob="*.png")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in flat.collect()}
+    assert set(rows) == {"a.png"}  # glob filtered, non-recursive
+    assert rows["a.png"]["length"] == 16
+    assert bytes(rows["a.png"]["content"]).startswith(b"\x89PNG")
+
+    rec = read_binary_files(spark, str(tmp_path), glob="*.png", recursive=True)
+    assert {r["path"].rsplit("/", 1)[-1] for r in rec.collect()} == {
+        "a.png",
+        "c.png",
+    }
+
+    capped = read_binary_files(
+        spark, str(tmp_path), glob="*.png", recursive=True, max_bytes=50
+    )
+    assert [r["path"].rsplit("/", 1)[-1] for r in capped.collect()] == ["a.png"]
+
+    meta = binary_files_meta(rec)
+    assert set(meta.columns) == {"path", "name", "length"}
+    assert {r["name"] for r in meta.collect()} == {"a.png", "c.png"}
