@@ -42,6 +42,10 @@ HEADLINE = [
     "text_top_tokens_by_lang",
     "text_langid",
     "text_token_counts",
+    "text_lm_logprob",
+    "dedup_chunks",
+    "pipeline_mixture_sample",
+    "similarity_kmeans_step",
     "pipeline_pii_scrub",
     "dedup_exact",
     "multimodal_dedup_exact",
@@ -51,6 +55,7 @@ HEADLINE = [
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "similarity_quantize_int8",
+    "similarity_search_topk",
     "pipeline_clean_corpus",
     "pipeline_full_prep",
     "events_user_window",

@@ -907,3 +907,80 @@ def similarity_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("q").cast("double") / (F.lit(float(KM_SCALE)) * F.count("*")), 4
         ).alias("centroid_val"),
     )
+
+
+QUERY_MOD = 37     # every 37th vector stands in for the external query set
+SEARCH_SALTS = 8   # fan-out of the partial top-k stage
+
+
+@query(
+    "similarity_search_topk",
+    oracle=f"""
+    WITH n AS ({_SQL_NORMED}),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+      FROM n WHERE vec_id % {QUERY_MOD} = 0
+    ),
+    c AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % {QUERY_MOD} <> 0),
+    p AS (
+      SELECT q.query_id AS vec_id, c.vec_id AS neighbor_id,
+             {_SQL_IVF_DOT.format(a='q.qv', b='c.v')} / (q.qnrm * c.nrm) AS cos
+      FROM q CROSS JOIN c
+    )
+    {_SQL_TOPK_TAIL}
+    """,
+)
+def similarity_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-serving exact top-k: score a SMALL query set (every
+    {QUERY_MOD}th vector stands in for externally-supplied queries)
+    against the full corpus and return each query's {TOP_K} nearest
+    neighbors — the brute-force serving baseline the indexed paths
+    (similarity_ann_lsh / similarity_ann_ivf) trade recall against.
+
+    Scale shape (the asymmetric case the all-pairs family can't cover):
+    - the query side BROADCASTS (query batches are KB-MB, the corpus is
+      the 100 TB side), so scoring is one map-side pass over the corpus —
+      no shuffle of corpus vectors, no cross-join of corpus with itself;
+    - top-k extraction is TWO-LEVEL: a partial top-k per (query, salt)
+      bucket — {SEARCH_SALTS}-way fan-out keyed on pmod(neighbor_id) —
+      then the final top-k over the <= {SEARCH_SALTS}x{TOP_K} survivors.
+      A single window per query would funnel every scored row for a hot
+      query through ONE reducer; the salted stage bounds per-reducer rows
+      at |corpus|/{SEARCH_SALTS} and the final stage sees only survivors.
+      Any global top-k member is a member of its salt bucket's top-k, so
+      the two-level result is exactly the global result.
+    - cosines are sequential-fold doubles (bit-equal on both engines),
+      ranked on the rounded value with neighbor_id tie-breaks."""
+    e = with_norms(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    c = e.filter(F.col("vec_id") % QUERY_MOD != 0)
+    dot = _fold_sum(F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        F.col("query_id").alias("qid"),
+        F.col("vec_id").alias("neighbor_id"),
+        (dot / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
+    )
+    cos4 = round_half_up(F.col("cos"), 4)
+    w1 = Window.partitionBy(
+        "qid", F.pmod(F.col("neighbor_id"), F.lit(SEARCH_SALTS))
+    ).orderBy(cos4.desc(), "neighbor_id")
+    survivors = (
+        scored.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= TOP_K)
+        .drop("r1")
+    )
+    w2 = Window.partitionBy("qid").orderBy(cos4.desc(), "neighbor_id")
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            F.col("qid").alias("vec_id"),
+            "neighbor_id",
+            cos4.alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
