@@ -150,3 +150,44 @@ def test_hot_scans_stay_in_codegen(spark, sf_dir):
         df = QUERIES[name](spark, sf_dir)
         df.collect()  # finalize the adaptive plan on THIS DataFrame
         assert codegen_stage_count(df) >= 1, name
+
+
+def test_lm_logprob_broadcasts_model_table(spark, sf_dir):
+    """The unigram log-prob 'model' is vocabulary-bounded: scoring must
+    broadcast it onto the exploded corpus, never shuffle the token stream
+    for the join."""
+    assert uses_broadcast_join(QUERIES["text_lm_logprob"](spark, sf_dir))
+
+
+def test_mixture_sample_broadcasts_rates(spark, sf_dir):
+    """Per-source keep rates are source-bounded: they broadcast back onto
+    the corpus scan; the only data-sized exchange is the final per-source
+    aggregate."""
+    assert uses_broadcast_join(QUERIES["pipeline_mixture_sample"](spark, sf_dir))
+
+
+def test_kmeans_assignment_never_shuffles_corpus(spark, sf_dir):
+    """The Lloyd-step contract: centroids collapse to one broadcast row and
+    assignment runs inside the scan projection — the corpus must never be
+    shuffled to be assigned (no shuffle join of any kind; the only wide
+    exchange is the tiny quantized (cent_id, dim) aggregate)."""
+    plan = (
+        QUERIES["similarity_kmeans_step"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert bad not in plan, plan
+
+
+def test_search_topk_scores_map_side(spark, sf_dir):
+    """Query serving: the query batch broadcasts and scoring is one
+    map-side pass — the corpus is never shuffled to be scored (the only
+    exchanges are the two window stages over already-scored rows)."""
+    plan = (
+        QUERIES["similarity_search_topk"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert bad not in plan, plan
