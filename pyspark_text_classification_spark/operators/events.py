@@ -511,3 +511,53 @@ def events_retention_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "week_offset", F.replace("week_offset", F.lit("week_"), F.lit(""))
     )
+
+
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "events_activity_gaps",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {_HOUR_US} AS hr FROM events
+    ),
+    d AS (
+      SELECT user_id, hr,
+             hr - lag(hr) OVER (PARTITION BY user_id ORDER BY hr) - 1 AS gap
+      FROM h
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_active_hours,
+           CAST(max(hr) - min(hr) + 1 AS BIGINT) AS span_hours,
+           CAST(max(hr) - min(hr) + 1 - count(*) AS BIGINT) AS n_gap_hours,
+           CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_hours
+    FROM d GROUP BY user_id
+    """,
+)
+def events_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity-gap profile over hourly buckets: active hours,
+    total span, missing (gap) hours, and the longest silent stretch — the
+    time-series completeness check run before any gap-filling or
+    interpolation step.
+
+    Deliberately computed WITHOUT materializing the dense (user, hour)
+    grid: gaps fall out of ``lag`` over each user's sorted distinct hours,
+    so the plan is distinct -> one window shuffle on user_id -> one
+    aggregate, and data volume is bounded by ACTIVE hours (a sequence-
+    explode gap-fill would materialize span-bounded rows — strictly more —
+    before throwing most of them away). Hour buckets are exact integer
+    epoch-microsecond division on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "user_id", F.expr(f"({TS_US_EXPR}) div {_HOUR_US}").alias("hr")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("hr")
+    d = h.withColumn("gap", F.col("hr") - F.lag("hr").over(w) - 1)
+    span = F.max("hr") - F.min("hr") + 1
+    return d.groupBy("user_id").agg(
+        F.count("*").alias("n_active_hours"),
+        span.alias("span_hours"),
+        (span - F.count("*")).alias("n_gap_hours"),
+        F.coalesce(F.max("gap"), F.lit(0)).alias("max_gap_hours"),
+    )

@@ -283,3 +283,68 @@ def q28_subquery_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+STAR_REGION = "ASIA"
+
+
+@query(
+    "q32_star_join_revenue",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                               * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{STAR_REGION}' AND c.c_nationkey = s.s_nationkey
+    GROUP BY 1
+    """,
+)
+def q32_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-table star join in the TPC-H Q5 shape: revenue per nation from
+    lineitems whose customer and supplier share a nation, restricted to one
+    region — the multi-join aggregation pattern that exercises Catalyst's
+    join planning end to end.
+
+    Physical intent at 100 TB: nation and region broadcast explicitly
+    (constant-size dims — the region predicate prunes nations BEFORE any
+    fact row moves); supplier and customer are left to AQE, which
+    broadcast-converts them while they fit and shuffle-joins beyond that;
+    the lineitem-orders fact-fact join shuffles on orderkey with AQE skew
+    splitting. The same-nation predicate is an equi-condition between the
+    two dimension paths and prunes in the join, not after.
+
+    Per-row revenue is quantized to integer cents BEFORE the sum (sums of
+    int64 are order-independent across any partitioning; double sums are
+    not), so the aggregate is bit-stable at any cluster size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == STAR_REGION
+    )
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(rev_cents).alias("revenue_cents"),
+        )
+    )
