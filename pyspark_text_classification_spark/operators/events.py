@@ -561,3 +561,41 @@ def events_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (span - F.count("*")).alias("n_gap_hours"),
         F.coalesce(F.max("gap"), F.lit(0)).alias("max_gap_hours"),
     )
+
+
+@query(
+    "events_ohlc_hourly",
+    oracle=f"""
+    SELECT (epoch_us(ts) // {_HOUR_US}) * 3600 AS hour_epoch_s,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min({{'t': epoch_us(ts), 'i': event_id, 'v': value}}).v AS open,
+           max({{'t': epoch_us(ts), 'i': event_id, 'v': value}}).v AS close,
+           max(value) AS high,
+           min(value) AS low
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling — the hypertable/time-series rollup: per hour and
+    event type, the first (open) and last (close) value plus the high/low
+    extremes.  One hash aggregate with map-side partials; open/close come
+    from min/max over a (ts, event_id, value) struct — lexicographic
+    struct ordering gives "value at the earliest/latest (ts, id)" WITHOUT
+    a sort or a window, so the rollup keeps the same single-shuffle shape
+    as a plain count at any scale.  event_id in the struct breaks
+    equal-timestamp ties deterministically; no arithmetic touches the
+    values, so both engines emit bit-identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = (F.expr(f"({TS_US_EXPR}) div {_HOUR_US}") * 3600).alias("hour_epoch_s")
+    key = F.struct(
+        ts_us().alias("t"), F.col("event_id").alias("i"), F.col("value").alias("v")
+    )
+    return ev.groupBy(hour, "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min(key)["v"].alias("open"),
+        F.max(key)["v"].alias("close"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+    )

@@ -649,3 +649,95 @@ def text_top_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_TOKENS_K)
         .select("lang", "token", "n", "rnk")
     )
+
+
+ZIPF_SCALE = 1_000  # milli-nat quantization: x*y products stay in int64
+                    # for vocabularies up to ~10^8 distinct tokens
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH c AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_SQL_TOKENS}) AS token FROM documents)
+      GROUP BY token
+    ),
+    r AS (
+      SELECT token, cnt,
+             row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+      FROM c
+    ),
+    q AS (
+      SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * {ZIPF_SCALE}.0 + 0.5)
+                  AS BIGINT) AS x,
+             CAST(floor(ln(CAST(cnt AS DOUBLE)) * {ZIPF_SCALE}.0 + 0.5)
+                  AS BIGINT) AS y
+      FROM r
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx
+      FROM q
+    )
+    SELECT CAST(n AS BIGINT) AS n_vocab,
+           {sql_round_half_up(
+               '(n * sxy - sx * sy) / (n * sxx - sx * sx)', 4)} AS zipf_slope,
+           {sql_round_half_up(
+               '(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)'
+               f' / (n * {ZIPF_SCALE}.0)', 4)} AS zipf_intercept
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: least-squares slope and
+    intercept of ln(frequency) against ln(rank).  Natural text sits near
+    slope -1 (Zipf 1949); large deviations flag template spam, scraped
+    boilerplate, or tokenizer failure — a one-row corpus health check.
+
+    The regression is pure aggregation — no driver-side math: the token
+    count is the usual vocabulary-bounded hash aggregate, the rank is one
+    window over the vocabulary table (vocabulary-sized, NOT corpus-sized;
+    the corpus itself never re-shuffles), and the five regression moments
+    (n, Σx, Σy, Σxy, Σx²) reduce in one pass.  ln values are quantized to
+    integer milli-nats before the moment sums so the sums are order-
+    independent; the closed-form slope then runs on exactly-representable
+    integers cast to double — the identical IEEE op sequence on both
+    engines.  The slope is scale-invariant in the quantization; the
+    intercept divides it back out."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    c = (
+        docs.select(F.explode(tokenize("text", 2)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    r = c.withColumn("rnk", F.row_number().over(w))
+    q = r.select(
+        F.floor(F.log(F.col("rnk").cast("double")) * ZIPF_SCALE + 0.5)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("cnt").cast("double")) * ZIPF_SCALE + 0.5)
+        .cast("long")
+        .alias("y"),
+    )
+    s = q.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("long").alias("n_vocab"),
+        round_half_up(slope, 4).alias("zipf_slope"),
+        round_half_up((sy - slope * sx) / (n * F.lit(float(ZIPF_SCALE))), 4).alias(
+            "zipf_intercept"
+        ),
+    )
