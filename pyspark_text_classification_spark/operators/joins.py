@@ -348,3 +348,88 @@ def q32_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev_cents).alias("revenue_cents"),
         )
     )
+
+
+# pricing-summary cutoff: 2000-01-01 UTC in epoch micros (integer, exact)
+PRICING_CUTOFF_US = 946_684_800_000_000
+_SHIP_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', l_shipdate)"
+
+
+@query(
+    "q33_pricing_summary",
+    oracle=f"""
+    WITH f AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qty_c,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_c,
+             CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+                  AS BIGINT) AS disc_c,
+             CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                        * 100.0 + 0.5) AS BIGINT) AS charge_c,
+             CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT) AS disc_bp
+      FROM lineitem
+      WHERE epoch_us(l_shipdate) <= {PRICING_CUTOFF_US}
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS count_order,
+           CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+           CAST(sum(price_c) AS BIGINT) AS sum_base_price_c,
+           CAST(sum(disc_c) AS BIGINT) AS sum_disc_price_c,
+           CAST(sum(charge_c) AS BIGINT) AS sum_charge_c,
+           {sql_round_half_up(
+               'CAST(sum(qty_c) AS DOUBLE) / (100.0 * count(*))', 4)}
+             AS avg_qty,
+           {sql_round_half_up(
+               'CAST(sum(price_c) AS DOUBLE) / (100.0 * count(*))', 4)}
+             AS avg_price,
+           {sql_round_half_up(
+               'CAST(sum(disc_bp) AS DOUBLE) / (10000.0 * count(*))', 4)}
+             AS avg_disc
+    FROM f GROUP BY 1, 2
+    """,
+)
+def q33_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary in the TPC-H Q1 shape: per (returnflag, linestatus),
+    order counts plus sum/avg of quantity, base price, discounted price,
+    and charge, over lineitems shipped before a cutoff.
+
+    The scan-side projection computes all derived measures and quantizes
+    them to integer cents / basis points per row, so the wide aggregate
+    sums int64 (order-independent at any partitioning — the multi-measure
+    analogue of q32's revenue discipline) with map-side partials; the
+    shipdate predicate is exact integer epoch-micro arithmetic pushed into
+    the scan stage. One shuffle, six rows out."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr(_SHIP_US) <= PRICING_CUTOFF_US
+    )
+
+    def cents(col: F.Column, scale: float = 100.0) -> F.Column:
+        return F.floor(col * scale + F.lit(0.5)).cast("long")
+
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    f = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        cents(F.col("l_quantity")).alias("qty_c"),
+        cents(F.col("l_extendedprice")).alias("price_c"),
+        cents(disc_price).alias("disc_c"),
+        cents(disc_price * (F.lit(1.0) + F.col("l_tax"))).alias("charge_c"),
+        cents(F.col("l_discount"), 10000.0).alias("disc_bp"),
+    )
+    cnt = F.count("*")
+    return f.groupBy("l_returnflag", "l_linestatus").agg(
+        cnt.alias("count_order"),
+        F.sum("qty_c").alias("sum_qty_c"),
+        F.sum("price_c").alias("sum_base_price_c"),
+        F.sum("disc_c").alias("sum_disc_price_c"),
+        F.sum("charge_c").alias("sum_charge_c"),
+        round_half_up(F.sum("qty_c").cast("double") / (100.0 * cnt), 4).alias(
+            "avg_qty"
+        ),
+        round_half_up(F.sum("price_c").cast("double") / (100.0 * cnt), 4).alias(
+            "avg_price"
+        ),
+        round_half_up(F.sum("disc_bp").cast("double") / (10000.0 * cnt), 4).alias(
+            "avg_disc"
+        ),
+    )

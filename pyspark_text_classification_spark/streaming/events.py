@@ -197,3 +197,59 @@ query(
     "events_stream_value_zscore",
     oracle=ORACLES["events_value_zscore"],
 )(stream_value_zscore)
+
+
+def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC downsampling: the events_ohlc_hourly rollup as a
+    watermarked tumbling-window aggregate. open/close remain min/max over
+    a (ts, event_id, value) struct — typed min/max state merges correctly
+    across micro-batches (each partial keeps its extreme; merge keeps the
+    smaller/larger struct), so the drained stream equals the batch rollup
+    with NO ordering assumption on arrival — the property that makes
+    first/last-by-time safe in a streaming engine."""
+    src = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    key = F.struct(
+        ts_us().alias("t"), F.col("event_id").alias("i"), F.col("value").alias("v")
+    )
+    agg = (
+        src.withColumn("event_ts", F.timestamp_micros(ts_us()))
+        .withWatermark("event_ts", "1 hour")
+        .groupBy(F.window("event_ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(key)["v"].alias("open"),
+            F.max(key)["v"].alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("hour_epoch_s"),
+            "event_type",
+            "n_events",
+            "open",
+            "close",
+            "high",
+            "low",
+        )
+    )
+    sink_name = f"stream_ohlc_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name)
+
+
+query(
+    "events_stream_ohlc_hourly",
+    oracle=ORACLES["events_ohlc_hourly"],
+)(stream_ohlc_hourly)

@@ -51,6 +51,8 @@ EAGER_QUERIES = {
     "events_stream_sessionize",
     "events_stream_range_join", "ml_infer_stream", "dedup_stream_exact",
     "pipeline_stream_quality_filter", "similarity_stream_near_dup",
+    "events_stream_value_zscore", "events_stream_closed_sessions",
+    "events_stream_ohlc_hourly",
     "dedup_clusters", "dedup_clusters_twostar", "similarity_dedup_clusters",
     "ml_tfidf_lr_metrics", "ml_topk_coefficients",
 }
