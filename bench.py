@@ -72,6 +72,11 @@ HEADLINE = [
     "pipeline_global_rank",
     "pipeline_zorder_key",
     "pipeline_decontaminate",
+    "q32_star_join_revenue",
+    "q33_pricing_summary",
+    "events_ohlc_hourly",
+    "events_activity_gaps",
+    "text_zipf_fit",
     "q24_percentiles",
     "q25_window_analytics",
     "q26_approx_sketches",

@@ -726,3 +726,111 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_shared_chunks") / F.col("n_chunks"), 4
         ).alias("shared_chunk_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter approximate membership
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 16  # m: filter width in bits
+BLOOM_K = 4           # independent hash functions (salted poly hashes)
+BLOOM_MOD = 37        # every 37th doc stands in for the reference set
+
+
+def _bloom_positions_spark(text_expr: str) -> str:
+    cells = []
+    for j in range(BLOOM_K):
+        salted = f"concat({text_expr}, '|b{j}')"
+        cells.append(f"({_poly_hash_sql(salted)}) % {BLOOM_BITS}")
+    return f"array({', '.join(cells)})"
+
+
+def _bloom_positions_sql(text_expr: str) -> str:
+    cells = []
+    for j in range(BLOOM_K):
+        salted = f"{text_expr} || '|b{j}'"
+        cells.append(f"({sql_char_poly_hash(salted)}) % {BLOOM_BITS}")
+    return f"[{', '.join(cells)}]"
+
+
+@query(
+    "dedup_bloom_filter",
+    oracle=f"""
+    WITH ref AS (
+      SELECT text FROM documents WHERE doc_id % {BLOOM_MOD} = 0
+    ),
+    bits AS (
+      SELECT DISTINCT unnest({_bloom_positions_sql('text')}) AS bit FROM ref
+    ),
+    cand AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {BLOOM_MOD} <> 0
+    ),
+    probe AS (
+      SELECT doc_id, unnest({_bloom_positions_sql('text')}) AS bit FROM cand
+    ),
+    m AS (
+      SELECT p.doc_id, CAST(count(b.bit) AS BIGINT) AS hits
+      FROM probe p LEFT JOIN bits b USING (bit) GROUP BY p.doc_id
+    ),
+    mem AS (
+      SELECT DISTINCT {sql_char_poly_hash('text')} AS th FROM ref
+    )
+    SELECT c.doc_id AS doc_id,
+           CAST(CASE WHEN m.hits = {BLOOM_K} THEN 1 ELSE 0 END AS INT)
+             AS bloom_positive,
+           CAST(CASE WHEN mm.th IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS is_member
+    FROM cand c
+    JOIN m ON m.doc_id = c.doc_id
+    LEFT JOIN mem mm ON mm.th = {sql_char_poly_hash('c.text')}
+    """,
+)
+def dedup_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter approximate membership (Bloom 1970): has this document
+    already been ingested?  A {BLOOM_BITS}-bit / {BLOOM_K}-hash filter is
+    built from the reference set (every {BLOOM_MOD}th document stands in
+    for "the corpus so far") and every candidate probes it; the exact
+    text-hash membership rides along so false positives are directly
+    observable (bloom_positive=1, is_member=0 — never the reverse: Bloom
+    filters have no false negatives, which the oracle equality proves on
+    every row).
+
+    Scale shape: the filter is REPRESENTED RELATIONALLY as its set-bit
+    table — at most min(k x |ref|, {BLOOM_BITS}) rows — so it BROADCASTS
+    like any bounded dimension and the probe is a map-side hash join over
+    the candidates' exploded bit positions ({BLOOM_K} rows per doc), with
+    one doc-bounded aggregate to AND the probes together.  The corpus
+    text never shuffles; only 16-bit positions move.  The salted poly
+    hashes are the cross-engine-deterministic stand-in for the
+    independent hash family; production tunes m and k from the target
+    false-positive rate (p ~= (1 - e^(-kn/m))^k)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % BLOOM_MOD == 0)
+    cand = fan_out(docs.filter(F.col("doc_id") % BLOOM_MOD != 0))
+    pos = _bloom_positions_spark("text")
+    bits = (
+        ref.selectExpr(f"explode({pos}) AS bit")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probe = cand.selectExpr("doc_id", f"explode({pos}) AS bit")
+    m = (
+        probe.join(F.broadcast(bits), "bit", "left")
+        .groupBy("doc_id")
+        .agg(F.count("hit").alias("hits"))
+    )
+    mem = (
+        ref.select(char_poly_hash("text").alias("th"))
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    return (
+        cand.select("doc_id", char_poly_hash("text").alias("th"))
+        .join(m, "doc_id")
+        .join(F.broadcast(mem), "th", "left")
+        .select(
+            "doc_id",
+            (F.col("hits") == BLOOM_K).cast("int").alias("bloom_positive"),
+            F.col("seen").isNotNull().cast("int").alias("is_member"),
+        )
+    )
