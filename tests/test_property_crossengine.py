@@ -224,3 +224,48 @@ def test_int8_quantization_error_bound(v):
     assert all(abs(c) <= 127 for c in q)
     err = math.sqrt(sum((x - c * scale) ** 2 for x, c in zip(v, q)))
     assert err <= scale / 2 * math.sqrt(len(v)) + 1e-12
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10**9),
+            st.integers(min_value=1, max_value=10**9),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_quantized_ln_three_way(spark, pairs):
+    """The micro-nat ln quantization (text_lm_logprob, text_zipf_fit,
+    similarity_kmeans_step's mean discipline all rest on it) must agree
+    between Spark, DuckDB, and Python on arbitrary (cnt <= total) pairs:
+    floor(ln(cnt/total) * 1e6 + 0.5) — identical libm-double inputs, one
+    exact scale-and-floor."""
+    import math
+
+    pairs = [(min(c, t), t) for c, t in pairs]
+    df = spark.createDataFrame(pairs, schema="cnt long, total long")
+    got = [
+        r.q
+        for r in df.select(
+            F.floor(
+                F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+                * 1_000_000
+                + 0.5
+            )
+            .cast("long")
+            .alias("q")
+        ).collect()
+    ]
+    want = [math.floor(math.log(c / t) * 1_000_000 + 0.5) for c, t in pairs]
+    assert got == want
+    con = duckdb.connect()
+    for (c, t), w in zip(pairs, want):
+        (dq,) = con.execute(
+            "SELECT CAST(floor(ln(CAST(? AS DOUBLE) / CAST(? AS DOUBLE)) "
+            "* 1000000.0 + 0.5) AS BIGINT)",
+            [c, t],
+        ).fetchone()
+        assert dq == w, f"duckdb ln-quant mismatch for {c}/{t}"
