@@ -290,3 +290,68 @@ def ml_doc_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[round_half_up(F.col(f"e{d}"), 6).alias(f"e{d}") for d in range(4)],
         round_half_up(nrm, 6).alias("nrm"),
     )
+
+
+CALIB_SCALE = 10_000  # confidence quantization for order-independent sums
+
+
+@query(
+    "ml_calibration_bins",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {sql_char_poly_hash("substr(text, 1, 256)")} AS hh
+      FROM documents
+    ),
+    p AS (
+      SELECT CAST(lang = 'en' AS BIGINT) AS label,
+             CAST(floor((0.5 + (hh % 1000) / 2000.0) * {CALIB_SCALE}.0 + 0.5)
+                  AS BIGINT) AS cq
+      FROM h
+    )
+    SELECT CAST(cq // 1000 AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           {sql_round_half_up(
+               f'CAST(sum(cq) AS DOUBLE) / ({CALIB_SCALE}.0 * count(*))', 4)}
+             AS mean_conf,
+           {sql_round_half_up(
+               'CAST(sum(label) AS DOUBLE) / count(*)', 4)} AS pos_rate
+    FROM p GROUP BY 1
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability) bins over the inference surface: bucket
+    predictions by confidence decile and compare mean claimed confidence
+    against the empirical positive rate — the standard post-deployment
+    check that a classifier's probabilities mean what they say.
+
+    Runs through the REAL mapInPandas inference path (per-worker model
+    singleton, Arrow batches) joined back to labels, then reduces to a
+    handful of bins — so the whole pandas-exchange contract is value-
+    verified by the oracle, not just the aggregate arithmetic.
+    Confidences quantize to integer ten-thousandths before summing
+    (order-independent); the bin index is integer division of the
+    quantized value, avoiding any float-boundary disagreement."""
+    from pyspark_text_classification_spark.functions.text import round_half_up
+
+    docs = load_table(spark, sf_dir, "documents")
+    preds = batch_infer(docs, text_col="text", id_col="doc_id")
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("long").alias("label")
+    )
+    p = preds.join(labels, "doc_id").select(
+        "label",
+        F.floor(F.col("confidence") * CALIB_SCALE + F.lit(0.5))
+        .cast("long")
+        .alias("cq"),
+    )
+    cnt = F.count("*")
+    return p.groupBy(
+        F.expr("cq div 1000").cast("int").alias("bin")
+    ).agg(
+        cnt.alias("n"),
+        round_half_up(
+            F.sum("cq").cast("double") / (F.lit(float(CALIB_SCALE)) * cnt), 4
+        ).alias("mean_conf"),
+        round_half_up(F.sum("label").cast("double") / cnt, 4).alias("pos_rate"),
+    )

@@ -39,7 +39,7 @@ def test_idf_total_is_broadcast_not_shuffle(spark, sf_dir):
 # the ONLY queries allowed to run Python workers: the declared Arrow
 # mapInPandas stages. Everything else must plan fully JVM-side.
 PANDAS_QUERIES = {
-    "ml_infer_batch", "multimodal_byte_features",
+    "ml_infer_batch", "ml_calibration_bins", "multimodal_byte_features",
     "multimodal_frame_sample", "multimodal_resize",
     "pipeline_global_rank",  # declared Arrow enumerate-sorted-partitions stage
 }
