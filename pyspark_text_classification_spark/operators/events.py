@@ -599,3 +599,59 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("high"),
         F.min("value").alias("low"),
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, c.n,
+           {sql_round_half_up(
+               'CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE)', 4)} AS p
+    FROM c JOIN t USING (from_type)
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: for consecutive events of
+    the same user (ordered by time, event_id tie-break), count each
+    (from_type -> to_type) step and normalize rows to transition
+    probabilities — the Markov-chain summary behind next-action models
+    and funnel-drop analysis.
+
+    Scale shape: one window shuffle on user_id produces the successor
+    pairs; the count is a (types x types)-bounded aggregate with map-side
+    partials; row normalization joins the type-bounded totals back via
+    BROADCAST. Nothing beyond the single user_id exchange ever carries
+    event-sized data."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(ts_us(), "event_id")
+    o = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = (
+        o.groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        ).agg(F.count("*").alias("n"))
+    )
+    t = c.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return c.join(F.broadcast(t), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        round_half_up(
+            F.col("n").cast("double") / F.col("tot").cast("double"), 4
+        ).alias("p"),
+    )

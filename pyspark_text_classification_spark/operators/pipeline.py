@@ -677,3 +677,84 @@ def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(keep, F.col("doc_id")).otherwise(0)).alias("kept_id_sum"),
         )
     )
+
+
+ALLOWED_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+@query(
+    "pipeline_validate",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(doc_id) AS BIGINT) AS doc_id_nonnull,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_id_distinct,
+             CAST(count(text) AS BIGINT) AS text_nonnull,
+             CAST(count(*) FILTER (lang IN {ALLOWED_LANGS}) AS BIGINT)
+               AS lang_in_domain,
+             CAST(count(*) FILTER (n_chars = length(text)) AS BIGINT)
+               AS n_chars_consistent,
+             CAST(count(*) FILTER (n_chars >= 0) AS BIGINT) AS n_chars_nonneg
+      FROM documents
+    )
+    SELECT check_name, observed, expected,
+           CAST(observed = expected AS INT) AS passed
+    FROM (
+      SELECT 'doc_id_nonnull' AS check_name, doc_id_nonnull AS observed,
+             n_rows AS expected FROM s
+      UNION ALL
+      SELECT 'doc_id_unique', doc_id_distinct, doc_id_nonnull FROM s
+      UNION ALL
+      SELECT 'text_nonnull', text_nonnull, n_rows FROM s
+      UNION ALL
+      SELECT 'lang_in_domain', lang_in_domain, n_rows FROM s
+      UNION ALL
+      SELECT 'n_chars_matches_text', n_chars_consistent, n_rows FROM s
+      UNION ALL
+      SELECT 'n_chars_nonnegative', n_chars_nonneg, n_rows FROM s
+    )
+    """,
+)
+def pipeline_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-suite data validation (the Deequ/Great-Expectations
+    pattern): completeness, key uniqueness, domain membership, and
+    cross-column consistency checks over the corpus, emitted as one row
+    per check with observed/expected counts and a pass flag — the QA gate
+    a pipeline runs before promoting a snapshot.
+
+    Scale shape: ALL checks reduce in ONE pass — a single aggregate with
+    conditional counters (count FILTER) plus one distinct-count; nothing
+    rescans per check, so adding a constraint costs one more counter, not
+    one more job. The check table itself is constant-size and unions from
+    the one aggregate row."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    n = F.count("*")
+    s = docs.agg(
+        n.alias("n_rows"),
+        F.count("doc_id").alias("doc_id_nonnull"),
+        F.count_distinct("doc_id").alias("doc_id_distinct"),
+        F.count("text").alias("text_nonnull"),
+        F.count_if(F.col("lang").isin(*ALLOWED_LANGS)).alias("lang_in_domain"),
+        F.count_if(F.col("n_chars") == F.length("text")).alias(
+            "n_chars_consistent"
+        ),
+        F.count_if(F.col("n_chars") >= 0).alias("n_chars_nonneg"),
+    )
+    checks = [
+        ("doc_id_nonnull", "doc_id_nonnull", "n_rows"),
+        ("doc_id_unique", "doc_id_distinct", "doc_id_nonnull"),
+        ("text_nonnull", "text_nonnull", "n_rows"),
+        ("lang_in_domain", "lang_in_domain", "n_rows"),
+        ("n_chars_matches_text", "n_chars_consistent", "n_rows"),
+        ("n_chars_nonnegative", "n_chars_nonneg", "n_rows"),
+    ]
+    rows = None
+    for name, obs, exp in checks:
+        r = s.select(
+            F.lit(name).alias("check_name"),
+            F.col(obs).alias("observed"),
+            F.col(exp).alias("expected"),
+            (F.col(obs) == F.col(exp)).cast("int").alias("passed"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
