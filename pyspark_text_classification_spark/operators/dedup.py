@@ -834,3 +834,103 @@ def dedup_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("seen").isNotNull().cast("int").alias("is_member"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental-ingest admission (batch twin of the streaming admission filter)
+# ---------------------------------------------------------------------------
+
+INGEST_MOD = 10
+INGEST_REM = 7  # doc_id % 10 == 7 stands in for the incoming batch
+
+
+@query(
+    "dedup_incremental_ingest",
+    oracle=f"""
+    WITH pairs AS ({_sql_minhash(2, 0.8)}),
+    inc AS (
+      SELECT doc_id, {sql_char_poly_hash('text')} AS th
+      FROM documents WHERE doc_id % {INGEST_MOD} = {INGEST_REM}
+    ),
+    ex AS (
+      SELECT DISTINCT {sql_char_poly_hash('text')} AS th
+      FROM documents WHERE doc_id % {INGEST_MOD} <> {INGEST_REM}
+    ),
+    xact AS (SELECT DISTINCT i.doc_id FROM inc i JOIN ex e ON i.th = e.th),
+    near AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id, doc_b AS other FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+      ) WHERE doc_id % {INGEST_MOD} = {INGEST_REM}
+          AND other % {INGEST_MOD} <> {INGEST_REM}
+    )
+    SELECT i.doc_id AS doc_id,
+           CASE WHEN x.doc_id IS NOT NULL THEN 'exact'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'admitted' END AS decision
+    FROM inc i
+    LEFT JOIN xact x ON x.doc_id = i.doc_id
+    LEFT JOIN near n ON n.doc_id = i.doc_id
+    """,
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest admission — the batch twin of the streaming
+    near-dup admission filter: an incoming batch (every doc with id % 10
+    == 7 stands in for it) is admitted against the existing corpus unless
+    it is an EXACT duplicate (content-hash membership) or a NEAR duplicate
+    (MinHash-LSH Jaccard >= 0.8 against an existing doc). Each incoming
+    doc gets a decision: 'exact' beats 'near_dup' beats 'admitted' — the
+    dedup gate every growing corpus runs per ingestion cycle.
+
+    Scale shape: the exact gate joins 64-bit content hashes (never text);
+    the near gate reuses the banded-LSH candidate machinery — the only
+    pairs materialized are bucket-collision candidates, and only the
+    incoming-vs-existing direction survives the filter. In production the
+    existing side's signatures/hashes are a precomputed INDEX (written
+    once, read per batch) rather than recomputed; the plan shape per
+    batch is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_inc = F.col("doc_id") % INGEST_MOD == INGEST_REM
+    incoming = docs.filter(is_inc)
+    xi = incoming.select("doc_id", char_poly_hash("text").alias("th"))
+    xe = (
+        docs.filter(~is_inc)
+        .select(char_poly_hash("text").alias("th"))
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    exact_ids = (
+        xi.join(xe, "th", "left")
+        .filter(F.col("seen").isNotNull())
+        .select("doc_id")
+        .withColumn("x", F.lit(1))
+    )
+    jac, release_shingles = _minhash_lsh_dedup_parts(docs, 2, 0.8)
+    pairs = jac.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    release_shingles()
+    both = pairs.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("other")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("other"))
+    )
+    near_ids = (
+        both.filter(
+            (F.col("doc_id") % INGEST_MOD == INGEST_REM)
+            & (F.col("other") % INGEST_MOD != INGEST_REM)
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("nd", F.lit(1))
+    )
+    return (
+        incoming.select("doc_id")
+        .join(exact_ids, "doc_id", "left")
+        .join(near_ids, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("x").isNotNull(), "exact")
+            .when(F.col("nd").isNotNull(), "near_dup")
+            .otherwise("admitted")
+            .alias("decision"),
+        )
+    )
