@@ -83,6 +83,10 @@ HEADLINE = [
     "q29_grouping_sets",
     "text_collocations_pmi",
     "pipeline_stratified_sample",
+    "dedup_bloom_filter",
+    "pipeline_validate",
+    "events_transition_matrix",
+    "ml_calibration_bins",
     "ml_infer_batch",
     "ml_hash_tf_buckets",
     "ml_tfidf_matrix",

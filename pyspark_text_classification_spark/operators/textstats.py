@@ -741,3 +741,84 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_intercept"
         ),
     )
+
+
+KL_SCALE = 1_000_000  # micro-nat quantization of per-token KL terms
+
+
+@query(
+    "text_kl_drift",
+    oracle=f"""
+    WITH ex AS (
+      SELECT source, unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    sc AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS cnt_s
+      FROM ex GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT source, CAST(sum(cnt_s) AS DOUBLE) AS tot_s FROM sc GROUP BY 1
+    ),
+    c AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM ex GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM c),
+    terms AS (
+      SELECT sc.source,
+             CAST(floor(
+               (CAST(cnt_s AS DOUBLE) / st.tot_s)
+               * ln((CAST(cnt_s AS DOUBLE) / st.tot_s)
+                    / (CAST(cnt AS DOUBLE) / t.tot))
+               * {KL_SCALE}.0 + 0.5) AS BIGINT) AS kq
+      FROM sc
+      JOIN st USING (source)
+      JOIN c USING (token)
+      CROSS JOIN t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+           {sql_round_half_up(
+               f'CAST(sum(kq) AS DOUBLE) / {KL_SCALE}.0', 4)} AS kl_nats
+    FROM terms GROUP BY source
+    """,
+)
+def text_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per source, the KL divergence between
+    that source's token distribution and the whole-corpus distribution —
+    the statistic drift dashboards alarm on when a feed's content shifts
+    (KL ~ 0: the source looks like the corpus; large: it diverged).
+
+    Scale shape: the corpus explodes ONCE into two vocabulary-bounded
+    hash aggregates (per-source counts: sources x vocab rows; global
+    counts: vocab rows); every downstream join is over those bounded
+    tables — the global count table and the scalar total BROADCAST onto
+    the per-source table, and the corpus never re-shuffles. Per-token KL
+    terms quantize to integer micro-nats before the per-source sum (the
+    order-independence discipline shared with text_lm_logprob); the term
+    expression is written with identical parenthesization on both
+    engines, so the pre-quantization doubles are bit-equal."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    ex = docs.select("source", F.explode(tokenize("text", 2)).alias("token"))
+    sc = ex.groupBy("source", "token").agg(F.count("*").alias("cnt_s"))
+    st = sc.groupBy("source").agg(F.sum("cnt_s").cast("double").alias("tot_s"))
+    c = ex.groupBy("token").agg(F.count("*").alias("cnt"))
+    t = c.agg(F.sum("cnt").cast("double").alias("tot"))
+    ps = F.col("cnt_s").cast("double") / F.col("tot_s")
+    q = F.col("cnt").cast("double") / F.col("tot")
+    terms = (
+        sc.join(F.broadcast(st), "source")
+        .join(F.broadcast(c), "token")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            F.floor(ps * F.log(ps / q) * KL_SCALE + F.lit(0.5))
+            .cast("long")
+            .alias("kq"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.count("*").alias("n_distinct_tokens"),
+        round_half_up(
+            F.sum("kq").cast("double") / F.lit(float(KL_SCALE)), 4
+        ).alias("kl_nats"),
+    )
