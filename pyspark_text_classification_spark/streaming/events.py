@@ -199,24 +199,14 @@ query(
 )(stream_value_zscore)
 
 
-def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming OHLC downsampling: the events_ohlc_hourly rollup as a
-    watermarked tumbling-window aggregate. open/close remain min/max over
-    a (ts, event_id, value) struct — typed min/max state merges correctly
-    across micro-batches (each partial keeps its extreme; merge keeps the
-    smaller/larger struct), so the drained stream equals the batch rollup
-    with NO ordering assumption on arrival — the property that makes
-    first/last-by-time safe in a streaming engine."""
-    src = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+def ohlc_agg(src: DataFrame) -> DataFrame:
+    """The OHLC tumbling-window aggregate over a (batch or streaming)
+    events frame — shared by the registered streaming twin and the
+    multi-batch split test."""
     key = F.struct(
         ts_us().alias("t"), F.col("event_id").alias("i"), F.col("value").alias("v")
     )
-    agg = (
+    return (
         src.withColumn("event_ts", F.timestamp_micros(ts_us()))
         .withWatermark("event_ts", "1 hour")
         .groupBy(F.window("event_ts", "1 hour"), "event_type")
@@ -237,6 +227,23 @@ def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "low",
         )
     )
+
+
+def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC downsampling: the events_ohlc_hourly rollup as a
+    watermarked tumbling-window aggregate. open/close remain min/max over
+    a (ts, event_id, value) struct — typed min/max state merges correctly
+    across micro-batches (each partial keeps its extreme; merge keeps the
+    smaller/larger struct), so the drained stream equals the batch rollup
+    with NO ordering assumption on arrival — the property that makes
+    first/last-by-time safe in a streaming engine."""
+    src = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    agg = ohlc_agg(src)
     sink_name = f"stream_ohlc_{uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.format("memory")

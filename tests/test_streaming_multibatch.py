@@ -283,3 +283,57 @@ def test_closed_sessions_deterministic_across_batch_split(spark, tmp_path):
         for r in spark.table("closed_mb").collect()
     }
     assert got == want
+
+
+def test_stream_ohlc_merge_correct_under_reversed_arrival(spark, tmp_path):
+    """open/close from struct min/max must be arrival-order-independent:
+    the LATEST event of the hour arrives in micro-batch 1 and the
+    EARLIEST in micro-batch 2 — a first()/last()-style aggregate would
+    report batch order; the struct extremes must report event time."""
+    from pyspark_text_classification_spark.streaming.events import ohlc_agg
+
+    hour_us = 3_600_000_000
+    base = 100 * hour_us  # one clean hour bucket
+    rows = [
+        # (event_id, ts_us, user_id, type, value) — ts INTENTIONALLY not
+        # aligned with file order below
+        (1, base + 3000, 1, "click", 5.0),   # latest  -> close
+        (2, base + 1000, 1, "click", 1.0),   # earliest -> open
+        (3, base + 2000, 1, "click", 9.0),   # high
+        (4, base + 2500, 1, "click", 0.5),   # low
+    ]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    pdf = pd.DataFrame(
+        [(i, t, u, e, v, "{}") for i, t, u, e, v in rows], columns=cols
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="us").astype("datetime64[us]")
+    d = tmp_path / "ohlc_src"
+    os.makedirs(d)
+    # batch 1 = latest event only; batch 2 = the rest (reversed arrival)
+    pdf.iloc[:1].to_parquet(str(d / "a_first.parquet"), index=False)
+    pdf.iloc[1:].to_parquet(str(d / "b_second.parquet"), index=False)
+    now = time.time()
+    os.utime(d / "a_first.parquet", (now - 100, now - 100))
+    os.utime(d / "b_second.parquet", (now, now))
+
+    src = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    sink = "ohlc_split_sink"
+    q = (
+        ohlc_agg(src)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(sink).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_events, r.open, r.close, r.high, r.low) == (4, 1.0, 5.0, 9.0, 0.5)
+    assert r.hour_epoch_s == 100 * 3600
