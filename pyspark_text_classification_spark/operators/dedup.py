@@ -934,3 +934,88 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decision"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment (quote / excerpt detection)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS ({_sql_shingle_hashes(2)}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    dirs AS (
+      SELECT doc_a AS doc_sub, doc_b AS doc_super, n_inter FROM inter
+      UNION ALL
+      SELECT doc_b, doc_a, n_inter FROM inter
+    )
+    SELECT doc_sub, doc_super,
+           CAST(n_inter AS BIGINT) AS n_shared,
+           CAST(s.n_sh AS BIGINT) AS n_sub_shingles,
+           {sql_round_half_up('n_inter / s.n_sh', 4)} AS containment
+    FROM dirs JOIN sizes s ON s.doc_id = doc_sub
+    WHERE {sql_round_half_up('n_inter / s.n_sh', 4)}
+            >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment (Broder 1997's second resemblance measure):
+    |A ∩ B| / |A| over shingle sets — high when document A is mostly a
+    QUOTE or EXCERPT of B even though their Jaccard is low (a tweet
+    quoting a paragraph of an article resembles it barely, but is ~fully
+    contained in it). Jaccard-based dedup misses these; containment is
+    the standard second pass for excerpt/boilerplate lineage.
+
+    Pair generation is the shared-shingle equi-join (only pairs with at
+    least one common shingle materialize — the dedup_ngram_jaccard
+    ground-truth shape); both directions of each unordered pair are
+    scored since containment is not symmetric. At 100 TB restrict the
+    pair space first (LSH candidates plus a size-ratio prefilter on the
+    broadcast size table) — the formula and joins are unchanged; the
+    candidate generator is the swap-in, exactly as the near-dup family
+    swaps brute-force pairs for bucket collisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_hashes(docs, 2).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    dirs = inter.select(
+        F.col("doc_a").alias("doc_sub"),
+        F.col("doc_b").alias("doc_super"),
+        "n_inter",
+    ).unionByName(
+        inter.select(
+            F.col("doc_b").alias("doc_sub"),
+            F.col("doc_a").alias("doc_super"),
+            "n_inter",
+        )
+    )
+    ssub = sizes.select(F.col("doc_id").alias("doc_sub"), "n_sh")
+    cont = round_half_up(F.col("n_inter") / F.col("n_sh"), 4)
+    out = (
+        dirs.join(F.broadcast(ssub), "doc_sub")
+        .filter(cont >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_sub",
+            "doc_super",
+            F.col("n_inter").alias("n_shared"),
+            F.col("n_sh").alias("n_sub_shingles"),
+            cont.alias("containment"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sh.unpersist()
+    return out
