@@ -655,3 +655,131 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.col("tot").cast("double"), 4
         ).alias("p"),
     )
+
+
+@query(
+    "events_gap_fill",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id, epoch_us(ts) // {_HOUR_US} AS h,
+             max({{'t': epoch_us(ts), 'i': event_id, 'v': value}}).v AS v_obs
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM b GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM span
+    ),
+    j AS (
+      SELECT g.user_id, g.h, b.v_obs
+      FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.h = b.h
+    )
+    SELECT user_id, h * 3600 AS hour_epoch_s,
+           CAST(CASE WHEN v_obs IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap,
+           last_value(v_obs IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_fill
+    FROM j
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill (the hypertable ``time_bucket_gapfill`` +
+    ``locf`` rollup): resample each user to an hourly grid spanning their
+    own first..last hour, mark the empty hours, and forward-fill the last
+    observed value into them.
+
+    Plan shape: one hash aggregate collapses events to (user, hour) with
+    the latest value chosen by lexicographic max over a (ts, id, value)
+    struct (no window, no sort); per-user spans are a second tiny
+    aggregate whose ``sequence()`` explode materializes the grid — output
+    rows are Σ span-hours, generated distributed, never on the driver; the
+    grid left-joins the observations back on (user, hour) and a single
+    user-partitioned window does ``last(ignorenulls)`` carry-forward.  At
+    100 TB everything shuffles on user_id exactly twice (agg, window) and
+    the grid explode is linear in output size."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.expr(f"({TS_US_EXPR}) div {_HOUR_US}")
+    key = F.struct(
+        ts_us().alias("t"), F.col("event_id").alias("i"), F.col("value").alias("v")
+    )
+    by_hour = ev.groupBy(F.col("user_id"), hour.alias("h")).agg(
+        F.max(key)["v"].alias("v_obs")
+    )
+    grid = (
+        by_hour.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id", F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+        )
+    )
+    j = grid.join(by_hour, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        (F.col("h") * 3600).alias("hour_epoch_s"),
+        F.when(F.col("v_obs").isNull(), 1).otherwise(0).cast("long").alias("is_gap"),
+        F.last("v_obs", ignorenulls=True).over(w).alias("v_fill"),
+    )
+
+
+_DAY_US = 24 * _HOUR_US
+_WAU_WINDOW_DAYS = 7
+
+
+@query(
+    "events_rolling_active_users",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du),
+    dau AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY 1
+    ),
+    wau AS (
+      SELECT days.d, CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau_7d
+      FROM days JOIN du
+        ON du.d BETWEEN days.d - {_WAU_WINDOW_DAYS - 1} AND days.d
+      GROUP BY 1
+    )
+    SELECT dau.d * 86400 AS day_epoch_s, dau.dau, wau.wau_7d
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU and trailing-7-day active users per day — the engagement rollup
+    every product pipeline runs.  Rolling COUNT(DISTINCT) is not a window
+    function in either engine, so the rolling set union is expressed at
+    the day grain: events collapse to distinct (user, day) pairs ONCE
+    (the only event-sized shuffle), then a 7-day band join against the
+    tiny distinct-day list re-counts distinct users per target day.
+
+    Scale shape: the band join's build side is the day list (span-bounded,
+    ~centuries fit in memory) and Spark broadcasts it, so the expensive
+    side streams map-side; the distinct-pair aggregate has map-side
+    partials.  Work is |distinct pairs| x 7 — linear in data, independent
+    of raw event count beyond the first distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        "user_id", F.expr(f"({TS_US_EXPR}) div {_DAY_US}").alias("d")
+    ).distinct()
+    days = du.select("d").distinct()
+    dau = du.groupBy("d").agg(F.count("*").alias("dau"))
+    wau = (
+        F.broadcast(days.withColumnRenamed("d", "target_d"))
+        .join(
+            du,
+            (F.col("d") >= F.col("target_d") - (_WAU_WINDOW_DAYS - 1))
+            & (F.col("d") <= F.col("target_d")),
+        )
+        .groupBy("target_d")
+        .agg(F.countDistinct("user_id").alias("wau_7d"))
+    )
+    return (
+        dau.join(wau, dau.d == wau.target_d)
+        .select((F.col("d") * 86400).alias("day_epoch_s"), "dau", "wau_7d")
+    )

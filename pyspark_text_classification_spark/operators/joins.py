@@ -433,3 +433,74 @@ def q33_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_disc"
         ),
     )
+
+
+LARGE_ORDER_QTY_C = 250 * 100  # sum(l_quantity) > 250, in integer centi-units
+LARGE_ORDER_TOPK = 20
+
+
+@query(
+    "q34_large_order_customers",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS qty_c
+      FROM lineitem GROUP BY 1
+      HAVING sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+             > {LARGE_ORDER_QTY_C}
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           epoch_us(o.o_orderdate) // 1000000 AS o_orderdate_s,
+           CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+             AS totalprice_c,
+           big.qty_c
+    FROM big
+    JOIN orders o ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY totalprice_c DESC, o.o_orderkey
+    LIMIT {LARGE_ORDER_TOPK}
+    """,
+)
+def q34_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): aggregate lineitem per
+    order, keep orders whose total quantity clears a threshold, then join
+    orders and customer for the top-k by order value.
+
+    The HAVING filter runs BEFORE any join, collapsing the fact table to
+    the rare heavy orders — at 100 TB the post-filter side is small enough
+    that AQE broadcast-converts both subsequent joins, so the only full
+    shuffle is the map-side-combined orderkey aggregate.  Quantities and
+    prices are quantized to integer centi-units before summing/sorting
+    (order-independent int64 sums; no double ties in the top-k), and the
+    top-k itself is TakeOrdered — per-partition k then a k-sized merge,
+    never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    qty_c = F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5)).cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_c).alias("qty_c"))
+        .filter(F.col("qty_c") > LARGE_ORDER_QTY_C)
+    )
+    date_s = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+        " o_orderdate) div 1000000"
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            date_s.alias("o_orderdate_s"),
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("totalprice_c"),
+            "qty_c",
+        )
+        .orderBy(F.col("totalprice_c").desc(), "o_orderkey")
+        .limit(LARGE_ORDER_TOPK)
+    )

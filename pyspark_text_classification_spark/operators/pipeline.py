@@ -19,7 +19,7 @@ from pyspark_text_classification_spark.functions.hashing import (
     char_poly_hash,
     sql_char_poly_hash,
 )
-from pyspark_text_classification_spark.functions.text import tokenize
+from pyspark_text_classification_spark.functions.text import round_half_up, tokenize
 from pyspark_text_classification_spark.operators.dedup import (
     _sql_shingle_hashes as _sql_sh,
 )
@@ -758,3 +758,75 @@ def pipeline_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows
+
+
+SEQ_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def _bucket_case_sql(n: str) -> str:
+    whens = " ".join(f"WHEN {n} <= {b} THEN {b}" for b in SEQ_BUCKETS)
+    return f"CASE {whens} ELSE {SEQ_BUCKETS[-1] * 2} END"
+
+
+@query(
+    "pipeline_length_buckets",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(length({_SQL_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT n_tokens,
+             CAST({_bucket_case_sql('n_tokens')} AS BIGINT) AS seq_len
+      FROM t
+    )
+    SELECT seq_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(seq_len * count(*) AS BIGINT) AS padded_tokens,
+           {{rhu}} AS pad_waste_ratio
+    FROM b GROUP BY 1
+    """.replace(
+        "{rhu}",
+        # waste = fraction of the padded batch that is padding
+        "floor((1.0 - CAST(sum(n_tokens) AS DOUBLE)"
+        " / CAST(seq_len * count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0",
+    ),
+)
+def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing for training-batch packing: assign every
+    document to the smallest power-of-two context bucket that holds its
+    token count and account the padding waste per bucket — the statistic
+    that decides bucket boundaries for a padded-batch data loader.
+
+    The bucket assignment is a branch-only CASE ladder over fixed
+    boundaries (no float log2 — exact identical integers on any engine),
+    fused into the scan stage; the aggregate is bounded by the bucket
+    count, so beyond the single map-side-combined groupBy nothing moves.
+    Linear scan at 100 TB, output rows = len(SEQ_BUCKETS)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    n_tokens = F.size(tokenize("text", min_token_length=2)).cast("long")
+    bucket = F.expr(_bucket_case_sql("n_tokens")).cast("long")
+    b = docs.select(n_tokens.alias("n_tokens")).select(
+        "n_tokens", bucket.alias("seq_len")
+    )
+    waste = F.lit(1.0) - F.col("total_tokens").cast("double") / F.col(
+        "padded_tokens"
+    ).cast("double")
+    return (
+        b.groupBy("seq_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .withColumn(
+            "padded_tokens", (F.col("seq_len") * F.col("n_docs")).cast("long")
+        )
+        .select(
+            "seq_len",
+            "n_docs",
+            "total_tokens",
+            "padded_tokens",
+            round_half_up(waste, 4).alias("pad_waste_ratio"),
+        )
+    )
