@@ -783,3 +783,75 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         dau.join(wau, dau.d == wau.target_d)
         .select((F.col("d") * 86400).alias("day_epoch_s"), "dau", "wau_7d")
     )
+
+
+_V_SCALE = 1_000_000  # micro-unit quantization; median of ints is dyadic-exact
+MAD_K = 3  # flag |v - median| > K * MAD
+
+
+@query(
+    "events_mad_anomaly",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_id, user_id, value,
+             CAST(floor(value * {_V_SCALE}.0 + 0.5) AS BIGINT) AS v_us
+      FROM events
+    ),
+    med AS (
+      SELECT user_id, quantile_cont(v_us, 0.5) AS med_u FROM v GROUP BY 1
+    ),
+    dev AS (
+      SELECT v.*, med.med_u, abs(v.v_us - med.med_u) AS dev_u
+      FROM v JOIN med USING (user_id)
+    ),
+    mad AS (
+      SELECT user_id, quantile_cont(dev_u, 0.5) AS mad_u FROM dev GROUP BY 1
+    )
+    SELECT d.event_id, d.user_id, d.value,
+           {sql_round_half_up(f'd.dev_u / ({MAD_K}.0 * m.mad_u)', 4)} AS score
+    FROM dev d JOIN mad m USING (user_id)
+    WHERE m.mad_u > 0 AND d.dev_u > {MAD_K} * m.mad_u
+    """,
+)
+def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier detection: flag events whose value deviates
+    from the user's MEDIAN by more than K times the median absolute
+    deviation — the outlier rule that, unlike the z-score twin
+    (events_value_zscore), a burst of outliers cannot drag with it.
+
+    Medians interpolate between order statistics, and the two engines'
+    interpolation formulas differ in the last ulp on arbitrary doubles —
+    so values are quantized to integer micro-units FIRST: every median is
+    then a dyadic rational both engines compute bit-identically, and the
+    K*MAD comparison is exact.  Plan: two user-keyed exact-percentile
+    aggregates with the deviations joined back per user (AQE broadcasts
+    the per-user summaries); everything event-sized shuffles on user_id
+    only."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.floor(F.col("value") * _V_SCALE + F.lit(0.5)).cast("long").alias("v_us"),
+    )
+    med = v.groupBy("user_id").agg(
+        F.percentile("v_us", F.lit(0.5)).alias("med_u")
+    )
+    dev = v.join(med, "user_id").withColumn(
+        "dev_u", F.abs(F.col("v_us") - F.col("med_u"))
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.percentile("dev_u", F.lit(0.5)).alias("mad_u")
+    )
+    return (
+        dev.join(mad, "user_id")
+        .filter((F.col("mad_u") > 0) & (F.col("dev_u") > MAD_K * F.col("mad_u")))
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            round_half_up(
+                F.col("dev_u") / (F.lit(float(MAD_K)) * F.col("mad_u")), 4
+            ).alias("score"),
+        )
+    )

@@ -830,3 +830,68 @@ def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(waste, 4).alias("pad_waste_ratio"),
         )
     )
+
+
+# Efraimidis-Spiridakis weighted reservoir sampling, derandomized: the
+# uniform draw comes from an LCG over doc_id and its ln() is quantized to
+# integer micro-nats (the same trick text_lm_logprob property-tests), so
+# the priority key is engine-exact.
+WS_K = 20  # sample size per source stratum
+_WS_A = 48_271  # MINSTD multiplier (Park-Miller)
+_WS_MOD = 2_147_483_647  # 2^31 - 1
+_LN_SCALE = 1_000_000
+
+
+@query(
+    "pipeline_weighted_sample",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id, source, n_chars,
+             (doc_id * {_WS_A} + 1) % {_WS_MOD} AS h
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, source, n_chars,
+             CAST(floor(ln((h + 1.0) / {_WS_MOD}.0) * {_LN_SCALE}.0 + 0.5)
+                  AS BIGINT) AS ln_micro
+      FROM k
+    ),
+    r AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST(ln_micro AS DOUBLE) / n_chars DESC, doc_id
+             ) AS rnk
+      FROM p WHERE n_chars > 0
+    )
+    SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars
+    FROM r WHERE rnk <= {WS_K}
+    """,
+)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, k docs per source stratum,
+    selection probability proportional to document length — the
+    Efraimidis-Spiridakis reservoir scheme (key = u^(1/w), ranked by
+    ln(u)/w) with the randomness derandomized: u comes from a MINSTD LCG
+    over doc_id, so the sample is reproducible on any engine, any
+    cluster, any retry, and oracle-checkable.
+
+    Determinism: ln(u) is quantized to integer micro-nats before the
+    single division by the integer weight — one correctly-rounded IEEE op
+    on both engines, so ranks never drift by an ulp.  Plan: pure map-side
+    key computation, one window shuffle on source, and the rank filter
+    cuts each stratum to k rows map-side after the sort — the standard
+    distributed top-k-per-group shape."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    h = (F.col("doc_id") * _WS_A + 1) % _WS_MOD
+    ln_micro = F.floor(
+        F.log((h + 1).cast("double") / float(_WS_MOD)) * _LN_SCALE + F.lit(0.5)
+    ).cast("long")
+    key = ln_micro.cast("double") / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy(key.desc(), "doc_id")
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select("doc_id", "source", "n_chars", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= WS_K)
+        .select("source", F.col("rnk").cast("long").alias("rnk"), "doc_id", "n_chars")
+    )
