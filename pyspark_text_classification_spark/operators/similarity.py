@@ -984,3 +984,131 @@ def similarity_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality: recall@k of the LSH index against exact top-k
+# ---------------------------------------------------------------------------
+
+RECALL_SAMPLE_MOD = 16  # evaluate every 16th vector as a query
+
+
+@query(
+    "similarity_recall_eval",
+    oracle=f"""
+    WITH {_SQL_LSH_PRELUDE},
+    p AS ({_SQL_MIRROR}),
+    annq AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT vec_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY {sql_round_half_up('cos', 4)} DESC, neighbor_id
+               ) AS rnk
+        FROM p WHERE vec_id % {RECALL_SAMPLE_MOD} = 0
+      ) WHERE rnk <= {TOP_K}
+    ),
+    ex AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             list_reduce(
+               list_prepend(0.0, list_transform(
+                 range(1, length(a.v) + 1), i -> a.v[i] * b.v[i])),
+               (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos
+      FROM n a JOIN n b
+        ON a.vec_id % {RECALL_SAMPLE_MOD} = 0 AND a.vec_id <> b.vec_id
+    ),
+    ext AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT vec_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY {sql_round_half_up('cos', 4)} DESC, neighbor_id
+               ) AS rnk
+        FROM ex
+      ) WHERE rnk <= {TOP_K}
+    ),
+    perq AS (
+      SELECT ext.vec_id,
+             CAST(count(annq.neighbor_id) AS BIGINT) AS hits
+      FROM ext LEFT JOIN annq
+        ON ext.vec_id = annq.vec_id AND ext.neighbor_id = annq.neighbor_id
+      GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST({TOP_K} AS BIGINT) AS k,
+           {sql_round_half_up(f'avg(hits / {TOP_K}.0)', 4)} AS macro_recall,
+           {sql_round_half_up(
+               f'avg(CASE WHEN hits = {TOP_K} THEN 1.0 ELSE 0.0 END)', 4)}
+             AS perfect_frac
+    FROM perq
+    """,
+)
+def similarity_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the sign-LSH ANN index, measured ON-ENGINE against the
+    exact top-k for a deterministic 1/16 sample of query vectors — the
+    measure-don't-guess loop for index tuning (NUM_TABLES / hyperplane
+    count trade against this number).
+
+    Cost shape: the exact side restricts the expensive fold to
+    |sample| x n pairs (a broadcast-able filtered side, NOT the all-pairs
+    cross join), and the ANN side reuses the linear bucket-join
+    candidates restricted to the same sample; both top-k ranks share one
+    deterministic tie-break (4-decimal cosine, then neighbor_id), so
+    recall is exact and engine-stable.  Output is a single summary row —
+    macro recall plus the fraction of queries whose ANN top-k is
+    perfect."""
+    e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
+    sampled = F.pmod(F.col("vec_id"), F.lit(RECALL_SAMPLE_MOD)) == 0
+
+    # ANN side: bucket-join candidates, mirrored to ordered, query-filtered
+    bk = lsh_bucket_table(e).persist()
+    pairs = lsh_candidate_pairs(bk)
+    cand = pairs.unionByName(
+        pairs.select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
+        )
+    ).filter(sampled)
+    ann = _rank_topk(candidate_cosines(e, cand)).select("vec_id", "neighbor_id")
+
+    # exact side: sampled queries against everything (no cross join of n x n)
+    a = e.filter(sampled).select(
+        F.col("vec_id"), F.col("v").alias("xv"), F.col("nrm").alias("xn")
+    )
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("yv"),
+        F.col("nrm").alias("yn"),
+    )
+    dot = _fold_sum(F.zip_with(F.col("xv"), F.col("yv"), lambda p, q: p * q))
+    ex = (
+        a.crossJoin(b)
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            (dot / (F.col("xn") * F.col("yn"))).alias("cos"),
+        )
+    )
+    ext = _rank_topk(ex).select("vec_id", "neighbor_id")
+
+    hits = (
+        ext.join(ann, ["vec_id", "neighbor_id"], "left_semi")
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    perq = (
+        ext.select("vec_id")
+        .distinct()
+        .join(hits, "vec_id", "left")
+        .select(F.coalesce(F.col("hits"), F.lit(0)).alias("hits"))
+    )
+    out = perq.agg(
+        F.count("*").alias("n_queries"),
+        F.lit(TOP_K).cast("long").alias("k"),
+        round_half_up(F.avg(F.col("hits") / float(TOP_K)), 4).alias("macro_recall"),
+        round_half_up(
+            F.avg(F.when(F.col("hits") == TOP_K, 1.0).otherwise(0.0)), 4
+        ).alias("perfect_frac"),
+    )
+    return _finalize(out, e, bk)
