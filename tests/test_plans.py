@@ -194,3 +194,31 @@ def test_search_topk_scores_map_side(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, plan
     for bad in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
         assert bad not in plan, plan
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """A filter on the partition column must become a PartitionFilters
+    entry on the scan (directory-level pruning — at 100 TB the difference
+    between reading one day and reading the archive), and non-matching
+    partition directories must contribute zero files to the scan."""
+    from pyspark.sql import functions as F
+
+    from pyspark_text_classification_spark.sources.parquet import (
+        load_table,
+        write_parquet,
+    )
+
+    path = str(tmp_path / "events_by_type")
+    ev = load_table(spark, sf_dir, "events")
+    write_parquet(ev, path, partition_by=["event_type"])
+
+    one_type = ev.select("event_type").first()[0]
+    back = spark.read.parquet(path).filter(F.col("event_type") == one_type)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert f"isnotnull(event_type" in plan or "event_type" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+    # pruned read returns exactly the partition's rows
+    expected = ev.filter(F.col("event_type") == one_type).count()
+    assert back.count() == expected
