@@ -855,3 +855,47 @@ def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
+
+
+N_DECILES = 10
+
+
+@query(
+    "events_value_deciles",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, value,
+             ntile({N_DECILES}) OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS decile
+      FROM events
+    )
+    SELECT event_type, CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           min(value) AS lo, max(value) AS hi
+    FROM d GROUP BY 1, 2
+    """,
+)
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-count decile summary of event values per event type via
+    ntile — the distribution profile behind threshold picking and drift
+    dashboards (and the ntile/percent_rank corner of the window surface).
+
+    ntile's bucket rule (remainder rows go to the leading buckets) is
+    identical SQL semantics on both engines; the ordering is made total
+    with the event_id tie-break so bucket edges cannot drift.  One window
+    shuffle on event_type, then a bounded (types x 10) aggregate; the
+    values pass through untouched, so min/max are bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "event_type", "value", F.ntile(N_DECILES).over(w).alias("decile")
+        )
+        .groupBy("event_type", F.col("decile").cast("long").alias("decile"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )

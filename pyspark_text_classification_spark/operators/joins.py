@@ -504,3 +504,60 @@ def q34_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("totalprice_c").desc(), "o_orderkey")
         .limit(LARGE_ORDER_TOPK)
     )
+
+
+PROMO_TYPE = "ECONOMY"
+
+
+@query(
+    "q35_promo_revenue_share",
+    oracle=f"""
+    SELECT
+      CAST(sum(CASE WHEN p.p_type = '{PROMO_TYPE}'
+                    THEN CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                                    * 100.0 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS promo_revenue_c,
+      CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                          * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        AS total_revenue_c,
+      {sql_round_half_up(
+          "100.0 * sum(CASE WHEN p.p_type = '" + PROMO_TYPE + "'"
+          " THEN CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)"
+          " * 100.0 + 0.5) AS BIGINT) ELSE 0 END)"
+          " / sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)"
+          " * 100.0 + 0.5) AS BIGINT))", 4)} AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def q35_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): the share of total discounted
+    revenue earned by one part type, computed as a conditional aggregate
+    over the lineitem-part join.
+
+    Scale shape: the join shuffles on partkey (part is fact-sized at
+    100 TB, so no forced broadcast — AQE converts it while it fits); the
+    CASE folds into the aggregate so a single pass produces both sums
+    with map-side partials.  Revenue quantizes to integer cents BEFORE
+    summing — the order-independent-sum rule every money aggregate in
+    this engine follows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev_c = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0
+        + F.lit(0.5)
+    ).cast("long")
+    promo_c = F.when(F.col("p_type") == PROMO_TYPE, rev_c).otherwise(F.lit(0))
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.sum(promo_c).alias("promo_revenue_c"),
+        F.sum(rev_c).alias("total_revenue_c"),
+    ).select(
+        "promo_revenue_c",
+        "total_revenue_c",
+        round_half_up(
+            F.lit(100.0)
+            * F.col("promo_revenue_c").cast("double")
+            / F.col("total_revenue_c").cast("double"),
+            4,
+        ).alias("promo_pct"),
+    )
