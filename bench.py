@@ -25,6 +25,15 @@ from pyspark_text_classification_spark.session import get_session
 # event windows, pandas-UDF inference).
 HEADLINE = [
     "q01_scan_project",
+    "q34_large_order_customers",
+    "q35_promo_revenue_share",
+    "events_gap_fill",
+    "events_rolling_active_users",
+    "events_mad_anomaly",
+    "events_value_deciles",
+    "pipeline_length_buckets",
+    "pipeline_weighted_sample",
+    "similarity_recall_eval",
     "q09_group_count_2keys",
     "q11_topk_orders",
     "q12_tokenize_explode",
