@@ -800,8 +800,17 @@ def text_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     ex = docs.select("source", F.explode(tokenize("text", 2)).alias("token"))
     sc = ex.groupBy("source", "token").agg(F.count("*").alias("cnt_s"))
+    return kl_from_source_token_counts(sc)
+
+
+def kl_from_source_token_counts(sc: DataFrame) -> DataFrame:
+    """KL finisher over a (source, token, cnt_s) count table — shared by
+    the batch query above and the streaming twin
+    (streaming/drift.py), whose complete-mode aggregate drains to exactly
+    this table. Everything here is vocabulary-bounded: the corpus-sized
+    explode already happened upstream."""
     st = sc.groupBy("source").agg(F.sum("cnt_s").cast("double").alias("tot_s"))
-    c = ex.groupBy("token").agg(F.count("*").alias("cnt"))
+    c = sc.groupBy("token").agg(F.sum("cnt_s").alias("cnt"))
     t = c.agg(F.sum("cnt").cast("double").alias("tot"))
     ps = F.col("cnt_s").cast("double") / F.col("tot_s")
     q = F.col("cnt").cast("double") / F.col("tot")
