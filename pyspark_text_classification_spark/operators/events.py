@@ -899,3 +899,133 @@ def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("hi"),
         )
     )
+
+
+_WEEK_HOURS = 168  # seasonal-naive lag: same hour one week earlier
+
+
+@query(
+    "events_seasonal_baseline",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT epoch_us(ts) // {_HOUR_US} AS h, event_type,
+             CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS v_us
+      FROM events GROUP BY 1, 2
+    )
+    SELECT cur.event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           {sql_round_half_up(
+               'avg(abs(cur.v_us - lag.v_us)) / 1000000.0', 4)} AS mae
+    FROM hourly cur
+    JOIN hourly lag
+      ON cur.event_type = lag.event_type
+     AND cur.h = lag.h + {_WEEK_HOURS}
+    GROUP BY 1
+    """,
+)
+def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation: predict each hour's total value
+    as the SAME hour one week earlier and report the mean absolute error
+    per event type — the baseline every real forecaster must beat, and
+    the error metric anomaly thresholds calibrate against.
+
+    Per-event values quantize to integer micro-units BEFORE the hourly
+    sum (bit-stable under any partitioning); the lag is an equi-join of
+    the hour-grain rollup with itself shifted by 168 hours — the rollup
+    is span x types rows, so the self-join is tiny no matter how many raw
+    events fed it.  One event-sized shuffle (the rollup), everything
+    after is bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    v_us = F.floor(F.col("value") * 1_000_000.0 + F.lit(0.5)).cast("long")
+    hourly = ev.groupBy(
+        F.expr(f"({TS_US_EXPR}) div {_HOUR_US}").alias("h"),
+        "event_type",
+    ).agg(F.sum(v_us).alias("v_us"))
+    cur, lag = hourly.alias("cur"), hourly.alias("lag")
+    return (
+        cur.join(
+            lag,
+            (F.col("cur.event_type") == F.col("lag.event_type"))
+            & (F.col("cur.h") == F.col("lag.h") + _WEEK_HOURS),
+        )
+        .groupBy(F.col("cur.event_type").alias("event_type"))
+        .agg(
+            F.count("*").alias("n_hours"),
+            round_half_up(
+                F.avg(F.abs(F.col("cur.v_us") - F.col("lag.v_us")))
+                / 1_000_000.0,
+                4,
+            ).alias("mae"),
+        )
+    )
+
+
+@query(
+    "events_type_affinity",
+    oracle=f"""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_users FROM ut GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, i.n_both,
+           {sql_round_half_up(
+               'CAST(i.n_both AS DOUBLE)'
+               ' / (na.n_users + nb.n_users - i.n_both)', 4)} AS jaccard
+    FROM inter i
+    JOIN n na ON na.event_type = i.type_a
+    JOIN n nb ON nb.event_type = i.type_b
+    """,
+)
+def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral affinity between event types: Jaccard overlap of the
+    user sets that perform each pair of types — the co-usage signal
+    behind feature bundling and next-action candidates.
+
+    Scale shape: events collapse to distinct (user, type) ONCE; the
+    user-keyed self-join fans out at most (types-per-user choose 2) rows
+    per user — bounded by the type vocabulary, NOT by event volume — and
+    the per-type user counts broadcast onto the types x types result."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n = ut.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    a, b = ut.alias("a"), ut.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    na = F.broadcast(n.select(F.col("event_type").alias("type_a"),
+                              F.col("n_users").alias("na_users")))
+    nb = F.broadcast(n.select(F.col("event_type").alias("type_b"),
+                              F.col("n_users").alias("nb_users")))
+    return (
+        inter.join(na, "type_a")
+        .join(nb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            round_half_up(
+                F.col("n_both").cast("double")
+                / (F.col("na_users") + F.col("nb_users") - F.col("n_both")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
