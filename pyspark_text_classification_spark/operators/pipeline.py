@@ -895,3 +895,214 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= WS_K)
         .select("source", F.col("rnk").cast("long").alias("rnk"), "doc_id", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Migration-grade integrity: order-independent table checksums + CDC merge
+# ---------------------------------------------------------------------------
+
+_CK_MOD = 2_147_483_647  # 2^31 - 1 (the poly-hash modulus)
+_CK_MULT = 1_000_003
+
+
+def _horner_sql(terms: list[str]) -> str:
+    """Nonneg Horner-chain row hash, mod at every step (overflow-safe)."""
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = f"((({acc}) * {_CK_MULT} + ({t})) % {_CK_MOD})"
+    return acc
+
+
+def _nonneg_sql(x: str) -> str:
+    return f"((({x}) % {_CK_MOD} + {_CK_MOD}) % {_CK_MOD})"
+
+
+_DOC_ROW_SQL = _horner_sql(["doc_id", sql_char_poly_hash("text")])
+_EVT_ROW_SQL = _horner_sql(
+    [
+        "event_id",
+        _nonneg_sql("epoch_us(ts)"),
+        "user_id",
+        _nonneg_sql("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"),
+        sql_char_poly_hash("event_type"),
+    ]
+)
+_ORD_ROW_SQL = _horner_sql(
+    [
+        "o_orderkey",
+        "o_custkey",
+        sql_char_poly_hash("o_orderstatus"),
+        _nonneg_sql("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"),
+        _nonneg_sql("epoch_us(o_orderdate) // 1000000"),
+    ]
+)
+
+
+@query(
+    "pipeline_table_checksum",
+    oracle=f"""
+    SELECT 'documents' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor({_DOC_ROW_SQL}) AS BIGINT) AS checksum
+    FROM documents
+    UNION ALL
+    SELECT 'events', CAST(count(*) AS BIGINT),
+           CAST(bit_xor({_EVT_ROW_SQL}) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'orders', CAST(count(*) AS BIGINT),
+           CAST(bit_xor({_ORD_ROW_SQL}) AS BIGINT)
+    FROM orders
+    """,
+)
+def pipeline_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content checksums for migration validation: per table, the XOR of a
+    canonical per-row hash — the cheap way to prove a 100 TB copy, engine
+    swap, or re-layout preserved every row.  XOR is commutative,
+    associative, and overflow-free, so the aggregate is one map-side-
+    combined pass with NO ordering requirement — any partitioning, any
+    cluster size, same checksum — and a single flipped bit anywhere
+    changes it.
+
+    Row hashes mix the stable columns through an overflow-safe Horner
+    chain (mod at every step keeps products under 2^62); doubles enter as
+    quantized integers, timestamps as epoch integers — the cross-engine
+    determinism rules the rest of the engine already follows."""
+    from pyspark.sql import Column as _Col
+
+    def horner(terms: list[_Col]) -> _Col:
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = (acc * _CK_MULT + t) % _CK_MOD
+        return acc
+
+    def nonneg(x: _Col) -> _Col:
+        return F.pmod(x, F.lit(_CK_MOD))
+
+    def one(df: DataFrame, name: str, row: _Col) -> DataFrame:
+        return df.select(row.alias("h")).agg(
+            F.lit(name).alias("table_name"),
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(h)").cast("long").alias("checksum"),
+        )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    ts_us_col = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    )
+    doc_row = horner([F.col("doc_id"), char_poly_hash("text")])
+    evt_row = horner(
+        [
+            F.col("event_id"),
+            nonneg(ts_us_col),
+            F.col("user_id"),
+            nonneg(F.floor(F.col("value") * 1_000_000.0 + F.lit(0.5)).cast("long")),
+            char_poly_hash("event_type"),
+        ]
+    )
+    ord_row = horner(
+        [
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            char_poly_hash("o_orderstatus"),
+            nonneg(
+                F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+            ),
+            nonneg(
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ'1970-01-01 00:00:00', o_orderdate)"
+                    " div 1000000"
+                )
+            ),
+        ]
+    )
+    return (
+        one(docs, "documents", doc_row)
+        .unionByName(one(ev, "events", evt_row))
+        .unionByName(one(orders, "orders", ord_row))
+    )
+
+
+# CDC change-feed simulation, derived deterministically from doc_id so the
+# merge is oracle-checkable: every 10th doc updates, another 10th deletes,
+# another 10th re-inserts under a shifted key.
+_CDC_UPDATE_MOD = 3
+_CDC_DELETE_MOD = 7
+_CDC_INSERT_MOD = 5
+_CDC_INSERT_SHIFT = 10_000_000
+_CDC_UPDATE_PREFIX = "rev2: "
+
+
+@query(
+    "pipeline_cdc_merge",
+    oracle=f"""
+    WITH upd AS (
+      SELECT doc_id, '{_CDC_UPDATE_PREFIX}' || text AS text, source
+      FROM documents WHERE doc_id % 10 = {_CDC_UPDATE_MOD}
+    ),
+    del AS (
+      SELECT doc_id FROM documents WHERE doc_id % 10 = {_CDC_DELETE_MOD}
+    ),
+    ins AS (
+      SELECT doc_id + {_CDC_INSERT_SHIFT} AS doc_id, text, source
+      FROM documents WHERE doc_id % 10 = {_CDC_INSERT_MOD}
+    ),
+    untouched AS (
+      SELECT doc_id, text, source FROM documents
+      WHERE doc_id % 10 NOT IN ({_CDC_UPDATE_MOD}, {_CDC_DELETE_MOD})
+    ),
+    merged AS (
+      SELECT * FROM untouched
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(bit_xor({_horner_sql(['doc_id', sql_char_poly_hash('text')])})
+                AS BIGINT) AS checksum
+    FROM merged GROUP BY 1
+    """,
+)
+def pipeline_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / upsert semantics over an immutable snapshot — the CDC
+    apply step (SCD type 1) every warehouse sync runs: delete keys drop,
+    update keys take the new row version, inserts append.  Expressed as
+    keep = snapshot ANTI-JOIN touched-keys, then UNION the new versions —
+    the only way to "mutate" at 100 TB, and exactly what table formats'
+    MERGE INTO compiles to underneath.
+
+    The change feed here is derived deterministically from doc_id (mod
+    classes for update/delete/insert) so the merged result is
+    oracle-checkable end to end; the per-source XOR row-checksum output
+    proves the merge byte-for-byte, not just by row count.  Scale shape:
+    one shuffle for the key anti-join (changes side is the small side —
+    broadcast when it fits), unions are free, and the checksum aggregate
+    is map-side combined."""
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "source"
+    )
+    m10 = F.pmod(F.col("doc_id"), F.lit(10))
+    upd = docs.filter(m10 == _CDC_UPDATE_MOD).select(
+        "doc_id",
+        F.concat(F.lit(_CDC_UPDATE_PREFIX), F.col("text")).alias("text"),
+        "source",
+    )
+    deleted_or_updated = docs.filter(
+        m10.isin(_CDC_UPDATE_MOD, _CDC_DELETE_MOD)
+    ).select("doc_id")
+    ins = docs.filter(m10 == _CDC_INSERT_MOD).select(
+        (F.col("doc_id") + _CDC_INSERT_SHIFT).alias("doc_id"), "text", "source"
+    )
+    kept = docs.join(F.broadcast(deleted_or_updated), "doc_id", "left_anti")
+    merged = kept.unionByName(upd).unionByName(ins)
+    row_h = (F.col("doc_id") * _CK_MULT + char_poly_hash("text")) % _CK_MOD
+    return (
+        merged.select("source", row_h.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("bit_xor(h)").cast("long").alias("checksum"),
+        )
+    )
