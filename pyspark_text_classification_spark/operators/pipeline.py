@@ -1083,6 +1083,21 @@ def pipeline_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text", "source"
     )
+    merged = cdc_merged(docs)
+    row_h = (F.col("doc_id") * _CK_MULT + char_poly_hash("text")) % _CK_MOD
+    return (
+        merged.select("source", row_h.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("bit_xor(h)").cast("long").alias("checksum"),
+        )
+    )
+
+
+def cdc_merged(docs: DataFrame) -> DataFrame:
+    """The deterministic change feed applied to the snapshot (shared by
+    pipeline_cdc_merge and pipeline_snapshot_diff)."""
     m10 = F.pmod(F.col("doc_id"), F.lit(10))
     upd = docs.filter(m10 == _CDC_UPDATE_MOD).select(
         "doc_id",
@@ -1096,13 +1111,72 @@ def pipeline_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + _CDC_INSERT_SHIFT).alias("doc_id"), "text", "source"
     )
     kept = docs.join(F.broadcast(deleted_or_updated), "doc_id", "left_anti")
-    merged = kept.unionByName(upd).unionByName(ins)
-    row_h = (F.col("doc_id") * _CK_MULT + char_poly_hash("text")) % _CK_MOD
+    return kept.unionByName(upd).unionByName(ins)
+
+
+_CDC_MERGED_SQL = f"""
+    upd AS (
+      SELECT doc_id, '{_CDC_UPDATE_PREFIX}' || text AS text, source
+      FROM documents WHERE doc_id % 10 = {_CDC_UPDATE_MOD}
+    ),
+    ins AS (
+      SELECT doc_id + {_CDC_INSERT_SHIFT} AS doc_id, text, source
+      FROM documents WHERE doc_id % 10 = {_CDC_INSERT_MOD}
+    ),
+    untouched AS (
+      SELECT doc_id, text, source FROM documents
+      WHERE doc_id % 10 NOT IN ({_CDC_UPDATE_MOD}, {_CDC_DELETE_MOD})
+    ),
+    merged AS (
+      SELECT * FROM untouched
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins
+    )
+"""
+
+
+@query(
+    "pipeline_snapshot_diff",
+    oracle=f"""
+    WITH {_CDC_MERGED_SQL}
+    SELECT coalesce(m.source, d.source) AS source,
+           CASE WHEN d.doc_id IS NULL THEN 'added'
+                WHEN m.doc_id IS NULL THEN 'removed'
+                WHEN m.text <> d.text THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d
+    FULL JOIN merged m ON d.doc_id = m.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data diff between two table versions: FULL OUTER join on the key,
+    classify every row as added / removed / changed / unchanged, count per
+    source — the reconciliation report run after any migration, backfill,
+    or CDC apply (here: against the deterministic cdc_merged version, so
+    the expected diff is exactly the change feed).
+
+    Scale shape: one key-partitioned full-outer shuffle join — both sides
+    stream through sorted merge, nothing is driver-side; the change
+    classification is a per-row CASE fused into the join's projection, and
+    the output aggregate is (sources x 4 statuses)-bounded."""
+    v1 = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "source"
+    )
+    v2 = cdc_merged(v1)
+    d, m = v1.alias("d"), v2.alias("m")
+    status = (
+        F.when(F.col("d.doc_id").isNull(), "added")
+        .when(F.col("m.doc_id").isNull(), "removed")
+        .when(F.col("m.text") != F.col("d.text"), "changed")
+        .otherwise("unchanged")
+    )
     return (
-        merged.select("source", row_h.alias("h"))
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.expr("bit_xor(h)").cast("long").alias("checksum"),
+        d.join(m, F.col("d.doc_id") == F.col("m.doc_id"), "full_outer")
+        .groupBy(
+            F.coalesce(F.col("m.source"), F.col("d.source")).alias("source"),
+            status.alias("status"),
         )
+        .agg(F.count("*").alias("n_docs"))
     )

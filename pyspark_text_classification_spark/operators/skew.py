@@ -157,6 +157,7 @@ def bucketed_join(
 # (salting must be RESULT-INVISIBLE — the oracle is the unsalted query)
 # ---------------------------------------------------------------------------
 
+from pyspark_text_classification_spark.functions.text import round_half_up  # noqa: E402
 from pyspark_text_classification_spark.registry import query  # noqa: E402
 from pyspark_text_classification_spark.sources.parquet import load_table  # noqa: E402
 
@@ -222,4 +223,45 @@ def q31_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_orders"),
         F.sum("price_int").alias("sum_price_fl"),
+    )
+
+
+@query(
+    "pipeline_skew_probe",
+    oracle="""
+    WITH c AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(max(cnt) AS BIGINT) AS max_cnt,
+           quantile_cont(cnt, 0.5) AS p50_cnt,
+           quantile_cont(cnt, 0.99) AS p99_cnt,
+           floor((CAST(max(cnt) AS DOUBLE) / quantile_cont(cnt, 0.5))
+                 * 10000.0 + 0.5) / 10000.0 AS skew_ratio
+    FROM c
+    """,
+)
+def pipeline_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics: the distribution of rows per key for a
+    prospective join/aggregation key — the measurement that decides
+    whether a key needs salting (salted_agg/salted_join) or AQE skew
+    splitting before you burn a cluster discovering it.
+
+    Exact percentiles run over the per-key COUNT table (|keys| rows, not
+    |rows|), so the probe costs one map-side-combined aggregate plus a
+    bounded percentile pass; counts are integers, so the interpolated
+    percentiles are dyadic-exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
+    return c.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.percentile("cnt", F.lit(0.5)).alias("p50_cnt"),
+        F.percentile("cnt", F.lit(0.99)).alias("p99_cnt"),
+        round_half_up(
+            F.max("cnt").cast("double") / F.percentile("cnt", F.lit(0.5)), 4
+        ).alias("skew_ratio"),
     )
