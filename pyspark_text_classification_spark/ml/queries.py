@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from pyspark_text_classification_spark.functions.hashing import (
     HASH_MOD,
+    char_poly_hash,
     sql_char_poly_hash,
 )
 from pyspark_text_classification_spark.functions.text import sql_round_half_up
@@ -354,4 +355,46 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cq").cast("double") / (F.lit(float(CALIB_SCALE)) * cnt), 4
         ).alias("mean_conf"),
         round_half_up(F.sum("label").cast("double") / cnt, 4).alias("pos_rate"),
+    )
+
+
+N_FOLDS = 5
+_FOLD_SALT = "|fold"  # decouples fold assignment from the split/sample streams
+
+
+@query(
+    "ml_kfold_assign",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(lang = 'en' AS DOUBLE) AS label,
+             {sql_char_poly_hash(f"text || '{_FOLD_SALT}'")} % {N_FOLDS} AS fold
+      FROM documents
+    )
+    SELECT CAST(fold AS BIGINT) AS fold, label,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc_id
+    FROM f GROUP BY 1, 2
+    """,
+)
+def ml_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold id =
+    salted content hash mod k, summarized as per-(fold, label) counts —
+    the balance check run before distributed CV training.
+
+    Content hashing (not rand(seed)) makes folds reproducible across
+    engines, retries, and cluster sizes, AND sends exact-duplicate
+    documents to the same fold — the leakage rule pipeline_hash_split
+    enforces for train/test, applied per fold; the salt decouples fold
+    geometry from the 80/10/10 split stream so the two partitions are
+    independent.  Pure map-side expression + one bounded (k x labels)
+    aggregate."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    fold = char_poly_hash(F.concat(F.col("text"), F.lit(_FOLD_SALT))) % N_FOLDS
+    return docs.groupBy(
+        fold.cast("long").alias("fold"),
+        (F.col("lang") == "en").cast("double").alias("label"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("first_doc_id"),
     )

@@ -79,3 +79,46 @@ def write_csv(
         .option("sep", sep)
         .csv(path)
     )
+
+
+def read_tsv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    sep: str = "\t",
+    header: bool = True,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE scan that splits clean rows from malformed ones.
+
+    Returns ``(clean, quarantine)``: malformed lines (wrong arity,
+    uncastable cells) land in the quarantine frame with the raw line
+    preserved in ``corrupt_col`` for replay/repair — the same
+    dead-letter contract as the JSONL source (sources/jsonl.py), so a
+    feed with 0.01% garbage keeps flowing at 100 TB instead of failing
+    the job (FAILFAST) or silently dropping rows (DROPMALFORMED).
+
+    The corrupt-record column must be part of the declared schema;
+    Spark requires the frame to be cached before the corrupt column is
+    filterable (SPARK-38523) — done here, scoped to the split."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    full = (
+        StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    ).add(corrupt_col, StringType())
+    df = (
+        spark.read.format("csv")
+        .schema(full)
+        .option("sep", sep)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .load(path)
+        .cache()
+    )
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantine = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return clean, quarantine

@@ -262,3 +262,24 @@ def test_read_binary_files_glob_recursive_and_meta(spark, tmp_path):
     meta = binary_files_meta(rec)
     assert set(meta.columns) == {"path", "name", "length"}
     assert {r["name"] for r in meta.collect()} == {"a.png", "c.png"}
+
+
+def test_read_tsv_quarantine_splits_malformed(spark, tmp_path):
+    from pyspark_text_classification_spark.sources.csv import (
+        read_tsv_quarantine,
+    )
+
+    p = tmp_path / "feed.tsv"
+    p.write_text(
+        "id\tqty\tname\n"
+        "1\t10\talpha\n"
+        "2\tnot_a_number\tbeta\n"   # uncastable cell
+        "3\t30\tgamma\n"
+    )
+    clean, quarantine = read_tsv_quarantine(
+        spark, str(p), "id INT, qty INT, name STRING"
+    )
+    got = {r.id for r in clean.collect()}
+    assert got == {1, 3}
+    bad = [r.raw_line for r in quarantine.collect()]
+    assert bad == ["2\tnot_a_number\tbeta"]
