@@ -1180,3 +1180,55 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+K_ANON = 5  # groups smaller than this are re-identification risks
+_KA_CHAR_BUCKET = 100  # n_chars coarsened to 100-char buckets
+
+
+@query(
+    "pipeline_kanonymity_audit",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, source, n_chars // {_KA_CHAR_BUCKET} AS len_bucket,
+             CAST(count(*) AS BIGINT) AS grp_size
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT CAST({K_ANON} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(count(*) FILTER (grp_size < {K_ANON}) AS BIGINT)
+             AS n_small_groups,
+           CAST(coalesce(sum(grp_size) FILTER (grp_size < {K_ANON}), 0)
+                AS BIGINT) AS n_docs_at_risk,
+           CAST(min(grp_size) AS BIGINT) AS min_group_size
+    FROM g
+    """,
+)
+def pipeline_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers: coarsen (lang, source,
+    length-bucket) into equivalence groups and count how many documents
+    sit in groups smaller than k — the re-identification risk measure a
+    privacy review runs BEFORE releasing a corpus (a document alone in
+    its (lang, source, size) cell is linkable even with the text
+    scrubbed).
+
+    One map-side-combined aggregate to the QI-bounded group table, then a
+    scalar summary — linear scan at 100 TB, output one row.  The
+    complement of pipeline_pii_scrub: scrubbing removes identifiers IN
+    the text, this measures identification BY metadata."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    g = docs.groupBy(
+        "lang",
+        "source",
+        (F.col("n_chars") / _KA_CHAR_BUCKET).cast("long").alias("len_bucket"),
+    ).agg(F.count("*").alias("grp_size"))
+    small = F.col("grp_size") < K_ANON
+    return g.agg(
+        F.lit(K_ANON).cast("long").alias("k"),
+        F.count("*").alias("n_groups"),
+        F.sum(small.cast("long")).alias("n_small_groups"),
+        F.coalesce(
+            F.sum(F.when(small, F.col("grp_size"))), F.lit(0)
+        ).alias("n_docs_at_risk"),
+        F.min("grp_size").alias("min_group_size"),
+    )

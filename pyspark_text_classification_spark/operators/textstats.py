@@ -831,3 +831,53 @@ def kl_from_source_token_counts(sc: DataFrame) -> DataFrame:
             F.sum("kq").cast("double") / F.lit(float(KL_SCALE)), 4
         ).alias("kl_nats"),
     )
+
+
+@query(
+    "text_lexical_diversity",
+    oracle=f"""
+    WITH ex AS (
+      SELECT source, unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    tc AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+      FROM ex GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(count(*) FILTER (cnt = 1) AS BIGINT) AS n_hapax,
+           {sql_round_half_up(
+               'CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)', 4)}
+             AS ttr,
+           {sql_round_half_up(
+               'CAST(count(*) FILTER (cnt = 1) AS DOUBLE)'
+               ' / CAST(count(*) AS DOUBLE)', 4)} AS hapax_share
+    FROM tc GROUP BY 1
+    """,
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-diversity profile: type-token ratio and hapax
+    share — the cheap corpus-health signals that expose boilerplate
+    floods (TTR collapses) and OCR/garbage feeds (hapax share spikes),
+    complementing the Zipf fit (text_zipf_fit) with per-source
+    resolution.
+
+    One corpus explode into a (source, token)-bounded count table, then a
+    vocabulary-bounded summary — identical scale shape to the KL drift
+    monitor, with which it shares the first aggregate at 100 TB."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    ex = docs.select("source", F.explode(tokenize("text", 2)).alias("token"))
+    tc = ex.groupBy("source", "token").agg(F.count("*").alias("cnt"))
+    hapax = (F.col("cnt") == 1).cast("long")
+    return tc.groupBy("source").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(hapax).alias("n_hapax"),
+        round_half_up(
+            F.count("*").cast("double") / F.sum("cnt").cast("double"), 4
+        ).alias("ttr"),
+        round_half_up(
+            F.sum(hapax).cast("double") / F.count("*").cast("double"), 4
+        ).alias("hapax_share"),
+    )
