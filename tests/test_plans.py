@@ -52,7 +52,8 @@ EAGER_QUERIES = {
     "events_stream_range_join", "ml_infer_stream", "dedup_stream_exact",
     "pipeline_stream_quality_filter", "similarity_stream_near_dup",
     "events_stream_value_zscore", "events_stream_closed_sessions",
-    "events_stream_ohlc_hourly",
+    "events_stream_ohlc_hourly", "text_stream_kl_drift",
+    "pipeline_stream_checksum",
     "dedup_clusters", "dedup_clusters_twostar", "similarity_dedup_clusters",
     "dedup_incremental_ingest", "dedup_containment",
     "ml_tfidf_lr_metrics", "ml_topk_coefficients",
@@ -222,3 +223,40 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     # pruned read returns exactly the partition's rows
     expected = ev.filter(F.col("event_type") == one_type).count()
     assert back.count() == expected
+
+
+def test_rolling_active_users_broadcasts_day_list(spark, sf_dir):
+    """The 7-day band join must broadcast the tiny distinct-day list, not
+    shuffle the distinct (user, day) pairs a second time."""
+    df = QUERIES["events_rolling_active_users"](spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_snapshot_diff_is_single_full_outer_no_cartesian(spark, sf_dir):
+    """The version diff is one key-partitioned FULL OUTER join — never a
+    cross product, never a driver-side collect."""
+    df = QUERIES["pipeline_snapshot_diff"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_weighted_sample_is_single_window_exchange(spark, sf_dir):
+    """Priority keys compute map-side; the only wide exchange is the
+    per-source window (plus the fan_out round-robin repartition)."""
+    df = QUERIES["pipeline_weighted_sample"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert hash_exchanges == 1, plan
+
+
+def test_recall_eval_exact_side_broadcasts_sampled_queries(spark, sf_dir, monkeypatch):
+    """The exact ground-truth side restricts the fold to |sample| x n via a
+    broadcast of the filtered query sample — the plan must contain no
+    CartesianProduct (the ANN side stays a bucket equi-join)."""
+    from pyspark_text_classification_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "EAGER_RELEASE", False)
+    df = QUERIES["similarity_recall_eval"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
