@@ -561,3 +561,43 @@ def q35_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("promo_pct"),
     )
+
+
+_PRIORITY_SHARE_SQL = """
+    WITH rev AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                        * 100.0 + 0.5) AS BIGINT) AS rev_c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    agg AS (
+      SELECT priority,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(rev_c) AS BIGINT) AS revenue_c
+      FROM rev GROUP BY priority
+    )
+    SELECT priority, n_lines, revenue_c,
+           -- CASTs keep the arithmetic in DOUBLE on both engines (Spark
+           -- parses bare decimal literals as DECIMAL and would propagate it)
+           floor((CAST(100 AS DOUBLE) * CAST(revenue_c AS DOUBLE)
+                  / CAST(sum(revenue_c) OVER () AS DOUBLE))
+                 * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           / CAST(10000 AS DOUBLE) AS revenue_pct
+    FROM agg
+"""
+
+
+@query("q36_sql_frontend", oracle=_PRIORITY_SHARE_SQL)
+def q36_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point: the engine's tables exposed as views and a
+    query submitted as ANSI SQL text via ``spark.sql`` — same Catalyst
+    plan, pushdown, and AQE as the DataFrame API (the oracle IS the query
+    string, run verbatim by DuckDB: one source of truth, two engines).
+
+    The query itself exercises CTEs, a fact-fact join, a grouped
+    aggregate, and a global-window share — revenue mix by order priority
+    with integer-cent determinism."""
+    from pyspark_text_classification_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "orders"))
+    return spark.sql(_PRIORITY_SHARE_SQL)

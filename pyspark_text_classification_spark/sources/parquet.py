@@ -100,3 +100,15 @@ def compact_files(
     df = spark.read.parquet(src_path)
     df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
     return n_files
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> None:
+    """Expose the testdata tables as temp views so callers can drive the
+    engine through ``spark.sql(...)`` — the SQL frontend twin of
+    load_table.  Views are lazy: registration reads only parquet footers,
+    and every downstream SQL query still gets full Catalyst treatment
+    (pushdown, pruning, AQE) against the file scan."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
