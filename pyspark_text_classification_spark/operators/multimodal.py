@@ -288,3 +288,146 @@ def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("digest")
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary -> embedding -> similarity: the multimodal retrieval path
+# ---------------------------------------------------------------------------
+
+EMBED_DIM = 16  # nibble histogram: 4-bit value frequencies of the payload
+EMBED_SAMPLE_MOD = 25  # every 25th doc is a retrieval query
+EMBED_TOP_K = 3
+_HEX_CHARS = "0123456789ABCDEF"
+
+
+def _nibble_count_sql(i: int) -> str:
+    # count of nibble i = chars removed when deleting that hex digit
+    c = _HEX_CHARS[i]
+    return (
+        f"CAST(length(hx) - length(replace(hx, '{c}', '')) AS DOUBLE)"
+    )
+
+
+def embed_payload_nibbles(payloads: DataFrame) -> DataFrame:
+    """(doc_id, vec array<double>): per-payload nibble histogram via a
+    numpy mapInPandas stage — the stand-in for a real media encoder with
+    the identical Arrow-binary-in / fixed-vector-out contract (swap the
+    bincount for a model forward pass and nothing else changes)."""
+    import numpy as np
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                nib = np.concatenate([b >> 4, b & 15]) if b.size else b
+                counts = np.bincount(nib, minlength=EMBED_DIM)[:EMBED_DIM]
+                out.append((int(doc_id), [float(x) for x in counts]))
+            yield pd.DataFrame(out, columns=["doc_id", "vec"])
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        embed, schema="doc_id LONG, vec ARRAY<DOUBLE>"
+    )
+
+
+@query(
+    "multimodal_embed_topk",
+    oracle=f"""
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS hx FROM documents
+      WHERE length(text) > 0
+    ),
+    v AS (
+      SELECT doc_id,
+             [{', '.join(_nibble_count_sql(i) for i in range(EMBED_DIM))}]
+               AS vec
+      FROM hx
+    ),
+    n AS (
+      SELECT doc_id, vec,
+             sqrt(list_reduce(list_prepend(0.0,
+               list_transform(vec, x -> x * x)), (a, x) -> a + x)) AS nrm
+      FROM v
+    ),
+    p AS (
+      SELECT a.doc_id, b.doc_id AS neighbor_id,
+             list_reduce(list_prepend(0.0, list_transform(
+               range(1, {EMBED_DIM} + 1), i -> a.vec[i] * b.vec[i])),
+               (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos
+      FROM n a JOIN n b
+        ON a.doc_id % {EMBED_SAMPLE_MOD} = 0 AND a.doc_id <> b.doc_id
+    )
+    SELECT doc_id, neighbor_id,
+           floor(cos * 10000.0 + 0.5) / 10000.0 AS cos_sim,
+           CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT doc_id, neighbor_id, cos,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY floor(cos * 10000.0 + 0.5) / 10000.0 DESC, neighbor_id
+             ) AS rnk
+      FROM p
+    ) WHERE rnk <= {EMBED_TOP_K}
+    """,
+)
+def multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal retrieval path end to end: binary payloads ->
+    Arrow-batched numpy embedding (nibble histogram standing in for a
+    media encoder) -> exact cosine top-k for a deterministic query
+    sample — proving binary columns flow into the similarity machinery
+    with a full value-level oracle (DuckDB recomputes the histogram from
+    hex(payload)).
+
+    Scale shape: the embedding stage is partition-local mapInPandas (no
+    shuffle, model-swappable); retrieval restricts the fold to
+    |sample| x n pairs with the query side broadcast — the ANN operators
+    in operators/similarity.py take over when the sample IS the corpus."""
+    docs = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    e = embed_payload_nibbles(attach_binary_payload(docs))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("vec", lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    n = e.select("doc_id", "vec", nrm.alias("nrm"))
+    a = n.filter(F.pmod(F.col("doc_id"), F.lit(EMBED_SAMPLE_MOD)) == 0).select(
+        F.col("doc_id"), F.col("vec").alias("av"), F.col("nrm").alias("an")
+    )
+    b = n.select(
+        F.col("doc_id").alias("neighbor_id"),
+        F.col("vec").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("av"), F.col("bv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .filter(F.col("doc_id") != F.col("neighbor_id"))
+        .select(
+            "doc_id",
+            "neighbor_id",
+            (dot / (F.col("an") * F.col("bn"))).alias("cos"),
+        )
+    )
+    cos4 = F.floor(F.col("cos") * 10000.0 + F.lit(0.5)) / 10000.0
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(cos4.desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= EMBED_TOP_K)
+        .select(
+            "doc_id",
+            "neighbor_id",
+            cos4.alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -40,7 +40,7 @@ def test_idf_total_is_broadcast_not_shuffle(spark, sf_dir):
 # mapInPandas stages. Everything else must plan fully JVM-side.
 PANDAS_QUERIES = {
     "ml_infer_batch", "ml_calibration_bins", "multimodal_byte_features",
-    "multimodal_frame_sample", "multimodal_resize",
+    "multimodal_frame_sample", "multimodal_resize", "multimodal_embed_topk",
     "pipeline_global_rank",  # declared Arrow enumerate-sorted-partitions stage
 }
 # run eagerly on call (streaming drains / iterative fits) — their plans
