@@ -27,6 +27,17 @@ HEADLINE = [
     "q01_scan_project",
     "q34_large_order_customers",
     "q35_promo_revenue_share",
+    "q36_sql_frontend",
+    "events_seasonal_baseline",
+    "events_type_affinity",
+    "pipeline_table_checksum",
+    "pipeline_cdc_merge",
+    "pipeline_snapshot_diff",
+    "pipeline_kanonymity_audit",
+    "pipeline_skew_probe",
+    "text_lexical_diversity",
+    "ml_kfold_assign",
+    "multimodal_embed_topk",
     "events_gap_fill",
     "events_rolling_active_users",
     "events_mad_anomaly",
