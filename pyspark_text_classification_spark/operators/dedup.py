@@ -1019,3 +1019,55 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh.unpersist()
     return out
+
+
+@query(
+    "dedup_report",
+    oracle=f"""
+    WITH ex AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts
+      FROM documents
+    ),
+    near AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_near_pairs
+      FROM ({_sql_minhash(2, 0.8)})
+    )
+    SELECT ex.n_docs, ex.n_distinct_texts,
+           ex.n_docs - ex.n_distinct_texts AS n_exact_dup_docs,
+           {sql_round_half_up(
+               'CAST(ex.n_docs - ex.n_distinct_texts AS DOUBLE)'
+               ' / CAST(ex.n_docs AS DOUBLE)', 4)} AS exact_dup_rate,
+           near.n_near_pairs
+    FROM ex CROSS JOIN near
+    """,
+)
+def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus duplication report: exact-duplicate rate plus the count
+    of verified near-duplicate pairs (MinHash-LSH at Jaccard >= 0.8) in
+    one row — the number a data lead looks at before deciding how hard to
+    dedup, composed from the same operators that then do the work.
+
+    Scale shape: the exact side is one distinct-aggregate over text
+    hashes; the near side reuses the full banded-LSH pipeline
+    (candidate-restricted verification) and collapses it to a count, so
+    the report costs no more than the dedup pass it previews."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+    )
+    near = minhash_lsh_dedup(docs, spark, k=2, threshold=0.8).agg(
+        F.count("*").alias("n_near_pairs")
+    )
+    return ex.crossJoin(near).select(
+        "n_docs",
+        "n_distinct_texts",
+        (F.col("n_docs") - F.col("n_distinct_texts")).alias("n_exact_dup_docs"),
+        round_half_up(
+            (F.col("n_docs") - F.col("n_distinct_texts")).cast("double")
+            / F.col("n_docs").cast("double"),
+            4,
+        ).alias("exact_dup_rate"),
+        "n_near_pairs",
+    )

@@ -289,3 +289,64 @@ def test_zorder_layout_clusters_both_dimensions(spark, sf_dir, tmp_path):
     # fraction of the global span (a 1-D sort gives ~1.0 on the other dim)
     assert sum(spans_u) / len(spans_u) < 0.7, spans_u
     assert sum(spans_h) / len(spans_h) < 0.7, spans_h
+
+
+def test_table_checksum_flips_on_single_char_change(spark):
+    """XOR checksum sensitivity: one changed character anywhere must change
+    the table checksum (the property that makes it a migration gate)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_text_classification_spark.functions.hashing import (
+        char_poly_hash,
+    )
+    from pyspark_text_classification_spark.operators.pipeline import (
+        _CK_MOD,
+        _CK_MULT,
+    )
+
+    def ck(rows):
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        h = (F.col("doc_id") * _CK_MULT + char_poly_hash("text")) % _CK_MOD
+        return df.select(h.alias("h")).agg(F.expr("bit_xor(h)")).first()[0]
+
+    base = [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon")]
+    flipped = [(1, "alpha beta"), (2, "gamma deltb"), (3, "epsilon")]
+    reordered = [base[2], base[0], base[1]]
+    assert ck(base) == ck(reordered)  # order-independent
+    assert ck(base) != ck(flipped)  # single-char sensitive
+
+
+def test_weighted_sample_invariant_under_repartitioning(spark, sf_dir):
+    """The derandomized reservoir sample must be byte-identical no matter
+    how the input is partitioned — the retry/cluster-size determinism
+    claim the operator's docstring makes."""
+    from pyspark_text_classification_spark.all_queries import QUERIES
+
+    base = QUERIES["pipeline_weighted_sample"](spark, sf_dir)
+    rows = sorted(map(tuple, base.collect()))
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+    from pyspark_text_classification_spark.operators.pipeline import (
+        WS_K,
+        _LN_SCALE,
+        _WS_A,
+        _WS_MOD,
+    )
+    from pyspark_text_classification_spark.sources.parquet import load_table
+
+    # same program over a deliberately different partitioning
+    docs = load_table(spark, sf_dir, "documents").repartition(7)
+    h = (F.col("doc_id") * _WS_A + 1) % _WS_MOD
+    ln_micro = F.floor(
+        F.log((h + 1).cast("double") / float(_WS_MOD)) * _LN_SCALE + F.lit(0.5)
+    ).cast("long")
+    key = ln_micro.cast("double") / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy(key.desc(), "doc_id")
+    alt = (
+        docs.filter(F.col("n_chars") > 0)
+        .select("doc_id", "source", "n_chars", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= WS_K)
+        .select("source", F.col("rnk").cast("long").alias("rnk"), "doc_id", "n_chars")
+    )
+    assert sorted(map(tuple, alt.collect())) == rows
