@@ -1029,3 +1029,71 @@ def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+CONVERT_FROM = "view"
+CONVERT_TO = "purchase"
+
+
+@query(
+    "events_time_to_convert",
+    oracle=f"""
+    WITH a AS (
+      SELECT user_id, min(epoch_us(ts)) AS t_a FROM events
+      WHERE event_type = '{CONVERT_FROM}' GROUP BY 1
+    ),
+    b AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t_b
+      FROM events e JOIN a ON e.user_id = a.user_id
+      WHERE e.event_type = '{CONVERT_TO}' AND epoch_us(e.ts) > a.t_a
+      GROUP BY 1
+    ),
+    lat AS (
+      SELECT a.user_id, (b.t_b - a.t_a) // 1000000 AS latency_s
+      FROM a JOIN b ON a.user_id = b.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(min(latency_s) AS BIGINT) AS min_s,
+           {sql_round_half_up('quantile_cont(latency_s, 0.5)', 4)} AS p50_s,
+           {sql_round_half_up('quantile_cont(latency_s, 0.9)', 4)} AS p90_s,
+           CAST(max(latency_s) AS BIGINT) AS max_s
+    FROM lat
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: for every user, the time from
+    their FIRST '{from}' to the first '{to}' that follows it, summarized
+    as exact percentiles — the funnel-velocity metric behind "how long
+    does signup->purchase take".
+
+    Plan shape: two filtered min-aggregates on user_id (map-side
+    partials), a user-keyed join with the strictly-after predicate pushed
+    into it, then a bounded percentile pass over per-user latencies —
+    integer seconds, so the interpolated percentiles stay engine-exact
+    after rounding.  Every event-sized structure shuffles once, on
+    user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ts_us()
+    a = (
+        ev.filter(F.col("event_type") == CONVERT_FROM)
+        .groupBy("user_id")
+        .agg(F.min(t).alias("t_a"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == CONVERT_TO)
+        .select("user_id", t.alias("t_e"))
+        .join(a, "user_id")
+        .filter(F.col("t_e") > F.col("t_a"))
+        .groupBy("user_id")
+        .agg(F.min("t_e").alias("t_b"))
+    )
+    lat = a.join(b, "user_id").select(
+        F.expr("(t_b - t_a) div 1000000").alias("latency_s")
+    )
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.min("latency_s").alias("min_s"),
+        round_half_up(F.percentile("latency_s", F.lit(0.5)), 4).alias("p50_s"),
+        round_half_up(F.percentile("latency_s", F.lit(0.9)), 4).alias("p90_s"),
+        F.max("latency_s").alias("max_s"),
+    )
