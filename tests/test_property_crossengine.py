@@ -269,3 +269,41 @@ def test_quantized_ln_three_way(spark, pairs):
             [c, t],
         ).fetchone()
         assert dq == w, f"duckdb ln-quant mismatch for {c}/{t}"
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2**40), TEXT),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_xor_row_checksum_three_way(spark, rows):
+    """The migration checksum's Horner row hash + XOR aggregate must agree
+    between Spark, DuckDB, and a pure-Python fold on arbitrary rows."""
+    from functools import reduce
+
+    from pyspark_text_classification_spark.operators.pipeline import (
+        _CK_MOD,
+        _CK_MULT,
+    )
+
+    want_rows = [
+        (doc_id * _CK_MULT + py_poly_hash(t)) % _CK_MOD for doc_id, t in rows
+    ]
+    want = reduce(lambda a, b: a ^ b, want_rows)
+
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    h = (F.col("doc_id") * _CK_MULT + char_poly_hash("text")) % _CK_MOD
+    got = df.select(h.alias("h")).agg(F.expr("bit_xor(h)")).first()[0]
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    (dh,) = con.execute(
+        f"SELECT bit_xor((doc_id * {_CK_MULT} + {sql_char_poly_hash('text')})"
+        f" % {_CK_MOD}) FROM t"
+    ).fetchone()
+    assert dh == want
