@@ -28,6 +28,7 @@ import pyspark_text_classification_spark.streaming.events  # noqa: F401
 import pyspark_text_classification_spark.streaming.similarity  # noqa: F401
 import pyspark_text_classification_spark.streaming.drift  # noqa: F401
 import pyspark_text_classification_spark.streaming.checksum  # noqa: F401
+import pyspark_text_classification_spark.streaming.convert  # noqa: F401
 import pyspark_text_classification_spark.operators.dedup  # noqa: F401
 import pyspark_text_classification_spark.operators.similarity  # noqa: F401
 from pyspark_text_classification_spark.registry import ORACLES, QUERIES  # noqa: F401

@@ -53,7 +53,7 @@ EAGER_QUERIES = {
     "pipeline_stream_quality_filter", "similarity_stream_near_dup",
     "events_stream_value_zscore", "events_stream_closed_sessions",
     "events_stream_ohlc_hourly", "text_stream_kl_drift",
-    "pipeline_stream_checksum",
+    "pipeline_stream_checksum", "events_stream_time_to_convert",
     "dedup_clusters", "dedup_clusters_twostar", "similarity_dedup_clusters",
     "dedup_incremental_ingest", "dedup_containment",
     "ml_tfidf_lr_metrics", "ml_topk_coefficients",

@@ -337,3 +337,72 @@ def test_stream_ohlc_merge_correct_under_reversed_arrival(spark, tmp_path):
     r = got[0]
     assert (r.n_events, r.open, r.close, r.high, r.low) == (4, 1.0, 5.0, 9.0, 0.5)
     assert r.hour_epoch_s == 100 * 3600
+
+
+def test_conversion_state_survives_batch_split(spark, tmp_path):
+    """A user whose first view and first purchase land in DIFFERENT
+    micro-batches must still convert — exactly once, with the latency
+    measured from the batch-1 view; purchases before any view never
+    convert."""
+    from pyspark_text_classification_spark.streaming.convert import (
+        _convert_group,  # exercised through the real stream below
+    )
+
+    base = 1_000_000_000_000  # µs
+    rows = [
+        # user 1: view in batch 1, purchase in batch 2 -> converts (300s)
+        (101, base, 1, "view", 1.0, "{}"),
+        (102, base + 100_000_000, 1, "click", 1.0, "{}"),
+        (103, base + 300_000_000, 1, "purchase", 1.0, "{}"),
+        # second purchase later must NOT re-emit
+        (104, base + 400_000_000, 1, "purchase", 1.0, "{}"),
+        # user 2: purchase BEFORE any view -> never converts
+        (201, base + 50_000_000, 2, "purchase", 1.0, "{}"),
+        (202, base + 150_000_000, 2, "click", 1.0, "{}"),
+    ]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    pdf = pd.DataFrame(rows, columns=cols).sort_values("ts")
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="us").astype("datetime64[us]")
+    d = tmp_path / "conv_src"
+    os.makedirs(d)
+    half = len(pdf) // 2  # split lands between user 1's view and purchase
+    pdf.iloc[:half].to_parquet(str(d / "a_first.parquet"), index=False)
+    pdf.iloc[half:].to_parquet(str(d / "b_second.parquet"), index=False)
+    now = time.time()
+    os.utime(d / "a_first.parquet", (now - 100, now - 100))
+    os.utime(d / "b_second.parquet", (now, now))
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    conv = (
+        src.selectExpr(
+            "event_id", "user_id", "event_type",
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+            " ts) AS ts_us",
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _convert_group,
+            outputStructType="user_id LONG, latency_s LONG",
+            stateStructType="first_view_us LONG, emitted INT",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = "conv_split_sink"
+    q = (
+        conv.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [(r.user_id, r.latency_s) for r in spark.table(sink).collect()]
+    assert got == [(1, 300)]
