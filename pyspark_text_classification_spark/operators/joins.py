@@ -601,3 +601,80 @@ def q36_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("lineitem", "orders"))
     return spark.sql(_PRIORITY_SHARE_SQL)
+
+
+TRADE_NATION_A = "NATION_1"
+TRADE_NATION_B = "NATION_2"
+
+
+@query(
+    "q37_bination_trade",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                               * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS volume_c
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE (sn.n_name = '{TRADE_NATION_A}' AND cn.n_name = '{TRADE_NATION_B}')
+       OR (sn.n_name = '{TRADE_NATION_B}' AND cn.n_name = '{TRADE_NATION_A}')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q37_bination_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): discounted revenue flowing in
+    each direction between two nations, per order year — the two-
+    dimension-path join topology (supplier nation AND customer nation
+    resolved independently) with a disjunctive cross-path predicate.
+
+    Physical intent: both nation dims broadcast (the OR predicate prunes
+    to two nations per path BEFORE any fact row moves); supplier/customer
+    go to AQE; the one real shuffle is lineitem-orders on orderkey.
+    ``year()`` on a TIMESTAMP_NTZ is calendar math on the naive value —
+    identical in DuckDB over naive TIMESTAMP, no timezone in play.
+    Revenue quantizes to integer cents pre-sum as always."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    vol_c = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0
+        + F.lit(0.5)
+    ).cast("long")
+    pair = (
+        (F.col("supp_nation") == TRADE_NATION_A)
+        & (F.col("cust_nation") == TRADE_NATION_B)
+    ) | (
+        (F.col("supp_nation") == TRADE_NATION_B)
+        & (F.col("cust_nation") == TRADE_NATION_A)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(vol_c).alias("volume_c"),
+        )
+    )
