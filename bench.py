@@ -28,6 +28,9 @@ HEADLINE = [
     "q34_large_order_customers",
     "q35_promo_revenue_share",
     "q36_sql_frontend",
+    "q37_bination_trade",
+    "dedup_report",
+    "events_time_to_convert",
     "events_seasonal_baseline",
     "events_type_affinity",
     "pipeline_table_checksum",

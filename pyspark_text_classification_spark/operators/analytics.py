@@ -136,3 +136,43 @@ def q26_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "approx_parts",
         "n",
     )
+
+
+@query(
+    "q38_brand_price_spread",
+    oracle="""
+    WITH p AS (
+      SELECT p_brand, p_size,
+             CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS price_c
+      FROM part
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT p_size) AS BIGINT) AS n_sizes,
+           CAST(min(price_c) AS BIGINT) AS min_price_c,
+           quantile_cont(price_c, 0.5) AS med_price_c,
+           CAST(max(price_c) AS BIGINT) AS max_price_c
+    FROM p GROUP BY 1
+    """,
+)
+def q38_brand_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price-spread profile over the part dimension: count,
+    distinct sizes, and min/median/max retail price — the catalog-health
+    describe() generalized to grouped exact percentiles.
+
+    Prices quantize to integer cents first, so the median interpolation
+    is dyadic-exact cross-engine; one map-side-combined aggregate, output
+    bounded by the brand vocabulary."""
+    part = load_table(spark, sf_dir, "part")
+    price_c = F.floor(F.col("p_retailprice") * 100.0 + F.lit(0.5)).cast("long")
+    return (
+        part.select("p_brand", "p_size", price_c.alias("price_c"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.countDistinct("p_size").alias("n_sizes"),
+            F.min("price_c").alias("min_price_c"),
+            F.percentile("price_c", F.lit(0.5)).alias("med_price_c"),
+            F.max("price_c").alias("max_price_c"),
+        )
+    )
