@@ -702,8 +702,12 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.struct(
         ts_us().alias("t"), F.col("event_id").alias("i"), F.col("value").alias("v")
     )
-    by_hour = ev.groupBy(F.col("user_id"), hour.alias("h")).agg(
-        F.max(key)["v"].alias("v_obs")
+    # by_hour feeds BOTH the span grid and the left join; persist so the
+    # events scan + hourly aggregate run once (span-bounded rows, tiny)
+    by_hour = (
+        ev.groupBy(F.col("user_id"), hour.alias("h"))
+        .agg(F.max(key)["v"].alias("v_obs"))
+        .persist()
     )
     grid = (
         by_hour.groupBy("user_id")
@@ -764,9 +768,13 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials.  Work is |distinct pairs| x 7 — linear in data, independent
     of raw event count beyond the first distinct."""
     ev = load_table(spark, sf_dir, "events")
-    du = ev.select(
-        "user_id", F.expr(f"({TS_US_EXPR}) div {_DAY_US}").alias("d")
-    ).distinct()
+    # du feeds days, dau AND the band join; persist so the event-sized
+    # distinct runs once ((user, day)-bounded rows)
+    du = (
+        ev.select("user_id", F.expr(f"({TS_US_EXPR}) div {_DAY_US}").alias("d"))
+        .distinct()
+        .persist()
+    )
     days = du.select("d").distinct()
     dau = du.groupBy("d").agg(F.count("*").alias("dau"))
     wau = (
@@ -837,8 +845,12 @@ def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = v.groupBy("user_id").agg(
         F.percentile("v_us", F.lit(0.5)).alias("med_u")
     )
-    dev = v.join(med, "user_id").withColumn(
-        "dev_u", F.abs(F.col("v_us") - F.col("med_u"))
+    # dev feeds the MAD aggregate AND the output join; persist so the
+    # median join pipeline runs once
+    dev = (
+        v.join(med, "user_id")
+        .withColumn("dev_u", F.abs(F.col("v_us") - F.col("med_u")))
+        .persist()
     )
     mad = dev.groupBy("user_id").agg(
         F.percentile("dev_u", F.lit(0.5)).alias("mad_u")
@@ -938,10 +950,16 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     after is bounded."""
     ev = load_table(spark, sf_dir, "events")
     v_us = F.floor(F.col("value") * 1_000_000.0 + F.lit(0.5)).cast("long")
-    hourly = ev.groupBy(
-        F.expr(f"({TS_US_EXPR}) div {_HOUR_US}").alias("h"),
-        "event_type",
-    ).agg(F.sum(v_us).alias("v_us"))
+    # the rollup self-joins (cur vs lag); persist so the event-sized
+    # aggregate runs once (span x types rows)
+    hourly = (
+        ev.groupBy(
+            F.expr(f"({TS_US_EXPR}) div {_HOUR_US}").alias("h"),
+            "event_type",
+        )
+        .agg(F.sum(v_us).alias("v_us"))
+        .persist()
+    )
     cur, lag = hourly.alias("cur"), hourly.alias("lag")
     return (
         cur.join(
@@ -996,7 +1014,9 @@ def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     per user — bounded by the type vocabulary, NOT by event volume — and
     the per-type user counts broadcast onto the types x types result."""
     ev = load_table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
+    # ut feeds the per-type counts AND both self-join sides; persist so
+    # the event-sized distinct runs once ((user, type)-bounded rows)
+    ut = ev.select("user_id", "event_type").distinct().persist()
     n = ut.groupBy("event_type").agg(F.count("*").alias("n_users"))
     a, b = ut.alias("a"), ut.alias("b")
     inter = (
@@ -1074,10 +1094,13 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id."""
     ev = load_table(spark, sf_dir, "events")
     t = ts_us()
+    # `a` feeds the qualifying-purchase filter AND the latency join;
+    # persist so the filtered min-aggregate runs once (per-user rows)
     a = (
         ev.filter(F.col("event_type") == CONVERT_FROM)
         .groupBy("user_id")
         .agg(F.min(t).alias("t_a"))
+        .persist()
     )
     b = (
         ev.filter(F.col("event_type") == CONVERT_TO)

@@ -1036,9 +1036,12 @@ RECALL_SAMPLE_MOD = 16  # evaluate every 16th vector as a query
     )
     SELECT CAST(count(*) AS BIGINT) AS n_queries,
            CAST({TOP_K} AS BIGINT) AS k,
-           {sql_round_half_up(f'avg(hits / {TOP_K}.0)', 4)} AS macro_recall,
            {sql_round_half_up(
-               f'avg(CASE WHEN hits = {TOP_K} THEN 1.0 ELSE 0.0 END)', 4)}
+               f'CAST(sum(hits) AS DOUBLE) / ({TOP_K}.0 * count(*))', 4)}
+             AS macro_recall,
+           {sql_round_half_up(
+               f'CAST(sum(CASE WHEN hits = {TOP_K} THEN 1 ELSE 0 END)'
+               ' AS DOUBLE) / count(*)', 4)}
              AS perfect_frac
     FROM perq
     """,
@@ -1090,7 +1093,9 @@ def similarity_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dot / (F.col("xn") * F.col("yn"))).alias("cos"),
         )
     )
-    ext = _rank_topk(ex).select("vec_id", "neighbor_id")
+    # ext feeds the hit count AND the per-query denominator; persist so
+    # the |sample| x n exact fold — the expensive side — runs once
+    ext = _rank_topk(ex).select("vec_id", "neighbor_id").persist()
 
     hits = (
         ext.join(ann, ["vec_id", "neighbor_id"], "left_semi")
@@ -1103,12 +1108,22 @@ def similarity_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hits, "vec_id", "left")
         .select(F.coalesce(F.col("hits"), F.lit(0)).alias("hits"))
     )
+    # integer-sum THEN one division: avg() over hits/k would sum inexact
+    # doubles in partition order, and 0.2-step values can land exactly on
+    # the rounding boundary — int64 sums are order-free, one IEEE divide
+    # is correctly rounded on both engines
     out = perq.agg(
         F.count("*").alias("n_queries"),
         F.lit(TOP_K).cast("long").alias("k"),
-        round_half_up(F.avg(F.col("hits") / float(TOP_K)), 4).alias("macro_recall"),
         round_half_up(
-            F.avg(F.when(F.col("hits") == TOP_K, 1.0).otherwise(0.0)), 4
+            F.sum("hits").cast("double")
+            / (float(TOP_K) * F.count("*").cast("double")),
+            4,
+        ).alias("macro_recall"),
+        round_half_up(
+            F.sum(F.when(F.col("hits") == TOP_K, 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double"),
+            4,
         ).alias("perfect_frac"),
     )
     return _finalize(out, e, bk)
