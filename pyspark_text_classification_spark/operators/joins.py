@@ -678,3 +678,52 @@ def q37_bination_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(vol_c).alias("volume_c"),
         )
     )
+
+
+_Q19_ARMS_SQL = """
+    (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+    OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+    OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query(
+    "q39_disjunctive_predicates",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                               * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_c
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE {_Q19_ARMS_SQL}
+    """,
+)
+def q39_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue for special handling): a
+    three-arm OR of conjunctions mixing columns from BOTH join sides —
+    the predicate structure that separates engines that can only push
+    simple conjuncts from those that factor disjunctions.
+
+    Catalyst extracts the per-side common denominators of the OR (brand
+    and size membership for the part scan; the quantity envelope for the
+    lineitem scan) and pushes them below the join, so both scans prune
+    before any row shuffles; the exact mixed-side residual evaluates in
+    the join. Declared as one SQL string evaluated verbatim by both
+    engines (same trick as q36) to pin identical semantics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    li.createOrReplaceTempView("lineitem_q39")
+    part.createOrReplaceTempView("part_q39")
+    return spark.sql(
+        f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                                   * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS revenue_c
+        FROM lineitem_q39 l JOIN part_q39 p ON l.l_partkey = p.p_partkey
+        WHERE {_Q19_ARMS_SQL}
+        """
+    )
