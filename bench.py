@@ -29,6 +29,8 @@ HEADLINE = [
     "q35_promo_revenue_share",
     "q36_sql_frontend",
     "q37_bination_trade",
+    "q38_brand_price_spread",
+    "q39_disjunctive_predicates",
     "dedup_report",
     "events_time_to_convert",
     "events_seasonal_baseline",
