@@ -881,3 +881,71 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(hapax).cast("double") / F.count("*").cast("double"), 4
         ).alias("hapax_share"),
     )
+
+
+@query(
+    "pipeline_dataset_card",
+    oracle=f"""
+    WITH q AS ({QUALITY_ORACLE_SQL}),
+    d AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts
+      FROM documents
+    ),
+    s AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(CAST(floor(quality_score * 10000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS q_x4_sum,
+             CAST(count(*) AS BIGINT) AS n
+      FROM q
+    )
+    SELECT d.n_docs, d.n_sources, d.n_langs, d.n_distinct_texts,
+           d.n_docs - d.n_distinct_texts AS n_exact_dups,
+           s.total_tokens,
+           {sql_round_half_up(
+               'CAST(s.q_x4_sum AS DOUBLE) / (10000.0 * s.n)', 4)}
+             AS mean_quality
+    FROM d CROSS JOIN s
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: one row summarizing the corpus for a release —
+    document/source/language counts, exact-duplicate count, total token
+    budget, and mean quality score — the numbers a dataset README quotes,
+    produced by the same engine that computed them.
+
+    Determinism: the mean quality re-quantizes each (already 4-decimal)
+    score to an integer BEFORE summing (int64 sums are partition-order-
+    free; a distributed avg() of step-valued doubles can flip the
+    rounding boundary — the recall_eval lesson institutionalized).  Two
+    single-pass aggregates, crossJoined 1-row frames, linear at 100 TB."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    d = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+    )
+    q = quality_stats(docs)
+    s = q.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(
+            F.floor(F.col("quality_score") * 10000.0 + F.lit(0.5)).cast("long")
+        ).alias("q_x4_sum"),
+        F.count("*").alias("n"),
+    )
+    return d.crossJoin(s).select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "n_distinct_texts",
+        (F.col("n_docs") - F.col("n_distinct_texts")).alias("n_exact_dups"),
+        "total_tokens",
+        round_half_up(
+            F.col("q_x4_sum").cast("double")
+            / (F.lit(10000.0) * F.col("n").cast("double")),
+            4,
+        ).alias("mean_quality"),
+    )
