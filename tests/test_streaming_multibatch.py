@@ -406,3 +406,82 @@ def test_conversion_state_survives_batch_split(spark, tmp_path):
     q.awaitTermination()
     got = [(r.user_id, r.latency_s) for r in spark.table(sink).collect()]
     assert got == [(1, 300)]
+
+
+def test_processing_time_timeout_evicts_idle_state(spark, tmp_path):
+    """GroupStateTimeout.ProcessingTimeTimeout: a user idle across a
+    micro-batch boundary must be evicted via the timeout path (empty
+    batch iterator + hasTimedOut) — the state-eviction mechanism the
+    stateful operators document for production unbounded streams."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (n,) = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+            return
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        state.setTimeoutDuration(1)  # 1 ms: fires at the next batch
+        yield pd.DataFrame({"user_id": [], "n_events": []}).astype(
+            {"user_id": "int64", "n_events": "int64"}
+        )
+
+    base = 1_000_000_000_000
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    b1 = pd.DataFrame(
+        [(1, base, 1, "click", 1.0, "{}"), (2, base + 10, 1, "view", 1.0, "{}")],
+        columns=cols,
+    )
+    b2 = pd.DataFrame([(3, base + 20, 2, "click", 1.0, "{}")], columns=cols)
+    d = tmp_path / "timeout_src"
+    os.makedirs(d)
+    for pdf, name, age in ((b1, "a_first.parquet", 100), (b2, "b_second.parquet", 0)):
+        pdf = pdf.copy()
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="us").astype("datetime64[us]")
+        pdf.to_parquet(str(d / name), index=False)
+        now = time.time()
+        os.utime(d / name, (now - age, now - age))
+
+    src = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    evicted = (
+        src.select("event_id", "user_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType="user_id LONG, n_events LONG",
+            stateStructType="n LONG",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+    sink = "timeout_evict_sink"
+    # availableNow would stop before pending timeouts fire; run a paced
+    # trigger and poll until the eviction lands, then stop the query
+    q = (
+        evicted.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        got: list = []
+        while time.time() < deadline:
+            got = [(r.user_id, r.n_events) for r in spark.table(sink).collect()]
+            if got:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    # user 1 (idle after batch 1) was evicted with its batch-1 count
+    assert (1, 2) in got
