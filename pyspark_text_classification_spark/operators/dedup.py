@@ -1071,3 +1071,71 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("exact_dup_rate"),
         "n_near_pairs",
     )
+
+
+_SPLIT_CASE_SQL = """
+    CASE WHEN bucket < 80 THEN 'train'
+         WHEN bucket < 90 THEN 'val'
+         ELSE 'test' END
+"""
+
+
+@query(
+    "pipeline_split_leakage",
+    oracle=f"""
+    WITH pairs AS ({_sql_minhash(2, 0.8)}),
+    sp AS (
+      SELECT doc_id, {_SPLIT_CASE_SQL} AS split
+      FROM (
+        SELECT doc_id, {sql_char_poly_hash('text')} % 100 AS bucket
+        FROM documents
+      )
+    )
+    SELECT least(sa.split, sb.split) AS split_lo,
+           greatest(sa.split, sb.split) AS split_hi,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           {sql_round_half_up('min(p.jaccard)', 4)} AS min_jaccard
+    FROM pairs p
+    JOIN sp sa ON sa.doc_id = p.doc_a
+    JOIN sp sb ON sb.doc_id = p.doc_b
+    GROUP BY 1, 2
+    """,
+)
+def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: count verified near-duplicate pairs
+    (MinHash-LSH, Jaccard >= 0.8) whose endpoints landed in DIFFERENT
+    splits of the content-hash 80/10/10 assignment — the check that
+    catches evaluation contamination BEFORE a model trains.  Exact
+    duplicates can never straddle (identical text hashes to one split);
+    near-duplicates can, and the off-diagonal rows of this result are
+    exactly that leakage.
+
+    Scale shape: the pair table is the already-linear LSH output; the
+    split assignment is a map-side expression joined in twice (AQE
+    broadcasts the per-doc split table while it fits, and it is 2 ints +
+    a string per doc); output is bounded by (3 choose 2) + 3 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(docs, spark, k=2, threshold=0.8)
+    from pyspark_text_classification_spark.operators.pipeline import SPLIT_PCT
+
+    bucket = char_poly_hash("text") % 100
+    split = (
+        F.when(bucket < SPLIT_PCT[0], "train")
+        .when(bucket < SPLIT_PCT[1], "val")
+        .otherwise("test")
+    )
+    sp = docs.select("doc_id", split.alias("split"))
+    sa = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .groupBy(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            round_half_up(F.min("jaccard"), 4).alias("min_jaccard"),
+        )
+    )
