@@ -350,3 +350,30 @@ def test_weighted_sample_invariant_under_repartitioning(spark, sf_dir):
         .select("source", F.col("rnk").cast("long").alias("rnk"), "doc_id", "n_chars")
     )
     assert sorted(map(tuple, alt.collect())) == rows
+
+
+def test_udtf_surface_word_chunker(spark):
+    """SURVEY §2.8 UDTF surface: a Python user-defined TABLE function
+    (one row in, N rows out) registered and driven through SQL — the
+    lateral-explode escape hatch for logic that genuinely cannot be a
+    column expression. The relational operators never need it (pack_chunks
+    does this natively); this pins the capability itself."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="chunk_id INT, chunk STRING")
+    class WordChunker:
+        def eval(self, text: str, size: int):
+            words = text.split()
+            for i in range(0, len(words), size):
+                yield i // size, " ".join(words[i : i + size])
+
+    got = WordChunker(lit("a b c d e"), lit(2)).collect()
+    assert [(r.chunk_id, r.chunk) for r in got] == [
+        (0, "a b"), (1, "c d"), (2, "e"),
+    ]
+
+    spark.udtf.register("word_chunker", WordChunker)
+    rows = spark.sql(
+        "SELECT c.chunk_id, c.chunk FROM LATERAL word_chunker('x y z', 2) c"
+    ).collect()
+    assert [(r.chunk_id, r.chunk) for r in rows] == [(0, "x y"), (1, "z")]
