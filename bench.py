@@ -32,6 +32,8 @@ HEADLINE = [
     "q38_brand_price_spread",
     "q39_disjunctive_predicates",
     "dedup_report",
+    "pipeline_dataset_card",
+    "pipeline_split_leakage",
     "events_time_to_convert",
     "events_seasonal_baseline",
     "events_type_affinity",
