@@ -398,3 +398,51 @@ def ml_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.min("doc_id").alias("first_doc_id"),
     )
+
+
+KEYWORDS_K = 3
+
+
+@query(
+    "text_keywords_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    total AS (SELECT count(*) AS n_docs FROM documents),
+    m AS (
+      SELECT tf.doc_id, tf.token,
+             {sql_round_half_up('tf.tf * ln((n_docs + 1.0) / (dfreq.df + 1.0))', 6)}
+               AS tfidf
+      FROM tf JOIN dfreq ON tf.token = dfreq.token, total
+      WHERE dfreq.df >= 5
+    )
+    SELECT doc_id, token, tfidf, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT doc_id, token, tfidf,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, token
+             ) AS rnk
+      FROM m
+    ) WHERE rnk <= {KEYWORDS_K}
+    """,
+)
+def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: the top-k TF-IDF terms per document — the
+    classic summarize/tag/index op, expressed as a per-doc window over
+    the sparse doc-term matrix (ml_tfidf_matrix).
+
+    Ranking happens on the 6-decimal ROUNDED score with a token
+    tie-break, so the top-k set is identical on both engines; the window
+    partitions on doc_id — the matrix is already (doc, token)-keyed, so
+    no new data-sized shuffle shape appears."""
+    m = ml_tfidf_matrix(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        m.select("doc_id", "token", "tfidf")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KEYWORDS_K)
+        .select("doc_id", "token", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )

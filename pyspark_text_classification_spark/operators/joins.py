@@ -727,3 +727,65 @@ def q39_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE {_Q19_ARMS_SQL}
         """
     )
+
+
+@query(
+    "q40_monthly_revenue_trend",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS BIGINT)
+               AS ym,
+             CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                                 * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1
+    )
+    SELECT cur.ym, cur.revenue_c,
+           prev.revenue_c AS revenue_prev_year_c,
+           {sql_round_half_up(
+               'CAST(100 AS DOUBLE) * (CAST(cur.revenue_c AS DOUBLE)'
+               ' - CAST(prev.revenue_c AS DOUBLE))'
+               ' / CAST(prev.revenue_c AS DOUBLE)', 4)} AS yoy_pct
+    FROM m cur JOIN m prev ON cur.ym = prev.ym + 100
+    """,
+)
+def q40_monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with year-over-year growth: the month-grain rollup
+    self-joined against the same month one year earlier — the trend line
+    every revenue dashboard opens with, and the calendar-function corner
+    (year()/month() on TIMESTAMP_NTZ — naive calendar math, identical in
+    both engines).
+
+    One event-sized shuffle (the orderkey join feeding the ym rollup);
+    the YoY self-join runs over the months-bounded rollup.  Integer-cent
+    sums as always; the growth ratio is computed from exact int64 inputs
+    with one rounded division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rev_c = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0
+        + F.lit(0.5)
+    ).cast("long")
+    ym = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("long")
+    m = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(ym.alias("ym"))
+        .agg(F.sum(rev_c).alias("revenue_c"))
+        .persist()
+    )
+    cur, prev = m.alias("cur"), m.alias("prev")
+    return cur.join(prev, F.col("cur.ym") == F.col("prev.ym") + 100).select(
+        F.col("cur.ym").alias("ym"),
+        F.col("cur.revenue_c").alias("revenue_c"),
+        F.col("prev.revenue_c").alias("revenue_prev_year_c"),
+        round_half_up(
+            F.lit(100.0)
+            * (
+                F.col("cur.revenue_c").cast("double")
+                - F.col("prev.revenue_c").cast("double")
+            )
+            / F.col("prev.revenue_c").cast("double"),
+            4,
+        ).alias("yoy_pct"),
+    )
