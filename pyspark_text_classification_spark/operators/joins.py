@@ -15,7 +15,7 @@ explicit physical-strategy intent:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_text_classification_spark.functions.text import (
@@ -788,4 +788,85 @@ def q40_monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("prev.revenue_c").cast("double"),
             4,
         ).alias("yoy_pct"),
+    )
+
+
+@query(
+    "q41_customer_rfm",
+    oracle="""
+    WITH mx AS (SELECT max(epoch_us(o_orderdate)) AS t_max FROM orders),
+    per_cust AS (
+      SELECT o_custkey,
+             CAST((mx.t_max - max(epoch_us(o_orderdate)))
+                  // 86400000000 AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS monetary_c
+      FROM orders, mx
+      GROUP BY o_custkey, mx.t_max
+    ),
+    scored AS (
+      SELECT o_custkey, monetary_c,
+             ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r,
+             ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+             ntile(4) OVER (ORDER BY monetary_c DESC, o_custkey) AS m
+      FROM per_cust
+    )
+    SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+           CAST(m AS BIGINT) AS m,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_c) AS BIGINT) AS segment_monetary_c
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def q41_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quartile-score every customer on Recency,
+    Frequency, and Monetary value, then count customers and revenue per
+    (r, f, m) cell — the segmentation every CRM/retention analysis
+    starts from.
+
+    Shape: one per-customer aggregate (map-side combined) against a
+    broadcast scalar max-date; three global ntile windows over the
+    CUSTOMER-grain table (already |customers| rows, not orders — a
+    global sort of the summary, not the facts; at extreme scale swap for
+    approx-percentile bucket edges, which q26 demonstrates); bounded
+    4x4x4 output.  Integer days / cents everywhere; every ntile ordering
+    carries the custkey tie-break, so quartile edges are deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    date_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+        " o_orderdate)"
+    )
+    mx = orders.agg(F.max(date_us).alias("t_max"))
+    per_cust = (
+        orders.select(
+            "o_custkey",
+            date_us.alias("d_us"),
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("price_c"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "t_max")
+        .agg(
+            F.expr("(max(t_max) - max(d_us)) div 86400000000")
+            .cast("long")
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum("price_c").alias("monetary_c"),
+        )
+    )
+    wr = Window.orderBy("recency_days", "o_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    wm = Window.orderBy(F.col("monetary_c").desc(), "o_custkey")
+    scored = per_cust.select(
+        "o_custkey",
+        "monetary_c",
+        F.ntile(4).over(wr).cast("long").alias("r"),
+        F.ntile(4).over(wf).cast("long").alias("f"),
+        F.ntile(4).over(wm).cast("long").alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("monetary_c").alias("segment_monetary_c"),
     )
