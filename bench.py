@@ -34,6 +34,9 @@ HEADLINE = [
     "dedup_report",
     "pipeline_dataset_card",
     "pipeline_split_leakage",
+    "text_keywords_topk",
+    "q40_monthly_revenue_trend",
+    "q41_customer_rfm",
     "events_time_to_convert",
     "events_seasonal_baseline",
     "events_type_affinity",
