@@ -1,7 +1,8 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints a
+JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...} followed by a compact summary line
+(same metric/value, no per-query map) that survives tail truncation.
 
 Each query is executed as a count-style action (foreach-noop would skip
 result materialization; ``write.format('noop')`` forces full evaluation of
@@ -152,7 +153,8 @@ def main() -> None:
         spark.catalog.clearCache()
     total = round(sum(timings.values()), 4)
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf = float(sf_raw) if sf_raw.replace(".", "").isdigit() else sf_raw
     print(
         json.dumps(
             {
@@ -160,7 +162,22 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf,
+            }
+        )
+    )
+    # The grading driver keeps only the TAIL of stdout and front-truncates
+    # long lines; round 2's single ~100-query JSON line lost its front
+    # (including "value") and came back unparseable. Emit a compact summary
+    # LAST so the kept tail always contains a parseable total.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "sf": sf,
             }
         )
     )
