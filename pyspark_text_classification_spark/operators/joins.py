@@ -826,12 +826,15 @@ def q41_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts from.
 
     Shape: one per-customer aggregate (map-side combined) against a
-    broadcast scalar max-date; three global ntile windows over the
-    CUSTOMER-grain table (already |customers| rows, not orders — a
-    global sort of the summary, not the facts; at extreme scale swap for
-    approx-percentile bucket edges, which q26 demonstrates); bounded
-    4x4x4 output.  Integer days / cents everywhere; every ntile ordering
-    carries the custkey tie-break, so quartile edges are deterministic."""
+    broadcast scalar max-date; then three RANGE-PARTITIONED total-order
+    ranks (pipeline.total_order_rank — repartitionByRange + in-partition
+    enumeration + driver-side prefix offsets) with ntile derived
+    arithmetically from the rank (pipeline.ntile_from_rank), so there is
+    NO single-reducer global sort anywhere in the plan — each ranking
+    range-shuffles only a two-column customer-grain projection; bounded
+    4x4x4 output.  Integer days / cents everywhere; every ranking
+    carries the custkey tie-break, so quartile edges are deterministic
+    and identical to the oracle's ntile windows."""
     orders = load_table(spark, sf_dir, "orders")
     date_us = F.expr(
         "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
@@ -856,16 +859,38 @@ def q41_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_c").alias("monetary_c"),
         )
     )
-    wr = Window.orderBy("recency_days", "o_custkey")
-    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
-    wm = Window.orderBy(F.col("monetary_c").desc(), "o_custkey")
-    scored = per_cust.select(
-        "o_custkey",
-        "monetary_c",
-        F.ntile(4).over(wr).cast("long").alias("r"),
-        F.ntile(4).over(wf).cast("long").alias("f"),
-        F.ntile(4).over(wm).cast("long").alias("m"),
+    from pyspark_text_classification_spark.operators.pipeline import (
+        ntile_from_rank,
+        total_order_rank,
     )
+
+    # Materialize the customer-grain summary once (eager localCheckpoint:
+    # three rankings read it, and no catalog-cache entry outlives the
+    # query in a long multi-query session).
+    pc = per_cust.select(
+        "o_custkey", "recency_days", "frequency", "monetary_c"
+    ).localCheckpoint(eager=True)
+    specs = {
+        "r": ("recency_days", False),
+        "f": ("frequency", True),
+        "m": ("monetary_c", True),
+    }
+    scored = pc
+    for tile_col, (metric, desc) in specs.items():
+        order = [
+            F.col(metric).desc() if desc else F.col(metric).asc(),
+            F.col("o_custkey").asc(),
+        ]
+        # rank only the (custkey, metric) projection: the range shuffle
+        # carries two longs per customer, not the whole summary row
+        ranked, n = total_order_rank(
+            pc.select("o_custkey", metric), order, rank_col=f"rank_{tile_col}"
+        )
+        tiles = ranked.select(
+            "o_custkey",
+            ntile_from_rank(f"rank_{tile_col}", n).cast("long").alias(tile_col),
+        )
+        scored = scored.join(tiles, "o_custkey")
     return scored.groupBy("r", "f", "m").agg(
         F.count("*").alias("n_customers"),
         F.sum("monetary_c").alias("segment_monetary_c"),

@@ -298,6 +298,78 @@ def pipeline_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 RANK_PARTITIONS = 32  # range partitions for the distributed total order
 
 
+def total_order_rank(
+    df: DataFrame, order: list, rank_col: str = "global_rank"
+) -> tuple[DataFrame, int]:
+    """(df + rank_col, n_rows): distributed total-order row_number WITHOUT
+    a single-partition window — the reusable core of pipeline_global_rank,
+    shared with q41_customer_rfm's quartile scoring.
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` on the total
+       order (ONE range exchange; Spark samples split points so the
+       partitions balance under skew), materialized via eager
+       ``localCheckpoint`` so the two downstream reads (count map + rank
+       enumeration) never recompute it and no catalog-cache entry is
+       left behind in long multi-query sessions;
+    2. per-partition counts (one row per partition reaches the driver);
+    3. in-partition enumeration + the partition's prefix offset via an
+       Arrow ``mapInPandas``.
+
+    ``order`` must be a total order (include a unique tie-break column)
+    for the rank to be deterministic. n_rows comes free from the count
+    map — no extra job."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    d = (
+        df.repartitionByRange(RANK_PARTITIONS, *order)
+        .sortWithinPartitions(*order)
+        .localCheckpoint(eager=True)
+    )
+    sizes = {
+        r["pid"]: r["cnt"]
+        for r in d.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in range(max(sizes, default=-1) + 1):
+        offsets[pid] = acc
+        acc += sizes.get(pid, 0)
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(rank_col, LongType(), False)]
+    )
+
+    def enumerate_sorted(batches):
+        from pyspark import TaskContext
+
+        base = offsets.get(TaskContext.get().partitionId(), 0)
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[rank_col] = range(base + seen + 1, base + seen + 1 + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    return d.mapInPandas(enumerate_sorted, out_schema), acc
+
+
+def ntile_from_rank(rank_col: str, n: int, tiles: int = 4):
+    """SQL ntile(tiles) as pure arithmetic over a precomputed global rank.
+
+    ntile splits n rows into ``tiles`` groups whose sizes differ by at
+    most one (the first n % tiles groups get the extra row); with n known
+    driver-side the group of a row is a closed-form expression of its
+    rank, so quartile scoring needs NO window at all."""
+    base, rem = divmod(n, tiles)
+    if base == 0:  # n < tiles: ntile assigns tile == rank
+        return F.col(rank_col)
+    cut = rem * (base + 1)
+    return F.when(
+        F.col(rank_col) <= cut,
+        F.expr(f"({rank_col} + {base}) div {base + 1}"),
+    ).otherwise(F.expr(f"{rem} + (({rank_col} - {cut} + {base} - 1) div {base})"))
+
+
 @query(
     "pipeline_global_rank",
     oracle="""
@@ -329,37 +401,8 @@ def pipeline_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     is deterministic and oracle-checkable."""
     docs = load_table(spark, sf_dir, "documents")
     order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
-    d = (
-        docs.select("doc_id", "n_chars")
-        .repartitionByRange(RANK_PARTITIONS, *order)
-        .sortWithinPartitions(*order)
-        .persist()
-    )
-    sizes = {
-        r["pid"]: r["cnt"]
-        for r in d.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(F.count("*").alias("cnt"))
-        .collect()
-    }
-    offsets, acc = {}, 0
-    for pid in range(max(sizes, default=-1) + 1):
-        offsets[pid] = acc
-        acc += sizes.get(pid, 0)
-
-    def enumerate_sorted(batches):
-        from pyspark import TaskContext
-
-        base = offsets.get(TaskContext.get().partitionId(), 0)
-        seen = 0
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["global_rank"] = range(base + seen + 1, base + seen + 1 + len(pdf))
-            seen += len(pdf)
-            yield pdf
-
-    return d.mapInPandas(
-        enumerate_sorted, "doc_id long, n_chars long, global_rank long"
-    )
+    ranked, _n = total_order_rank(docs.select("doc_id", "n_chars"), order)
+    return ranked
 
 
 ZORDER_BITS = 8  # bins per dimension (256 range-normalized buckets)

@@ -42,6 +42,7 @@ PANDAS_QUERIES = {
     "ml_infer_batch", "ml_calibration_bins", "multimodal_byte_features",
     "multimodal_frame_sample", "multimodal_resize", "multimodal_embed_topk",
     "pipeline_global_rank",  # declared Arrow enumerate-sorted-partitions stage
+    "q41_customer_rfm",  # three total_order_rank enumerate stages (no window)
 }
 # run eagerly on call (streaming drains / iterative fits) — their plans
 # can't be inspected lazily here; streaming twins share their batch
@@ -260,3 +261,13 @@ def test_recall_eval_exact_side_broadcasts_sampled_queries(spark, sf_dir, monkey
     df = QUERIES["similarity_recall_eval"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
+
+
+def test_rfm_has_no_global_window(spark, sf_dir):
+    """q41's quartile scoring must come from range-partitioned ranks +
+    arithmetic ntile — a plan with ANY Window operator means the
+    single-reducer global ntile sort crept back in."""
+    df = QUERIES["q41_customer_rfm"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "ntile" not in plan, plan
