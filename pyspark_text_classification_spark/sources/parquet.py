@@ -87,18 +87,41 @@ def compact_files(
     dominates scan time (one task per file). Sizing is driven by the
     SOURCE's on-disk bytes (a driver-side listing — no data pass), and the
     rewrite is one round-robin exchange, the same cost any re-layout pays.
-    The write is atomic-per-directory: readers of dst_path never see a
-    partial mix of old and new files.
+
+    The rewrite goes to a staging directory next to dst_path and is then
+    renamed into place — Spark's own mode("overwrite") deletes the target
+    before writing, so writing dst_path directly would let concurrent
+    readers observe an empty or partial directory. A POSIX/HDFS rename is
+    atomic per directory; on object stores (S3) rename is copy+delete, so
+    swap a catalog/manifest pointer there instead. src_path == dst_path is
+    rejected: overwrite would delete the source while the job reads it.
     """
     import glob as _glob
+    import shutil
 
+    src_norm = os.path.realpath(src_path)
+    dst_norm = os.path.realpath(dst_path)
+    if src_norm == dst_norm:
+        raise ValueError(
+            "compact_files: src_path and dst_path must differ — "
+            "mode('overwrite') would delete the source mid-read; "
+            "compact into a staging path and swap afterwards"
+        )
     total = sum(
         os.path.getsize(f)
         for f in _glob.glob(os.path.join(src_path, "**", "*.parquet"), recursive=True)
     )
     n_files = max(1, -(-total // target_bytes_per_file))  # ceil
     df = spark.read.parquet(src_path)
-    df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    staging = dst_norm.rstrip("/") + "._staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    old = dst_norm.rstrip("/") + "._old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(dst_norm):
+        os.rename(dst_norm, old)
+    os.rename(staging, dst_norm)
+    shutil.rmtree(old, ignore_errors=True)
     return n_files
 
 
