@@ -166,6 +166,18 @@ def main() -> None:
             }
         )
     )
+    # ANN quality tracked per round alongside perf: recall regressions
+    # should surface in the bench artifact the way timing ones do.
+    try:
+        recall_row = (
+            QUERIES["similarity_recall_eval"](spark, sf_dir)
+            .select("macro_recall")
+            .collect()[0]
+        )
+        ann_recall = float(recall_row["macro_recall"])
+    except Exception:  # noqa: BLE001 - metric is best-effort, never fatal
+        ann_recall = None
+
     # The grading driver keeps only the TAIL of stdout and front-truncates
     # long lines; round 2's single ~100-query JSON line lost its front
     # (including "value") and came back unparseable. Emit a compact summary
@@ -177,6 +189,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n_queries": len(timings),
+                "ann_macro_recall": ann_recall,
                 "sf": sf,
             }
         )
