@@ -123,6 +123,14 @@ HEADLINE = [
     "ml_tfidf_matrix",
     "ml_doc_embedding",
     "events_value_zscore",
+    "q42_priority_late_ship",
+    "q43_customer_order_distribution",
+    "q44_small_quantity_revenue",
+    "q45_idle_rich_customers",
+    "q46_top_supplier",
+    "q47_shipping_priority",
+    "q48_returned_items",
+    "q49_forecast_revenue",
 ]
 
 

@@ -17,6 +17,7 @@ import pyspark_text_classification_spark.operators.analytics  # noqa: F401
 import pyspark_text_classification_spark.operators.joins  # noqa: F401
 import pyspark_text_classification_spark.operators.skew  # noqa: F401
 import pyspark_text_classification_spark.operators.temporal  # noqa: F401
+import pyspark_text_classification_spark.operators.tpch_tail  # noqa: F401
 import pyspark_text_classification_spark.operators.events  # noqa: F401
 import pyspark_text_classification_spark.ml.queries  # noqa: F401
 import pyspark_text_classification_spark.streaming.dedup  # noqa: F401

@@ -1,0 +1,570 @@
+"""TPC-H-shaped relational tail: correlated-subquery, semi/anti-join,
+two-level-aggregate, and scalar-subquery query shapes (SURVEY.md §2.10).
+
+The reference never joins (its pairs arrive pre-joined in one TSV row), but
+a drop-in engine needs the full decision-support join/subquery repertoire.
+q32-q41 (operators/joins.py) cover the Q1/Q5/Q7/Q14/Q18/Q19 shapes; this
+module adds the remaining shapes expressible on the synthetic tables
+(TESTDATA.md has no partsupp, l_commitdate/l_receiptdate, or comments, so
+Q2/Q11/Q12/Q16/Q20/Q21 correlations are adapted or out of scope):
+
+- q42: Q4  — EXISTS correlation with an inequality (semi join + range)
+- q43: Q13 — left outer join + two-level aggregate (distribution of counts)
+- q44: Q17 — per-group mean correlation (small-quantity revenue)
+- q45: Q22 — NOT EXISTS (anti join) + global scalar-subquery threshold
+- q46: Q15 — argmax via scalar subquery, ties preserved
+- q47: Q3  — shipping-priority top-k over two fact filters
+- q48: Q10 — returned-item revenue ranking with dim enrichment
+- q49: Q6  — single-row filter aggregate (full scan-level pushdown)
+
+Determinism rules are the repo standard: every money/quantity measure is
+quantized to integer centi-units IN THE SCAN PROJECTION (`floor(x*100+0.5)`
+— identical IEEE double ops on both engines), so all downstream sums are
+order-independent int64 and every sort key is integer; date predicates are
+exact integer epoch-microsecond comparisons (NTZ-safe on both engines).
+
+At 100 TB: every dimension side below is either genuinely small (part,
+supplier, customer after a selective filter) or pre-aggregated to key
+grain before the join, so AQE broadcast-converts it; the only full
+shuffles are the map-side-combined fact aggregates.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_text_classification_spark.registry import query
+from pyspark_text_classification_spark.sources.parquet import load_table
+
+
+def _us(date_str: str) -> int:
+    """Epoch microseconds of a UTC midnight date — exact integer."""
+    dt = datetime.strptime(date_str, "%Y-%m-%d").replace(tzinfo=timezone.utc)
+    return int(dt.timestamp()) * 1_000_000
+
+
+def _col_us(col: str):
+    """NTZ-safe epoch-microsecond long for a timestamp column (Spark side).
+
+    Same contract as functions/time.ts_us: NTZ-NTZ timestampdiff, so the
+    session timezone never participates.
+    """
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {col})"
+    )
+
+
+def _ntz(date_str: str):
+    """TIMESTAMP_NTZ literal for scan-pushable date predicates.
+
+    ``col >= TIMESTAMP_NTZ'...'`` is an NTZ-NTZ comparison (session
+    timezone never participates, same guarantee as _col_us) AND reaches
+    the parquet scan as a PushedFilter — measured on this Spark build:
+    the timestampdiff form stays a post-scan DataFilter, the literal form
+    becomes ``GreaterThanOrEqual(col, ...)`` in PushedFilters, enabling
+    row-group statistics skipping.  Use this for all non-correlated date
+    bounds; _col_us remains for correlated arithmetic and epoch exports.
+    """
+    return F.expr(f"TIMESTAMP_NTZ'{date_str} 00:00:00'")
+
+
+def _cents(col: str):
+    """Half-up integer cents of a double measure (order-independent sums)."""
+    return F.floor(F.col(col) * 100.0 + F.lit(0.5)).cast("long")
+
+
+def _rev_cents():
+    """Discounted revenue in half-up integer cents.
+
+    (price * (1.0 - discount)) * 100.0 + 0.5 — the parenthesization is
+    written identically in the DuckDB twin so both engines run the same
+    IEEE double sequence before the floor.
+    """
+    expr = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ) * 100.0 + F.lit(0.5)
+    return F.floor(expr).cast("long")
+
+
+SQL_REV_CENTS = (
+    "CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.5) AS BIGINT)"
+)
+
+# --------------------------------------------------------------------------
+# q42 — TPC-H Q4 shape: order-priority checking via EXISTS correlation.
+# The reference correlation (l_commitdate < l_receiptdate) needs columns the
+# synthetic lineitem lacks; the adapted correlation is "some line item
+# shipped more than 60 days after the order date" — same EXISTS-with-
+# inequality plan shape.
+# --------------------------------------------------------------------------
+
+Q42_LO_US = _us("1997-01-01")
+Q42_HI_US = _us("1997-04-01")
+Q42_LATE_US = 60 * 86_400_000_000  # 60 days in microseconds
+
+
+@query(
+    "q42_priority_late_ship",
+    oracle=f"""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE epoch_us(o.o_orderdate) >= {Q42_LO_US}
+      AND epoch_us(o.o_orderdate) < {Q42_HI_US}
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND epoch_us(l.l_shipdate)
+              > epoch_us(o.o_orderdate) + {Q42_LATE_US}
+      )
+    GROUP BY 1
+    """,
+)
+def q42_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: count one quarter's orders per priority where at
+    least one line item shipped >60 days after the order date.
+
+    The EXISTS becomes a LEFT SEMI join on orderkey with the inequality as
+    an extra join condition — Spark dedups the probe side inside the semi
+    join, so the correlated subquery never materializes per-row.  The
+    quarter predicate is integer epoch-micro arithmetic pushed to the
+    orders scan; at 100 TB with date-partitioned orders it prunes to one
+    quarter of partitions before any join."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    quarter = orders.filter(
+        (F.col("o_orderdate") >= _ntz("1997-01-01"))
+        & (F.col("o_orderdate") < _ntz("1997-04-01"))
+    )
+    late = (
+        quarter.join(
+            li,
+            (quarter.o_orderkey == li.l_orderkey)
+            & (_col_us("l_shipdate") > _col_us("o_orderdate") + F.lit(Q42_LATE_US)),
+            "left_semi",
+        )
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+# --------------------------------------------------------------------------
+# q43 — TPC-H Q13 shape: customer order-count distribution.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q43_customer_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(coalesce(o.cnt, 0) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN (
+        SELECT o_custkey, count(*) AS cnt
+        FROM orders
+        WHERE o_orderpriority <> '1-URGENT'
+        GROUP BY 1
+      ) o ON c.c_custkey = o.o_custkey
+    )
+    GROUP BY 1
+    """,
+)
+def q43_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed 0, 1, 2, ... qualifying
+    orders (non-urgent here; the reference filters on comment text the
+    synthetic orders lack).
+
+    Orders are pre-aggregated to customer grain BEFORE the outer join —
+    the join input is |customers| rows, not |orders| rows, and the
+    left-join null side encodes the zero-order customers.  At 100 TB the
+    pre-aggregate is the only fact-sized shuffle; the second aggregate
+    runs on customer-grain data."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q44 — TPC-H Q17 shape: small-quantity-order revenue for one brand.
+# --------------------------------------------------------------------------
+
+Q44_BRAND = "Brand#13"
+
+
+@query(
+    "q44_small_quantity_revenue",
+    oracle=f"""
+    WITH bp AS (
+      SELECT p_partkey FROM part WHERE p_brand = '{Q44_BRAND}'
+    ),
+    li AS (
+      SELECT l.l_partkey,
+             CAST(floor(l.l_quantity * 100.0 + 0.5) AS BIGINT) AS qty_c,
+             CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_c
+      FROM lineitem l JOIN bp ON l.l_partkey = bp.p_partkey
+    ),
+    stats AS (
+      SELECT l_partkey, CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM li GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_small,
+           CAST(coalesce(sum(li.price_c), 0) AS BIGINT) AS revenue_c
+    FROM li JOIN stats ON li.l_partkey = stats.l_partkey
+    WHERE li.qty_c * stats.cnt * 2 < stats.sum_qty_c
+    """,
+)
+def q44_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from line items whose quantity is below
+    half the part's average quantity, for one brand.
+
+    The correlated AVG becomes a part-grain pre-aggregate joined back —
+    and the "qty < 0.5 * avg(qty)" predicate is rewritten to the
+    ALL-INTEGER cross-multiplication ``qty_c * cnt * 2 < sum_qty_c``, so
+    no engine ever divides (divide-then-compare is the classic
+    float-boundary hash breaker).  The brand filter collapses part to a
+    tiny key set that broadcasts; the part-grain stats table is bounded by
+    |parts of one brand| and broadcasts too — the fact table never
+    shuffles."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    bp = part.filter(F.col("p_brand") == Q44_BRAND).select("p_partkey")
+    li_b = (
+        li.join(F.broadcast(bp), li.l_partkey == bp.p_partkey)
+        .select(
+            "l_partkey",
+            F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("qty_c"),
+            _cents("l_extendedprice").alias("price_c"),
+        )
+    )
+    stats = li_b.groupBy(F.col("l_partkey").alias("s_partkey")).agg(
+        F.sum("qty_c").alias("sum_qty_c"), F.count("*").alias("cnt")
+    )
+    small = li_b.join(
+        F.broadcast(stats), li_b.l_partkey == stats.s_partkey
+    ).filter(F.col("qty_c") * F.col("cnt") * 2 < F.col("sum_qty_c"))
+    return small.agg(
+        F.count("*").alias("n_small"),
+        F.coalesce(F.sum("price_c"), F.lit(0)).cast("long").alias("revenue_c"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q45 — TPC-H Q22 shape: well-funded customers with no recent orders.
+# The literal "no orders at all" correlation is empty on the synthetic data
+# (every customer ordered), so the anti-join probe is orders AFTER a cutoff
+# — same plan shape, non-degenerate result.
+# --------------------------------------------------------------------------
+
+Q45_CUT = "2000-01-01"
+
+
+@query(
+    "q45_idle_rich_customers",
+    oracle=f"""
+    WITH pos AS (
+      SELECT CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sum_c,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS totacctbal_c
+    FROM customer c, pos
+    WHERE CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) * pos.cnt
+          > pos.sum_c
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '{Q45_CUT} 00:00:00'
+      )
+    GROUP BY c.c_nationkey
+    """,
+)
+def q45_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per nation, count customers with above-average
+    account balance (average over positive balances) and no orders since
+    the cutoff.
+
+    The scalar subquery is a one-row aggregate cross-joined (broadcast) to
+    customers; the above-average test is the integer cross-multiplication
+    ``bal_c * cnt > sum_c`` — no division, no float comparison.  NOT
+    EXISTS is a LEFT ANTI join whose probe side is orders date-filtered at
+    the scan (pushable NTZ literal) and pre-projected to the single
+    o_custkey column, so the anti join shuffles keys only.  At
+    100 TB the one-row scalar broadcasts trivially and AQE handles the
+    customer/orders-keys shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    bal_c = F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("long")
+    pos = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.sum(bal_c).alias("sum_c"), F.count("*").alias("cnt"))
+    )
+    rich = (
+        cust.withColumn("bal_c", bal_c)
+        .crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_c") * F.col("cnt") > F.col("sum_c"))
+    )
+    idle = rich.join(
+        orders.filter(F.col("o_orderdate") >= _ntz(Q45_CUT)).select("o_custkey"),
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        F.sum("bal_c").alias("totacctbal_c"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q46 — TPC-H Q15 shape: top supplier(s) by quarterly revenue, ties kept.
+# --------------------------------------------------------------------------
+
+Q46_LO_US = _us("1996-01-01")
+Q46_HI_US = _us("1996-04-01")
+
+
+@query(
+    "q46_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum({SQL_REV_CENTS}) AS BIGINT) AS total_rev_c
+      FROM lineitem
+      WHERE epoch_us(l_shipdate) >= {Q46_LO_US}
+        AND epoch_us(l_shipdate) < {Q46_HI_US}
+      GROUP BY 1
+    ),
+    mx AS (SELECT max(total_rev_c) AS max_rev_c FROM rev)
+    SELECT s.s_suppkey, s.s_name, rev.total_rev_c
+    FROM rev CROSS JOIN mx
+    JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+    WHERE rev.total_rev_c = mx.max_rev_c
+    """,
+)
+def q46_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum revenue in one
+    quarter — the scalar MAX subquery keeps ties, unlike a LIMIT 1.
+
+    Revenue is summed in integer cents so the MAX comparison is exact on
+    both engines (a double-sum argmax can disagree on the last ulp and
+    return different suppliers).  The supplier-grain revenue table is
+    bounded by |suppliers| → the max is a one-row broadcast and the name
+    join broadcasts supplier; the only fact shuffle is the suppkey
+    aggregate, date-pruned at the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= _ntz("1996-01-01"))
+            & (F.col("l_shipdate") < _ntz("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev_cents()).alias("total_rev_c"))
+    )
+    mx = rev.agg(F.max("total_rev_c").alias("max_rev_c"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev_c") == F.col("max_rev_c"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev_c")
+    )
+
+
+# --------------------------------------------------------------------------
+# q47 — TPC-H Q3 shape: shipping-priority top-10.
+# --------------------------------------------------------------------------
+
+Q47_SEGMENT = "BUILDING"
+Q47_CUT_US = _us("1998-01-01")
+Q47_TOPK = 10
+
+
+@query(
+    "q47_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           CAST(sum({SQL_REV_CENTS}) AS BIGINT) AS revenue_c,
+           epoch_us(o.o_orderdate) // 1000000 AS o_orderdate_s,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = '{Q47_SEGMENT}'
+      AND epoch_us(o.o_orderdate) < {Q47_CUT_US}
+      AND epoch_us(l.l_shipdate) > {Q47_CUT_US}
+    GROUP BY 1, 3, 4
+    ORDER BY revenue_c DESC, o_orderdate_s, l_orderkey
+    LIMIT {Q47_TOPK}
+    """,
+)
+def q47_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped orders by revenue for one market
+    segment (orders placed before the cutoff, lines shipped after it).
+
+    The segment filter makes customer a broadcast dim; the orders date
+    filter and the lineitem shipdate filter are both pushed to their
+    scans.  The per-order aggregate shuffles only pre-filtered rows, and
+    the top-10 is TakeOrdered on an all-integer key (revenue cents desc,
+    epoch-second date, orderkey) — per-partition k then a k-merge, never a
+    global sort."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    seg = cust.filter(F.col("c_mktsegment") == Q47_SEGMENT).select("c_custkey")
+    o = orders.filter(F.col("o_orderdate") < _ntz("1998-01-01"))
+    l = li.filter(F.col("l_shipdate") > _ntz("1998-01-01"))
+    date_s = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+        " o_orderdate) div 1000000"
+    )
+    return (
+        o.join(F.broadcast(seg), o.o_custkey == seg.c_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            "l_orderkey",
+            date_s.alias("o_orderdate_s"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(_rev_cents()).alias("revenue_c"))
+        .select("l_orderkey", "revenue_c", "o_orderdate_s", "o_orderpriority")
+        .orderBy(F.col("revenue_c").desc(), "o_orderdate_s", "l_orderkey")
+        .limit(Q47_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# q48 — TPC-H Q10 shape: returned-item revenue ranking.
+# --------------------------------------------------------------------------
+
+Q48_LO_US = _us("1997-07-01")
+Q48_HI_US = _us("1997-10-01")
+Q48_TOPK = 20
+
+
+@query(
+    "q48_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum({SQL_REV_CENTS}) AS BIGINT) AS revenue_c,
+           CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) AS acctbal_c,
+           n.n_name AS nation
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE epoch_us(o.o_orderdate) >= {Q48_LO_US}
+      AND epoch_us(o.o_orderdate) < {Q48_HI_US}
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 4, 5
+    ORDER BY revenue_c DESC, c_custkey
+    LIMIT {Q48_TOPK}
+    """,
+)
+def q48_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers who returned the most revenue in one
+    quarter, enriched with their nation.
+
+    Orders are date-pruned and lineitem returnflag-filtered at their
+    scans; the orderkey join shuffles only the quarter's rows.  The
+    customer-grain aggregate then joins customer and nation as broadcast
+    dims (customer keys at aggregate output grain, not fact grain).  The
+    top-20 is TakeOrdered on integer cents with custkey tiebreak."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= _ntz("1997-07-01"))
+        & (F.col("o_orderdate") < _ntz("1997-10-01"))
+    )
+    l = li.filter(F.col("l_returnflag") == "R")
+    per_cust = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(_rev_cents()).alias("revenue_c"))
+    )
+    return (
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue_c",
+            F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("acctbal_c"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy(F.col("revenue_c").desc(), "c_custkey")
+        .limit(Q48_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# q49 — TPC-H Q6 shape: forecast-revenue single-row aggregate.
+# --------------------------------------------------------------------------
+
+Q49_LO_US = _us("1997-01-01")
+Q49_HI_US = _us("1998-01-01")
+
+
+@query(
+    "q49_forecast_revenue",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(coalesce(sum(
+             CAST(floor((l_extendedprice * l_discount) * 100.0 + 0.5)
+                  AS BIGINT)), 0) AS BIGINT) AS discount_revenue_c
+    FROM lineitem
+    WHERE epoch_us(l_shipdate) >= {Q49_LO_US}
+      AND epoch_us(l_shipdate) < {Q49_HI_US}
+      AND l_discount >= 0.04 AND l_discount <= 0.06
+      AND l_quantity < 24.0
+    """,
+)
+def q49_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue increase if discounts in a band were
+    eliminated — one filtered scan, one row out, zero joins.
+
+    Every predicate (date range, discount band, quantity cap) is
+    scan-pushable; with column pruning the scan reads 4 of 11 lineitem
+    columns.  At 100 TB this is the canonical
+    predicate-pushdown-plus-map-side-combine query: no shuffle carries
+    more than one partial-aggregate row per task."""
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= _ntz("1997-01-01"))
+        & (F.col("l_shipdate") < _ntz("1998-01-01"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24.0)
+    )
+    disc_c = F.floor(
+        (F.col("l_extendedprice") * F.col("l_discount")) * 100.0 + F.lit(0.5)
+    ).cast("long")
+    return filtered.agg(
+        F.count("*").alias("n_lines"),
+        F.coalesce(F.sum(disc_c), F.lit(0))
+        .cast("long")
+        .alias("discount_revenue_c"),
+    )

@@ -271,3 +271,41 @@ def test_rfm_has_no_global_window(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
     assert "ntile" not in plan, plan
+
+
+def test_tpch_tail_date_bounds_reach_parquet_scan(spark, sf_dir):
+    """q42-q49's non-correlated date bounds use TIMESTAMP_NTZ literals
+    precisely so they land in PushedFilters (row-group skipping at 100 TB)
+    — unlike the timestampdiff form, which stays a post-scan filter."""
+    assert has_pushed_filter(
+        QUERIES["q49_forecast_revenue"](spark, sf_dir),
+        "GreaterThanOrEqual(l_shipdate",
+    )
+    assert has_pushed_filter(
+        QUERIES["q48_returned_items"](spark, sf_dir),
+        "EqualTo(l_returnflag,R)",
+    )
+    assert has_pushed_filter(
+        QUERIES["q42_priority_late_ship"](spark, sf_dir),
+        "GreaterThanOrEqual(o_orderdate",
+    )
+
+
+def test_tpch_tail_join_shapes(spark, sf_dir):
+    """Semi/anti/broadcast shapes the tail queries promise in their
+    docstrings."""
+    from pyspark_text_classification_spark.plans.explain import formatted_plan
+
+    q42 = formatted_plan(QUERIES["q42_priority_late_ship"](spark, sf_dir))
+    assert "LeftSemi" in q42, "Q4-shape EXISTS must plan as a semi join"
+    q45 = formatted_plan(QUERIES["q45_idle_rich_customers"](spark, sf_dir))
+    assert "LeftAnti" in q45, "Q22-shape NOT EXISTS must plan as an anti join"
+    for name in ("q44_small_quantity_revenue", "q47_shipping_priority",
+                 "q48_returned_items", "q46_top_supplier"):
+        assert uses_broadcast_join(QUERIES[name](spark, sf_dir)), (
+            f"{name} lost its broadcast dim join"
+        )
+    for name in ("q47_shipping_priority", "q48_returned_items"):
+        assert "TakeOrderedAndProject" in formatted_plan(
+            QUERIES[name](spark, sf_dir)
+        ), f"{name} top-k must be TakeOrdered, not a global sort"
