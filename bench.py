@@ -131,6 +131,8 @@ HEADLINE = [
     "q47_shipping_priority",
     "q48_returned_items",
     "q49_forecast_revenue",
+    "similarity_pq_codes",
+    "similarity_pq_adc_topk",
 ]
 
 

@@ -32,6 +32,7 @@ import pyspark_text_classification_spark.streaming.checksum  # noqa: F401
 import pyspark_text_classification_spark.streaming.convert  # noqa: F401
 import pyspark_text_classification_spark.operators.dedup  # noqa: F401
 import pyspark_text_classification_spark.operators.similarity  # noqa: F401
+import pyspark_text_classification_spark.operators.pq  # noqa: F401
 from pyspark_text_classification_spark.registry import ORACLES, QUERIES  # noqa: F401
 
 # --- Driver-sweep ordering -------------------------------------------------
@@ -124,6 +125,19 @@ _DRIVER_FIRST = [
     "ml_calibration_bins",
     "ml_kfold_assign",
     "text_keywords_topk",
+    # round-3 additions (never driver-checked yet) - keep behind the
+    # slot-50 boundary so they don't displace this round's target set;
+    # round 4 should rotate everything after the boundary to the front.
+    "q42_priority_late_ship",
+    "q43_customer_order_distribution",
+    "q44_small_quantity_revenue",
+    "q45_idle_rich_customers",
+    "q46_top_supplier",
+    "q47_shipping_priority",
+    "q48_returned_items",
+    "q49_forecast_revenue",
+    "similarity_pq_codes",
+    "similarity_pq_adc_topk",
 ]
 
 

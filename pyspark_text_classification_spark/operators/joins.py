@@ -352,7 +352,6 @@ def q32_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # pricing-summary cutoff: 2000-01-01 UTC in epoch micros (integer, exact)
 PRICING_CUTOFF_US = 946_684_800_000_000
-_SHIP_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', l_shipdate)"
 
 
 @query(
@@ -397,10 +396,11 @@ def q33_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     them to integer cents / basis points per row, so the wide aggregate
     sums int64 (order-independent at any partitioning — the multi-measure
     analogue of q32's revenue discipline) with map-side partials; the
-    shipdate predicate is exact integer epoch-micro arithmetic pushed into
-    the scan stage. One shuffle, six rows out."""
+    shipdate predicate is an NTZ-literal comparison (timezone-independent,
+    equivalent to epoch_us <= cutoff) that reaches the parquet scan as a
+    PushedFilter for row-group skipping. One shuffle, six rows out."""
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.expr(_SHIP_US) <= PRICING_CUTOFF_US
+        F.expr("l_shipdate <= TIMESTAMP_NTZ'2000-01-01 00:00:00'")
     )
 
     def cents(col: F.Column, scale: float = 100.0) -> F.Column:

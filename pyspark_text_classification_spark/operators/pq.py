@@ -1,0 +1,257 @@
+"""Product quantization (PQ): compressed-domain vector codes + ADC search.
+
+The 100 TB ANN storage/scoring path (Jegou et al., "Product Quantization
+for Nearest Neighbor Search", TPAMI 2011): split each vector into M
+subspaces, quantize each subvector to its nearest of K codewords, store M
+small codes per vector (here 4 x 4 bits = 2 bytes instead of 256 bytes of
+float32 — a 128x compression), and answer queries with Asymmetric Distance
+Computation: a per-query lookup table of |M| x |K| exact subspace distances,
+so scoring a candidate costs M table lookups instead of a D-dim fold.
+
+Engine discipline matches the sign-LSH family (operators/similarity.py):
+components are quantized to integers (floor(x * 2^20) — exact IEEE in both
+engines), every distance is an int64 sum, and argmins are taken over the
+single integer key ``d2 * K + code_id`` so ties break identically on both
+engines with no float comparison anywhere.  Codebooks are the deterministic
+seed sample (the K lowest vec_ids, the similarity_ann_ivf convention) so
+the whole index is DuckDB-oracle-checkable end to end; production swaps in
+k-means-trained codebooks (similarity_kmeans_step) — same joins, better
+cells.
+
+Scale shape: the codebook is M x K rows and BROADCASTS; code assignment is
+a map-side broadcast-join argmin (the corpus never shuffles to build the
+index); ADC scoring joins the (vec_id, m, code) table with the broadcast
+per-query LUT on (m, code) and reduces with one integer-sum aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_text_classification_spark.registry import query
+from pyspark_text_classification_spark.sources.parquet import fan_out, load_table
+from pyspark_text_classification_spark.operators.similarity import (
+    QUANT_SCALE,
+    _as_double_vec,
+)
+from pyspark_text_classification_spark.functions.text import sql_round_half_up
+
+PQ_M = 4          # subspaces
+PQ_K = 16         # codewords per subspace (4-bit codes)
+PQ_SUB = 16       # dims per subspace (embeddings are 64-dim)
+PQ_QUERY_MOD = 32  # deterministic 1/32 query sample for ADC search
+PQ_NN_K = 5       # neighbors returned per query
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, qv long[]) — integer-quantized vectors (exact both engines)."""
+    qv = F.transform(
+        _as_double_vec(), lambda x: F.floor(x * QUANT_SCALE).cast("long")
+    )
+    return fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", qv.alias("qv")
+    )
+
+
+def _subspaces(df: DataFrame, vec_col: str = "qv") -> DataFrame:
+    """Explode each vector into its M quantized subvectors: (.., m, sq)."""
+    slices = F.array(
+        *[F.slice(vec_col, m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+    )
+    return df.select("*", F.posexplode(slices).alias("m", "sq")).drop(vec_col)
+
+
+def pq_codebook(e: DataFrame) -> DataFrame:
+    """(m, code_id, cq): the broadcastable M x K codebook from the K
+    lowest-vec_id seed vectors (deterministic, oracle-checkable)."""
+    w = Window.orderBy("vec_id")  # 16 rows — single-partition window is fine
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(PQ_K)
+        .select((F.row_number().over(w) - 1).cast("long").alias("code_id"), "qv")
+    )
+    return _subspaces(seeds).select("m", "code_id", F.col("sq").alias("cq"))
+
+
+def _d2(a: str, b: str) -> F.Column:
+    """Integer squared L2 distance between two quantized subvectors."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_assign(e: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, m, code, d2): nearest codeword per (vector, subspace).
+
+    The argmin is min over the single integer key ``d2 * K + code_id`` —
+    one deterministic comparison, ties to the lowest code_id.  The
+    codebook side broadcasts; the corpus side never shuffles for the
+    argmin itself (map-side join + partial min)."""
+    key = _d2("sq", "cq") * PQ_K + F.col("code_id")
+    return (
+        _subspaces(e)
+        .join(F.broadcast(cb), "m")
+        .groupBy("vec_id", "m")
+        .agg(F.min(key).alias("key"))
+        .select(
+            "vec_id",
+            "m",
+            (F.col("key") % PQ_K).alias("code"),
+            F.expr(f"key div {PQ_K}").alias("d2"),
+        )
+    )
+
+
+# ---- shared oracle fragments ----------------------------------------------
+
+_SQL_QUANT = f"""
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT))
+             AS qv
+    FROM embeddings
+"""
+
+_SQL_D2 = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, {n} + 1), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+    "(acc, x) -> acc + x)"
+)
+
+_SQL_PQ_PRELUDE = f"""
+    WITH q AS ({_SQL_QUANT}),
+    ms AS (SELECT CAST(unnest(range({PQ_M})) AS BIGINT) AS m),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+               AS code_id, qv
+      FROM (SELECT * FROM q ORDER BY vec_id LIMIT {PQ_K})
+    ),
+    cb AS (
+      SELECT ms.m, seeds.code_id,
+             list_slice(seeds.qv, ms.m * {PQ_SUB} + 1,
+                        ms.m * {PQ_SUB} + {PQ_SUB}) AS cq
+      FROM seeds CROSS JOIN ms
+    ),
+    sub AS (
+      SELECT q.vec_id, ms.m,
+             list_slice(q.qv, ms.m * {PQ_SUB} + 1,
+                        ms.m * {PQ_SUB} + {PQ_SUB}) AS sq
+      FROM q CROSS JOIN ms
+    ),
+    assigned AS (
+      SELECT sub.vec_id, sub.m,
+             min({_SQL_D2.format(n=PQ_SUB, a='sub.sq', b='cb.cq')}
+                 * {PQ_K} + cb.code_id) AS key
+      FROM sub JOIN cb ON sub.m = cb.m
+      GROUP BY 1, 2
+    )
+"""
+
+
+@query(
+    "similarity_pq_codes",
+    oracle=f"""
+    {_SQL_PQ_PRELUDE}
+    SELECT vec_id,
+           CAST(max(CASE WHEN m = 0 THEN key % {PQ_K} END) AS BIGINT) AS code_0,
+           CAST(max(CASE WHEN m = 1 THEN key % {PQ_K} END) AS BIGINT) AS code_1,
+           CAST(max(CASE WHEN m = 2 THEN key % {PQ_K} END) AS BIGINT) AS code_2,
+           CAST(max(CASE WHEN m = 3 THEN key % {PQ_K} END) AS BIGINT) AS code_3,
+           CAST(sum(key // {PQ_K}) AS BIGINT) AS qerr
+    FROM assigned
+    GROUP BY 1
+    """,
+)
+def similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ code assignment: each vector's 4 x 4-bit codes plus its total
+    integer squared quantization error (the per-vector audit column a PQ
+    rollout monitors, the analogue of similarity_quantize_int8's l2_err).
+
+    One broadcast join + two aggregates; the corpus shuffles once at
+    (vec_id, m) grain carrying ~24 bytes/row.  At 100 TB the emitted
+    codes ARE the stored index: 2 bytes/vector versus 256 for raw
+    float32."""
+    e = _quantized(spark, sf_dir)
+    cb = pq_codebook(e)
+    a = pq_assign(e, cb)
+    code_cols = [
+        F.max(F.when(F.col("m") == m, F.col("code"))).alias(f"code_{m}")
+        for m in range(PQ_M)
+    ]
+    return a.groupBy("vec_id").agg(*code_cols, F.sum("d2").alias("qerr"))
+
+
+@query(
+    "similarity_pq_adc_topk",
+    oracle=f"""
+    {_SQL_PQ_PRELUDE},
+    codes AS (
+      SELECT vec_id, m, key % {PQ_K} AS code FROM assigned
+    ),
+    lut AS (
+      SELECT sub.vec_id AS q_id, sub.m, cb.code_id,
+             {_SQL_D2.format(n=PQ_SUB, a='sub.sq', b='cb.cq')} AS d2
+      FROM sub JOIN cb ON sub.m = cb.m
+      WHERE sub.vec_id % {PQ_QUERY_MOD} = 0
+    ),
+    scored AS (
+      SELECT lut.q_id, codes.vec_id AS neighbor_id,
+             CAST(sum(lut.d2) AS BIGINT) AS adc_d2
+      FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.code_id
+      WHERE codes.vec_id != lut.q_id
+      GROUP BY 1, 2
+    )
+    SELECT q_id, neighbor_id, adc_d2, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT q_id, neighbor_id, adc_d2,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY adc_d2, neighbor_id
+             ) AS rnk
+      FROM scored
+    ) WHERE rnk <= {PQ_NN_K}
+    """,
+)
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k search over the PQ index: for a deterministic 1/32 query
+    sample, build the per-query |M| x |K| exact-subspace-distance lookup
+    table, score every stored code by M integer lookups, and rank the
+    k nearest by approximate squared distance (ties to lowest id).
+
+    Scale shape: the LUT is |queries| x M x K rows and BROADCASTS (each
+    query contributes 64 longs); the stored-code table joins it on
+    (m, code) — a map-side hash join — and one integer-sum aggregate at
+    (q_id, neighbor_id) grain produces the scores.  The corpus's raw
+    vectors are never touched at query time — only their 2-byte codes —
+    which is exactly why PQ is the 100 TB scoring path.  The final top-k
+    window runs at |queries| x n grain; for query fleets large enough to
+    skew a reducer, swap in similarity_search_topk's salted two-level
+    top-k (same contract)."""
+    e = _quantized(spark, sf_dir)
+    cb = pq_codebook(e)
+    codes = pq_assign(e, cb).select("vec_id", "m", "code")
+    queries = e.filter(F.pmod(F.col("vec_id"), F.lit(PQ_QUERY_MOD)) == 0)
+    lut = (
+        _subspaces(queries)
+        .withColumnRenamed("vec_id", "q_id")
+        .join(F.broadcast(cb), "m")
+        .select("q_id", "m", "code_id", _d2("sq", "cq").alias("d2"))
+    )
+    scored = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.m == lut.m) & (codes.code == lut.code_id),
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        scored.select(
+            "q_id", "neighbor_id", "adc_d2", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= PQ_NN_K)
+    )

@@ -309,3 +309,17 @@ def test_tpch_tail_join_shapes(spark, sf_dir):
         assert "TakeOrderedAndProject" in formatted_plan(
             QUERIES[name](spark, sf_dir)
         ), f"{name} top-k must be TakeOrdered, not a global sort"
+
+
+def test_pq_family_plan_shapes(spark, sf_dir):
+    """PQ assignment and ADC scoring must stay broadcast-join + aggregate:
+    no CartesianProduct, no Python workers, codebook/LUT on the broadcast
+    side."""
+    from pyspark_text_classification_spark.plans.explain import formatted_plan
+
+    for name in ("similarity_pq_codes", "similarity_pq_adc_topk"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, f"{name} went quadratic"
+        assert uses_broadcast_join(df), f"{name} lost its broadcast join"
+        assert not python_eval_nodes(df), f"{name} drops into Python"
