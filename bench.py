@@ -133,6 +133,7 @@ HEADLINE = [
     "q49_forecast_revenue",
     "similarity_pq_codes",
     "similarity_pq_adc_topk",
+    "text_bpe_merge_step",
 ]
 
 

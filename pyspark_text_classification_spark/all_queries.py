@@ -138,6 +138,7 @@ _DRIVER_FIRST = [
     "q49_forecast_revenue",
     "similarity_pq_codes",
     "similarity_pq_adc_topk",
+    "text_bpe_merge_step",
 ]
 
 

@@ -949,3 +949,55 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_quality"),
     )
+
+
+BPE_TOP_MERGES = 20
+
+
+@query(
+    "text_bpe_merge_step",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest({_SQL_TOKENS}) AS w FROM documents
+    ),
+    wc AS (SELECT w, count(*) AS cnt FROM words GROUP BY 1),
+    pc AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                    i -> substring(w, CAST(i AS INT), 2))) AS pair,
+             cnt
+      FROM wc
+    )
+    SELECT pair, CAST(sum(cnt) AS BIGINT) AS n_occ
+    FROM pc GROUP BY 1
+    ORDER BY n_occ DESC, pair
+    LIMIT {BPE_TOP_MERGES}
+    """,
+)
+def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge iteration (Sennrich et al., ACL 2016): count every
+    adjacent symbol pair across the corpus (symbols = characters at step
+    0) and emit the top merge candidates — the tokenizer-training
+    analogue of similarity_kmeans_step's one-Lloyd-iteration contract.
+    A driver loop applies the winning merge to the vocabulary and calls
+    the step again; each step is this same query shape.
+
+    Scale shape: the corpus collapses to the word VOCABULARY first (the
+    text_top_tokens_by_lang heavy-hitter trick) so the only corpus-sized
+    shuffle is the word count; pair explosion then runs over vocab-bounded
+    data (|vocab| x avg_word_len rows), and the final top-k is TakeOrdered
+    on (count desc, pair) — deterministic at the cut line on both
+    engines."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    wc = (
+        docs.select(F.explode(tokenize("text", 2)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pairs = F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+    return (
+        wc.select(F.explode(pairs).alias("pair"), "cnt")
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), "pair")
+        .limit(BPE_TOP_MERGES)
+    )
