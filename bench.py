@@ -134,6 +134,7 @@ HEADLINE = [
     "similarity_pq_codes",
     "similarity_pq_adc_topk",
     "text_bpe_merge_step",
+    "similarity_pq_recall",
 ]
 
 
@@ -179,15 +180,17 @@ def main() -> None:
     )
     # ANN quality tracked per round alongside perf: recall regressions
     # should surface in the bench artifact the way timing ones do.
-    try:
-        recall_row = (
-            QUERIES["similarity_recall_eval"](spark, sf_dir)
-            .select("macro_recall")
-            .collect()[0]
-        )
-        ann_recall = float(recall_row["macro_recall"])
-    except Exception:  # noqa: BLE001 - metric is best-effort, never fatal
-        ann_recall = None
+    def _recall_of(name: str):
+        try:
+            row = (
+                QUERIES[name](spark, sf_dir).select("macro_recall").collect()[0]
+            )
+            return float(row["macro_recall"])
+        except Exception:  # noqa: BLE001 - metric is best-effort, never fatal
+            return None
+
+    ann_recall = _recall_of("similarity_recall_eval")
+    pq_recall = _recall_of("similarity_pq_recall")
 
     # The grading driver keeps only the TAIL of stdout and front-truncates
     # long lines; round 2's single ~100-query JSON line lost its front
@@ -201,6 +204,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "ann_macro_recall": ann_recall,
+                "pq_macro_recall": pq_recall,
                 "sf": sf,
             }
         )

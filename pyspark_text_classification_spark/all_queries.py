@@ -139,6 +139,7 @@ _DRIVER_FIRST = [
     "similarity_pq_codes",
     "similarity_pq_adc_topk",
     "text_bpe_merge_step",
+    "similarity_pq_recall",
 ]
 
 

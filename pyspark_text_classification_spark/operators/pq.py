@@ -255,3 +255,153 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= PQ_NN_K)
     )
+
+
+@query(
+    "similarity_pq_recall",
+    oracle=f"""
+    {_SQL_PQ_PRELUDE},
+    codes AS (
+      SELECT vec_id, m, key % {PQ_K} AS code FROM assigned
+    ),
+    lut AS (
+      SELECT sub.vec_id AS q_id, sub.m, cb.code_id,
+             {_SQL_D2.format(n=PQ_SUB, a='sub.sq', b='cb.cq')} AS d2
+      FROM sub JOIN cb ON sub.m = cb.m
+      WHERE sub.vec_id % {PQ_QUERY_MOD} = 0
+    ),
+    scored AS (
+      SELECT lut.q_id, codes.vec_id AS neighbor_id,
+             CAST(sum(lut.d2) AS BIGINT) AS adc_d2
+      FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.code_id
+      WHERE codes.vec_id != lut.q_id
+      GROUP BY 1, 2
+    ),
+    annq AS (
+      SELECT q_id AS vec_id, neighbor_id FROM (
+        SELECT q_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q_id ORDER BY adc_d2, neighbor_id
+               ) AS rnk
+        FROM scored
+      ) WHERE rnk <= {PQ_NN_K}
+    ),
+    n AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_reduce(
+               list_prepend(0.0, list_transform(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                 x -> x * x)),
+               (acc, x) -> acc + x)) AS nrm
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             list_reduce(
+               list_prepend(0.0, list_transform(
+                 range(1, length(a.v) + 1), i -> a.v[i] * b.v[i])),
+               (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos
+      FROM n a JOIN n b
+        ON a.vec_id % {PQ_QUERY_MOD} = 0 AND a.vec_id <> b.vec_id
+    ),
+    ext AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT vec_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY {sql_round_half_up('cos', 4)} DESC, neighbor_id
+               ) AS rnk
+        FROM ex
+      ) WHERE rnk <= {PQ_NN_K}
+    ),
+    perq AS (
+      SELECT ext.vec_id, CAST(count(annq.neighbor_id) AS BIGINT) AS hits
+      FROM ext LEFT JOIN annq
+        ON ext.vec_id = annq.vec_id AND ext.neighbor_id = annq.neighbor_id
+      GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST({PQ_NN_K} AS BIGINT) AS k,
+           {sql_round_half_up(
+               f'CAST(sum(hits) AS DOUBLE) / ({PQ_NN_K}.0 * count(*))', 4)}
+             AS macro_recall,
+           {sql_round_half_up(
+               f'CAST(sum(CASE WHEN hits = {PQ_NN_K} THEN 1 ELSE 0 END)'
+               ' AS DOUBLE) / count(*)', 4)}
+             AS perfect_frac
+    FROM perq
+    """,
+)
+def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ/ADC index against the exact cosine top-k for the
+    same deterministic query sample — the quality dial for (M, K) tuning,
+    mirroring similarity_recall_eval's contract for the sign-LSH index.
+
+    The exact side restricts the D-dim fold to |sample| x n pairs (never
+    the full cross product); the ADC side is the same broadcast-LUT
+    scoring similarity_pq_adc_topk serves.  Note the two sides rank under
+    different geometries (ADC = quantized L2, exact = cosine), so this
+    measures the deployed index end to end, reconstruction loss
+    included."""
+    from pyspark_text_classification_spark.operators.similarity import (
+        _finalize,
+        _fold_sum,
+        _rank_topk,
+        with_norms,
+    )
+    from pyspark_text_classification_spark.functions.text import round_half_up
+
+    ann = (
+        similarity_pq_adc_topk(spark, sf_dir)
+        .select(F.col("q_id").alias("vec_id"), "neighbor_id")
+    )
+
+    e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
+    sampled = F.pmod(F.col("vec_id"), F.lit(PQ_QUERY_MOD)) == 0
+    a = e.filter(sampled).select(
+        "vec_id", F.col("v").alias("xv"), F.col("nrm").alias("xn")
+    )
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("yv"),
+        F.col("nrm").alias("yn"),
+    )
+    dot = _fold_sum(F.zip_with(F.col("xv"), F.col("yv"), lambda p, q: p * q))
+    ex = (
+        a.crossJoin(b)
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            (dot / (F.col("xn") * F.col("yn"))).alias("cos"),
+        )
+    )
+    ext = _rank_topk(ex, k=PQ_NN_K).select("vec_id", "neighbor_id").persist()
+
+    hits = (
+        ext.join(ann, ["vec_id", "neighbor_id"], "left_semi")
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    perq = (
+        ext.select("vec_id")
+        .distinct()
+        .join(hits, "vec_id", "left")
+        .select(F.coalesce(F.col("hits"), F.lit(0)).alias("hits"))
+    )
+    out = perq.agg(
+        F.count("*").alias("n_queries"),
+        F.lit(PQ_NN_K).cast("long").alias("k"),
+        round_half_up(
+            F.sum("hits").cast("double")
+            / (float(PQ_NN_K) * F.count("*").cast("double")),
+            4,
+        ).alias("macro_recall"),
+        round_half_up(
+            F.sum(F.when(F.col("hits") == PQ_NN_K, 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double"),
+            4,
+        ).alias("perfect_frac"),
+    )
+    return _finalize(out, e, ext)
