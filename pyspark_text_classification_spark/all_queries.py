@@ -30,6 +30,7 @@ import pyspark_text_classification_spark.streaming.similarity  # noqa: F401
 import pyspark_text_classification_spark.streaming.drift  # noqa: F401
 import pyspark_text_classification_spark.streaming.checksum  # noqa: F401
 import pyspark_text_classification_spark.streaming.convert  # noqa: F401
+import pyspark_text_classification_spark.streaming.pq  # noqa: F401
 import pyspark_text_classification_spark.operators.dedup  # noqa: F401
 import pyspark_text_classification_spark.operators.similarity  # noqa: F401
 import pyspark_text_classification_spark.operators.pq  # noqa: F401
@@ -140,6 +141,7 @@ _DRIVER_FIRST = [
     "similarity_pq_adc_topk",
     "text_bpe_merge_step",
     "similarity_pq_recall",
+    "similarity_stream_pq_codes",
 ]
 
 

@@ -485,3 +485,62 @@ def test_processing_time_timeout_evicts_idle_state(spark, tmp_path):
         q.stop()
     # user 1 (idle after batch 1) was evicted with its batch-1 count
     assert (1, 2) in got
+
+
+def test_stream_pq_codes_across_batches_matches_batch(spark, tmp_path):
+    """The streaming PQ encoder must equal batch similarity_pq_codes on a
+    drained replay even when vectors arrive split across micro-batches —
+    the encode is stateless per row against a literal codebook, so
+    batch-split invariance is structural; this pins it."""
+    import pyarrow.parquet as pq
+
+    from pyspark_text_classification_spark.all_queries import QUERIES
+    from pyspark_text_classification_spark.operators.pq import (
+        _quantized,
+        pq_codebook,
+    )
+    from pyspark_text_classification_spark.streaming.pq import (
+        pq_codes_stream_frame,
+    )
+    from pyspark_text_classification_spark.streaming.similarity import (
+        EMB_STREAM_SCHEMA,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = {
+        (r.vec_id, r.code_0, r.code_1, r.code_2, r.code_3, r.qerr)
+        for r in QUERIES["similarity_pq_codes"](spark, sf).collect()
+    }
+    assert want
+
+    tbl = pq.read_table(f"{sf}/embeddings.parquet")
+    d = tmp_path / "emb_pq_stream"
+    os.makedirs(d)
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half), str(d / "a_first.parquet"))
+    pq.write_table(tbl.slice(half), str(d / "b_second.parquet"))
+    now = time.time()
+    os.utime(d / "a_first.parquet", (now - 100, now - 100))
+    os.utime(d / "b_second.parquet", (now, now))
+
+    cb_rows = pq_codebook(_quantized(spark, sf)).collect()
+    src = (
+        spark.readStream.schema(EMB_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    frame = pq_codes_stream_frame(src, cb_rows)
+    q = (
+        frame.writeStream.format("memory")
+        .queryName("pq_codes_mb")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.vec_id, r.code_0, r.code_1, r.code_2, r.code_3, r.qerr)
+        for r in spark.table("pq_codes_mb").collect()
+    }
+    assert got == want
