@@ -11,7 +11,7 @@ import re
 
 import duckdb
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import HealthCheck, given, settings, strategies as st
 
 from pyspark.sql import functions as F
 
@@ -307,3 +307,53 @@ def test_xor_row_checksum_three_way(spark, rows):
         f" % {_CK_MOD}) FROM t"
     ).fetchone()
     assert dh == want
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(17, 40))
+def test_pq_assignment_is_true_argmin(spark, seed, n):
+    """pq_assign's LEAST-over-integer-key argmin must equal a brute-force
+    Python argmin under the identical float32 -> double -> floor(x * 2^20)
+    quantization, with ties to the lowest code_id."""
+    import math
+
+    import numpy as np
+
+    from pyspark_text_classification_spark.operators.pq import (
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        pq_assign,
+        pq_codebook,
+    )
+    from pyspark_text_classification_spark.operators.similarity import (
+        QUANT_SCALE,
+    )
+
+    rng = np.random.RandomState(seed)
+    vecs = (rng.uniform(-2.0, 2.0, size=(n, 64))).astype(np.float32)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = F.transform(
+        F.transform("embedding", lambda x: x.cast("double")),
+        lambda x: F.floor(x * QUANT_SCALE).cast("long"),
+    )
+    e = df.select("vec_id", qv.alias("qv"))
+    got = {
+        (r.vec_id, r.m): (r.code, r.d2)
+        for r in pq_assign(e, pq_codebook(e)).collect()
+    }
+
+    q = [[math.floor(x * QUANT_SCALE) for x in v] for _, v in rows]
+    seeds = q[:PQ_K]  # vec_ids 0..K-1 are the lowest
+    for i, v in enumerate(q):
+        for m in range(PQ_M):
+            lo, hi = m * PQ_SUB, (m + 1) * PQ_SUB
+            best = min(
+                (
+                    sum((v[d] - c[d]) ** 2 for d in range(lo, hi)),
+                    code_id,
+                )
+                for code_id, c in enumerate(seeds)
+            )
+            assert got[(i, m)] == (best[1], best[0]), (i, m)
