@@ -135,6 +135,11 @@ HEADLINE = [
     "similarity_pq_adc_topk",
     "text_bpe_merge_step",
     "similarity_pq_recall",
+    "q50_market_share",
+    "q51_nation_profit",
+    "q52_sole_late_supplier",
+    "dedup_boilerplate",
+    "text_domain_mixture",
 ]
 
 

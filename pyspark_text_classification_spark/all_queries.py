@@ -142,6 +142,11 @@ _DRIVER_FIRST = [
     "text_bpe_merge_step",
     "similarity_pq_recall",
     "similarity_stream_pq_codes",
+    "q50_market_share",
+    "q51_nation_profit",
+    "q52_sole_late_supplier",
+    "dedup_boilerplate",
+    "text_domain_mixture",
 ]
 
 

@@ -1169,3 +1169,83 @@ def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.min("jaccard"), 4).alias("min_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate shingle detection (RefinedWeb/CCNet-style corpus cleaning)
+# ---------------------------------------------------------------------------
+
+BOILER_K = 4  # shingle width in tokens
+BOILER_MIN_DF = 3  # shingles in >= this many distinct docs are boilerplate
+
+
+@query(
+    "dedup_boilerplate",
+    oracle=f"""
+    WITH sh AS ({{sh}}),
+    bo AS (
+      SELECT h FROM sh GROUP BY h HAVING count(*) >= {BOILER_MIN_DF}
+    ),
+    per_doc AS (
+      SELECT s.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN bo.h IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_boiler
+      FROM sh s LEFT JOIN bo ON s.h = bo.h
+      GROUP BY 1
+    )
+    SELECT doc_id, n_shingles, n_boiler,
+           CAST(n_boiler * 10000 // n_shingles AS BIGINT) AS boiler_bp
+    FROM per_doc
+    """,
+)
+def dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate ratio via cross-document shingle frequency
+    (the CCNet/RefinedWeb line-dedup recipe adapted to newline-free docs:
+    a 4-token shingle appearing in >= BOILER_MIN_DF distinct documents is
+    "boilerplate"; a doc's ratio is the fraction of its distinct shingles
+    that are boilerplate, in integer basis points).
+
+    Plan: the distinct (doc, shingle) stream is built once and persisted;
+    shingle document-frequency is ONE map-side-combined aggregate, the
+    boilerplate set (high-DF shingles are by definition few — DF follows
+    Zipf, so the >= MIN_DF tail is a small fraction of distinct shingles)
+    broadcasts back as a left join carrying a 1-flag, and the per-doc
+    ratio is a second hash aggregate.  Nothing quadratic anywhere; at
+    100 TB the only large shuffles are the two hash aggregates, and the
+    ratio is integer division (no IEEE rounding to disagree on)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_hashes(docs, k=BOILER_K).persist()
+    try:
+        boiler = (
+            sh.groupBy("h")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") >= BOILER_MIN_DF)
+            .select("h", F.lit(1).alias("b"))
+        )
+        per_doc = (
+            sh.join(F.broadcast(boiler), "h", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_shingles"),
+                F.coalesce(F.sum("b"), F.lit(0)).cast("long").alias("n_boiler"),
+            )
+        )
+        out = per_doc.select(
+            "doc_id",
+            "n_shingles",
+            "n_boiler",
+            F.expr("n_boiler * 10000 div n_shingles").alias("boiler_bp"),
+        ).localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+    return out
+
+
+# fill in the shared shingle CTE (f-string above would need brace escaping
+# for the SQL lambdas inside _sql_shingle_hashes, so substitute afterwards)
+from pyspark_text_classification_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["dedup_boilerplate"] = _ORACLES["dedup_boilerplate"].format(
+    sh=_sql_shingle_hashes(BOILER_K)
+)

@@ -1001,3 +1001,52 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occ").desc(), "pair")
         .limit(BPE_TOP_MERGES)
     )
+
+
+@query(
+    "text_domain_mixture",
+    oracle=f"""
+    WITH g AS (
+      SELECT source, lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(length({_SQL_TOKENS})) AS BIGINT) AS n_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY 1, 2
+    ),
+    t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM g)
+    SELECT g.source, g.lang, g.n_docs, g.n_tokens,
+           CAST(g.n_tokens * 10000 // t.total_tokens AS BIGINT)
+             AS tok_share_bp,
+           CAST(g.sum_chars * 1000 // g.n_docs AS BIGINT)
+             AS mean_chars_milli
+    FROM g CROSS JOIN t
+    """,
+)
+def text_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture report: per (source, lang) cell, the document count,
+    token budget, share of the total corpus token budget (basis points),
+    and mean document length — the table a pretraining data recipe quotes
+    when setting mixture weights (and the input `pipeline_mixture_sample`
+    consumes as its target distribution).
+
+    One map-side-combined aggregate over the corpus; the corpus-wide
+    token total is then derived FROM the grouped table (|sources| x
+    |langs| rows), not from a second corpus pass, and crossJoined back as
+    a broadcast 1-row frame.  Shares and means are 64-bit integer
+    division — no IEEE rounding anywhere.  At 100 TB: one shuffle,
+    carrying one row per (source, lang) per task."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    g = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokenize("text", 2))).cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    t = g.agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.expr("n_tokens * 10000 div total_tokens").alias("tok_share_bp"),
+        F.expr("sum_chars * 1000 div n_docs").alias("mean_chars_milli"),
+    )

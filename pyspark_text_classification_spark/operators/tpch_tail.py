@@ -16,6 +16,12 @@ Q2/Q11/Q12/Q16/Q20/Q21 correlations are adapted or out of scope):
 - q47: Q3  — shipping-priority top-k over two fact filters
 - q48: Q10 — returned-item revenue ranking with dim enrichment
 - q49: Q6  — single-row filter aggregate (full scan-level pushdown)
+- q50: Q8  — national market share (conditional-sum ratio per year)
+- q51: Q9  — product-type profit by nation and year (tax as the cost
+  proxy; the synthetic schema has no partsupp.ps_supplycost)
+- q52: Q21 — sole-late-supplier attribution (the EXISTS + NOT EXISTS
+  double correlation collapsed to a two-level aggregate: one shuffle
+  instead of two extra fact-sized semi/anti join probes)
 
 Determinism rules are the repo standard: every money/quantity measure is
 quantized to integer centi-units IN THE SCAN PROJECTION (`floor(x*100+0.5)`
@@ -567,4 +573,237 @@ def q49_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(disc_c), F.lit(0))
         .cast("long")
         .alias("discount_revenue_c"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q50 — TPC-H Q8 shape: national market share within one region.
+# --------------------------------------------------------------------------
+
+Q50_REGION = "ASIA"
+Q50_NATION = "NATION_7"
+
+
+@query(
+    "q50_market_share",
+    oracle=f"""
+    WITH rn AS (
+      SELECT n.n_nationkey FROM nation n
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = '{Q50_REGION}'
+    ),
+    rev AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(sum(CASE WHEN sn.n_name = '{Q50_NATION}'
+                           THEN {SQL_REV_CENTS} ELSE 0 END) AS BIGINT)
+               AS nation_rev_c,
+             CAST(sum({SQL_REV_CENTS}) AS BIGINT) AS total_rev_c
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN rn ON c.c_nationkey = rn.n_nationkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT o_year, nation_rev_c, total_rev_c,
+           CAST(nation_rev_c * 10000 // total_rev_c AS BIGINT) AS share_bp
+    FROM rev
+    """,
+)
+def q50_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of revenue sold into one
+    region's customers, per order year.
+
+    The share is a CONDITIONAL SUM inside a single aggregate — numerator
+    and denominator come out of the same groupBy, so no self-join and no
+    second pass over the fact table.  The ratio is exported as integer
+    basis points via 64-bit integer division (``num * 10000 div den`` —
+    both engines floor exactly; no IEEE division anywhere).  All four
+    dimension paths (region→nation→customer, supplier→nation) collapse to
+    key sets bounded by |customers-in-region| and |suppliers| and
+    broadcast; the only fact-sized shuffle is the orderkey join, with the
+    two-year date window pushed to the orders scan."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    rn = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == Q50_REGION)),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey")
+    rcust = cust.join(
+        F.broadcast(rn), cust.c_nationkey == rn.n_nationkey
+    ).select("c_custkey")
+    snat = supp.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supp.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+
+    o = orders.filter(
+        (F.col("o_orderdate") >= _ntz("1996-01-01"))
+        & (F.col("o_orderdate") < _ntz("1998-01-01"))
+    ).join(F.broadcast(rcust), F.col("o_custkey") == F.col("c_custkey"))
+
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(snat), li.l_suppkey == snat.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == Q50_NATION, _rev_cents())
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("nation_rev_c"),
+            F.sum(_rev_cents()).alias("total_rev_c"),
+        )
+    )
+    return rev.select(
+        "o_year",
+        "nation_rev_c",
+        "total_rev_c",
+        F.expr("nation_rev_c * 10000 div total_rev_c").alias("share_bp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q51 — TPC-H Q9 shape: profit by supplier nation and order year.
+# --------------------------------------------------------------------------
+
+SQL_COST_CENTS = (
+    "CAST(floor((l_extendedprice * l_tax) * 100.0 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "q51_nation_profit",
+    oracle=f"""
+    SELECT sn.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum({SQL_REV_CENTS} - {SQL_COST_CENTS}) AS BIGINT)
+             AS profit_c
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def q51_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per order year.  The
+    reference profit term needs partsupp.ps_supplycost, which the
+    synthetic schema lacks; the adapted cost proxy is the tax portion
+    (``l_extendedprice * l_tax``), preserving the two-measure
+    ``sum(rev - cost)`` aggregate shape.
+
+    Both measures are quantized to integer cents IN THE PROJECTION and
+    subtracted as int64 — the sum is order-independent.  supplier⋈nation
+    collapses to a |suppliers|-row broadcast; the orderkey join is the
+    only fact shuffle, and the (nation, year) aggregate output is tiny
+    (25 nations × years).  At 100 TB AQE coalesces the near-empty
+    post-aggregate partitions."""
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    snat = supp.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supp.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    cost_c = F.floor(
+        (F.col("l_extendedprice") * F.col("l_tax")) * 100.0 + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(orders.select("o_orderkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(snat), li.l_suppkey == snat.s_suppkey)
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(_rev_cents() - cost_c).alias("profit_c"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q52 — TPC-H Q21 shape: suppliers solely responsible for late orders.
+# --------------------------------------------------------------------------
+
+Q52_LATE_US = 60 * 86_400_000_000  # 60 days, as in q42
+Q52_TOPK = 20
+
+
+@query(
+    "q52_sole_late_supplier",
+    oracle=f"""
+    WITH per_supp AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             max(CASE WHEN epoch_us(l.l_shipdate)
+                        > epoch_us(o.o_orderdate) + {Q52_LATE_US}
+                 THEN 1 ELSE 0 END) AS late
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus <> 'F'
+      GROUP BY 1, 2
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             count(*) AS n_supp,
+             sum(late) AS n_late,
+             max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+      FROM per_supp GROUP BY 1
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM per_order po JOIN supplier s ON po.late_supp = s.s_suppkey
+    WHERE po.n_supp >= 2 AND po.n_late = 1
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name
+    LIMIT {Q52_TOPK}
+    """,
+)
+def q52_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late supplier on
+    multi-supplier, non-finished orders (late = shipped >60 days after
+    the order date; the reference's commit/receipt dates don't exist in
+    the synthetic lineitem).
+
+    Q21's EXISTS (another supplier on the order) + NOT EXISTS (another
+    LATE supplier) double correlation is collapsed into a two-level
+    aggregate: per-(order, supplier) late flags, then a per-order rollup
+    carrying ``n_supp``, ``n_late``, and ``max(late suppkey)`` — when
+    ``n_late = 1`` that max IS the sole late supplier, so attribution
+    needs no join back to the fact.  One fact-sized shuffle (orderkey)
+    replaces Q21's three; the per-order table is order-grain and the
+    final supplier rollup is |suppliers|-bounded.  Top-k is TakeOrdered
+    (count desc, name) — never a global sort."""
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.filter(F.col("o_orderstatus") != "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late_flag = F.max(
+        F.when(
+            _col_us("l_shipdate") > _col_us("o_orderdate") + F.lit(Q52_LATE_US),
+            1,
+        ).otherwise(0)
+    )
+    per_supp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(late_flag.alias("late"))
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("late").alias("n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    return (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), F.col("late_supp") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(Q52_TOPK)
     )
