@@ -31,6 +31,7 @@ import pyspark_text_classification_spark.streaming.drift  # noqa: F401
 import pyspark_text_classification_spark.streaming.checksum  # noqa: F401
 import pyspark_text_classification_spark.streaming.convert  # noqa: F401
 import pyspark_text_classification_spark.streaming.pq  # noqa: F401
+import pyspark_text_classification_spark.streaming.enrich  # noqa: F401
 import pyspark_text_classification_spark.operators.dedup  # noqa: F401
 import pyspark_text_classification_spark.operators.similarity  # noqa: F401
 import pyspark_text_classification_spark.operators.pq  # noqa: F401
@@ -147,6 +148,7 @@ _DRIVER_FIRST = [
     "q52_sole_late_supplier",
     "dedup_boilerplate",
     "text_domain_mixture",
+    "events_stream_enrich",
 ]
 
 

@@ -544,3 +544,71 @@ def test_stream_pq_codes_across_batches_matches_batch(spark, tmp_path):
         for r in spark.table("pq_codes_mb").collect()
     }
     assert got == want
+
+
+def test_stream_enrich_accumulates_across_batches(spark, sf_dir, tmp_path):
+    """Stream-static broadcast enrichment: with orders split across two
+    micro-batches, the complete-mode per-nation aggregate must equal the
+    batch customer⋈orders GROUP BY — the static dim side is re-read and
+    re-broadcast per trigger, and the aggregate state accumulates."""
+    import uuid
+
+    from pyspark_text_classification_spark.sources.parquet import load_table
+    from pyspark_text_classification_spark.streaming.enrich import (
+        ORDERS_STREAM_SCHEMA,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    pdf = orders.toPandas().sort_values("o_orderkey")
+    d = tmp_path / "orders_stream"
+    os.makedirs(d)
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(str(d / "a_first.parquet"), index=False)
+    pdf.iloc[half:].to_parquet(str(d / "b_second.parquet"), index=False)
+    now = time.time()
+    os.utime(d / "a_first.parquet", (now - 100, now - 100))
+    os.utime(d / "b_second.parquet", (now, now))
+
+    src = (
+        spark.readStream.schema(ORDERS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .load(str(d))
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    price_c = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+    enriched = (
+        src.join(F.broadcast(dim), src.o_custkey == dim.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_orders"), F.sum(price_c).alias("revenue_c"))
+    )
+    sink = f"enrich_mb_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None  # stream actually ran
+
+    got = {
+        r["c_nationkey"]: (r["n_orders"], r["revenue_c"])
+        for r in spark.table(sink).collect()
+    }
+    want = {
+        r["c_nationkey"]: (r["n_orders"], r["revenue_c"])
+        for r in (
+            orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(price_c).alias("revenue_c"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
