@@ -6,11 +6,11 @@ ADC).
 
 Execution shape — fully STATELESS per row:
 
-- the M x K codebook (64 subvectors of 16 ints) is collected ONCE at plan
+- the M x K codebook (1024 subvectors of 4 ints) is collected ONCE at plan
   build and embedded as literal arithmetic, the same trick the streaming
   near-dup filter uses for its hyperplane array
   (similarity.rowwise_bucket_array_sql): each micro-batch row evaluates
-  4 x 16 integer squared distances in-row and takes LEAST over the
+  16 x 64 integer squared distances in-row and takes LEAST over the
   ``d2 * K + code_id`` keys — no stream-side join, no aggregation, no
   watermark, no state;
 - statelessness makes batch-split invariance structural: any micro-batch
@@ -19,7 +19,9 @@ Execution shape — fully STATELESS per row:
 
 At cluster scale the embedded-literal codebook is exactly a broadcast
 variable; refreshing the codebook is a stream restart with a new literal
-(codebooks change on retrain, not per batch).
+(codebooks change on retrain, not per batch); the literal codebook is
+the one-step-trained pq_codebook_refined, so streaming codes match the
+batch index bit-for-bit.
 """
 
 from __future__ import annotations
@@ -33,7 +35,7 @@ from pyspark_text_classification_spark.operators.pq import (
     PQ_K,
     PQ_M,
     PQ_SUB,
-    pq_codebook,
+    pq_codebook_refined,
     _quantized,
 )
 from pyspark_text_classification_spark.registry import ORACLES, query
@@ -90,7 +92,7 @@ def similarity_stream_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream(embeddings) -> stateless in-row PQ encode -> memory sink,
     drained with availableNow; held to the batch similarity_pq_codes
     oracle (registered below once the batch module has registered it)."""
-    cb_rows = pq_codebook(_quantized(spark, sf_dir)).collect()
+    cb_rows = pq_codebook_refined(_quantized(spark, sf_dir)).collect()
     src = (
         spark.readStream.schema(EMB_STREAM_SCHEMA)
         .format("parquet")

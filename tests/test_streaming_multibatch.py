@@ -497,7 +497,7 @@ def test_stream_pq_codes_across_batches_matches_batch(spark, tmp_path):
     from pyspark_text_classification_spark.all_queries import QUERIES
     from pyspark_text_classification_spark.operators.pq import (
         _quantized,
-        pq_codebook,
+        pq_codebook_refined,
     )
     from pyspark_text_classification_spark.streaming.pq import (
         pq_codes_stream_frame,
@@ -508,7 +508,7 @@ def test_stream_pq_codes_across_batches_matches_batch(spark, tmp_path):
 
     sf = "/root/testdata/sf0.001"
     want = {
-        (r.vec_id, r.code_0, r.code_1, r.code_2, r.code_3, r.qerr)
+        tuple(sorted(r.asDict().items()))
         for r in QUERIES["similarity_pq_codes"](spark, sf).collect()
     }
     assert want
@@ -523,7 +523,7 @@ def test_stream_pq_codes_across_batches_matches_batch(spark, tmp_path):
     os.utime(d / "a_first.parquet", (now - 100, now - 100))
     os.utime(d / "b_second.parquet", (now, now))
 
-    cb_rows = pq_codebook(_quantized(spark, sf)).collect()
+    cb_rows = pq_codebook_refined(_quantized(spark, sf)).collect()
     src = (
         spark.readStream.schema(EMB_STREAM_SCHEMA)
         .format("parquet")
@@ -540,7 +540,7 @@ def test_stream_pq_codes_across_batches_matches_batch(spark, tmp_path):
     )
     q.awaitTermination()
     got = {
-        (r.vec_id, r.code_0, r.code_1, r.code_2, r.code_3, r.qerr)
+        tuple(sorted(r.asDict().items()))
         for r in spark.table("pq_codes_mb").collect()
     }
     assert got == want
