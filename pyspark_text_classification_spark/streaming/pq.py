@@ -50,7 +50,7 @@ def _rowwise_code_exprs(codebook_rows) -> list[F.Column]:
 
     ``codebook_rows`` is the collected (m, code_id, cq) table. For
     subspace m the expression is LEAST over the K codewords of the
-    integer key ``d2 * K + code_id`` where d2 is written out as 16
+    integer key ``d2 * K + code_id`` where d2 is written out as PQ_SUB
     explicit squared-difference terms against literal codeword
     components — the whole argmin stays inside whole-stage codegen."""
     by_m: dict[int, list[tuple[int, list[int]]]] = {}

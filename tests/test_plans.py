@@ -55,7 +55,7 @@ EAGER_QUERIES = {
     "events_stream_value_zscore", "events_stream_closed_sessions",
     "events_stream_ohlc_hourly", "text_stream_kl_drift",
     "pipeline_stream_checksum", "events_stream_time_to_convert",
-    "similarity_stream_pq_codes",
+    "similarity_stream_pq_codes", "events_stream_enrich",
     "dedup_clusters", "dedup_clusters_twostar", "similarity_dedup_clusters",
     "dedup_incremental_ingest", "dedup_containment",
     "ml_tfidf_lr_metrics", "ml_topk_coefficients",
@@ -324,3 +324,68 @@ def test_pq_family_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in plan, f"{name} went quadratic"
         assert uses_broadcast_join(df), f"{name} lost its broadcast join"
         assert not python_eval_nodes(df), f"{name} drops into Python"
+
+
+def test_tpch_tail2_dimension_paths_broadcast(spark, sf_dir):
+    """q50/q51/q52: every dimension path must broadcast; the only
+    sort-merge joins allowed are the fact-fact orderkey joins. A
+    SortMergeJoin on a nation/supplier/customer path means a dimension
+    stopped collapsing before the join — the 100 TB killer."""
+    from pyspark_text_classification_spark.plans.explain import (
+        formatted_plan,
+        uses_broadcast_join,
+    )
+
+    for name, max_smj in [
+        ("q50_market_share", 1),   # lineitem ⋈ orders only
+        ("q51_nation_profit", 1),  # lineitem ⋈ orders only
+        ("q52_sole_late_supplier", 1),
+    ]:
+        plan = formatted_plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        n_smj = plan.count("SortMergeJoin")
+        assert n_smj <= max_smj, f"{name}: {n_smj} sort-merge joins"
+        assert uses_broadcast_join(QUERIES[name](spark, sf_dir)), name
+
+
+def test_boilerplate_set_broadcasts(spark, sf_dir):
+    """dedup_boilerplate: the high-DF shingle set must come back as a
+    broadcast join against the shingle stream (it is Zipf-tail small);
+    a shuffle join there re-shuffles the whole shingle stream."""
+    from pyspark_text_classification_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(QUERIES["dedup_boilerplate"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_domain_mixture_single_corpus_pass(spark, sf_dir):
+    """text_domain_mixture: the corpus-total side must be derived from
+    the grouped table and broadcast back — exactly one Exchange may
+    touch corpus-grain data (the (source, lang) aggregate shuffle)."""
+    from pyspark_text_classification_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(QUERIES["text_domain_mixture"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # one grouped-aggregate exchange + the 1-row total's single-partition
+    # exchange; anything more means a second pass over documents
+    assert plan.count("Scan parquet") <= 2, plan.count("Scan parquet")
+
+
+def test_pq_joins_all_broadcast(spark, sf_dir):
+    """PQ index build + ADC search: the codebook, the refined-codebook
+    means, and the per-query LUT are all tiny — every join in the PQ
+    family must be broadcast (a SortMergeJoin would shuffle the corpus
+    to meet a 1024-row table)."""
+    from pyspark_text_classification_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    for name in ("similarity_pq_codes", "similarity_pq_adc_topk"):
+        plan = formatted_plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, f"{name} shuffles for a join"
