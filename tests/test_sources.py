@@ -283,3 +283,39 @@ def test_read_tsv_quarantine_splits_malformed(spark, tmp_path):
     assert got == {1, 3}
     bad = [r.raw_line for r in quarantine.collect()]
     assert bad == ["2\tnot_a_number\tbeta"]
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Co-located join via bucketing: after both fact tables are written
+    bucketBy(8, orderkey), the equi-join on the bucket key must plan as a
+    SortMergeJoin with NO Exchange on either side — the write-once shuffle
+    replaced the per-join one.  (Broadcast is disabled so the planner
+    can't sidestep the claim.)"""
+    from pyspark_text_classification_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+    from pyspark_text_classification_spark.sources.parquet import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey", 8, str(tmp_path / "bo"))
+    write_bucketed(li, "b_li", "l_orderkey", 8, str(tmp_path / "bl"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = read_bucketed(spark, "b_orders")
+        b = read_bucketed(spark, "b_li")
+        j = a.join(b, a.o_orderkey == b.l_orderkey)
+        assert j.count() == li.count()  # every line item has its order
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_li")
