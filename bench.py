@@ -140,6 +140,7 @@ HEADLINE = [
     "q52_sole_late_supplier",
     "dedup_boilerplate",
     "text_domain_mixture",
+    "pipeline_diverse_sample",
 ]
 
 

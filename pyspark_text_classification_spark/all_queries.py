@@ -149,6 +149,7 @@ _DRIVER_FIRST = [
     "dedup_boilerplate",
     "text_domain_mixture",
     "events_stream_enrich",
+    "pipeline_diverse_sample",
 ]
 
 

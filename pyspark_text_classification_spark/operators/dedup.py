@@ -1249,3 +1249,58 @@ from pyspark_text_classification_spark.registry import ORACLES as _ORACLES  # no
 _ORACLES["dedup_boilerplate"] = _ORACLES["dedup_boilerplate"].format(
     sh=_sql_shingle_hashes(BOILER_K)
 )
+
+
+# ---------------------------------------------------------------------------
+# diversity sampling (one representative per LSH neighborhood)
+# ---------------------------------------------------------------------------
+
+_SQL_B0_PERMS = ", ".join(
+    f"({p}, {a}, {b})" for p, a, b in MINHASH_PERMS[:BAND_ROWS]
+)
+
+
+@query(
+    "pipeline_diverse_sample",
+    oracle=f"""
+    WITH sh AS ({{sh}}),
+    perms(perm_id, a, b) AS (VALUES {_SQL_B0_PERMS}),
+    mh AS (
+      SELECT doc_id, perm_id, min((a * h + b) % {HASH_MOD}) AS mh
+      FROM sh CROSS JOIN perms GROUP BY 1, 2
+    ),
+    b0 AS (
+      SELECT doc_id,
+             string_agg(CAST(mh AS VARCHAR), '-' ORDER BY perm_id) AS sig
+      FROM mh GROUP BY 1
+    )
+    SELECT min(doc_id) AS rep_doc_id, CAST(count(*) AS BIGINT) AS n_members
+    FROM b0 GROUP BY sig
+    """,
+)
+def pipeline_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware corpus sampling: one canonical representative per
+    MinHash band-0 neighborhood (the SemDeDup-style recipe — cluster
+    near-identical content, keep one per cluster — using the SAME banded
+    index dedup_minhash_lsh serves, so "sampled for diversity" and
+    "kept by dedup" agree on what a neighborhood is).
+
+    Each document has exactly one band-0 signature, so the buckets
+    PARTITION the corpus and ``min(doc_id)`` per bucket is a
+    deterministic representative; ``n_members`` is the neighborhood mass
+    a mixture-weighted consumer can reweight by.  Two map-side-combined
+    aggregates (per-doc mins, per-bucket min/count) — no joins, no pair
+    generation, nothing quadratic; at 100 TB this is strictly cheaper
+    than the full LSH dedup whose index it reuses."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_hashes(docs, k=2)
+    bands = _bands_from_mins(_minhash_mins(sh)).filter(F.col("band") == 0)
+    return bands.groupBy("sig").agg(
+        F.min("doc_id").alias("rep_doc_id"),
+        F.count("*").alias("n_members"),
+    ).select("rep_doc_id", "n_members")
+
+
+_ORACLES["pipeline_diverse_sample"] = _ORACLES["pipeline_diverse_sample"].format(
+    sh=_sql_shingle_hashes(2)
+)
