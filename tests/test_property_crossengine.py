@@ -357,3 +357,46 @@ def test_pq_assignment_is_true_argmin(spark, seed, n):
                 for code_id, c in enumerate(seeds)
             )
             assert got[(i, m)] == (best[1], best[0]), (i, m)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-(2**40), 2**40),  # component sums incl. negatives
+            st.integers(1, 10_000),        # cluster sizes
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_floored_integer_mean_three_way(spark, pairs):
+    """The positive-modulus floored mean ``(s - ((s % n) + n) % n) div n``
+    (pq_codebook_refined's centroid update) must equal Python's floor
+    division in BOTH engines — Spark's ``div`` truncates toward zero and
+    DuckDB's ``//`` floors, so the identity is what makes the trained
+    codebook bit-identical across engines for NEGATIVE sums."""
+    rows = [(i, s, n) for i, (s, n) in enumerate(pairs)]
+    want = [s // n for _, s, n in rows]
+
+    df = spark.createDataFrame(rows, "id long, s long, n long")
+    got_spark = [
+        r.fm
+        for r in df.select(
+            "id", F.expr("(s - ((s % n) + n) % n) div n").alias("fm")
+        )
+        .orderBy("id")
+        .collect()
+    ]
+    assert got_spark == want
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, s BIGINT, n BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            "SELECT (s - ((s % n) + n) % n) // n FROM t ORDER BY id"
+        ).fetchall()
+    ]
+    assert got_duck == want
