@@ -144,3 +144,65 @@ def save_confusion_plot(confusion: DataFrame, path: str) -> bool:
     fig.savefig(path)
     plt.close(fig)
     return True
+
+
+def write_comparison_report(
+    results: dict[str, dict[str, Any]],
+    dir_path: str,
+    plot: bool = True,
+    to_mlflow: bool = False,
+) -> "list[dict[str, Any]]":
+    """Multi-task performance comparison (transformers_test.py:306-340
+    ``generate_report``): one record per task -> records-orient JSON at
+    ``dir_path/report.json``, an optional grouped bar chart of the shared
+    numeric metrics at ``dir_path/task_comparison.png`` (import-gated like
+    the other plot writers), and an optional MLflow artifact log.
+
+    ``results`` maps task name -> metrics dict (e.g. the dicts
+    ``evaluate.binary_metrics`` produces); every metric stays a number in
+    the JSON (the reference string-formats them, which breaks downstream
+    consumers — inverted here).  Driver-side by design: the inputs are
+    per-task AGGREGATES (a handful of floats each), never row data."""
+    os.makedirs(dir_path, exist_ok=True)
+    records = [{"task": t, **m} for t, m in results.items()]
+    with open(os.path.join(dir_path, "report.json"), "w") as f:
+        json.dump(records, f, indent=2)
+
+    if plot and records:
+        try:
+            import matplotlib  # noqa: PLC0415
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt  # noqa: PLC0415
+        except ImportError:
+            matplotlib = None  # noqa: SIM105
+        else:
+            metrics = [
+                k
+                for k in records[0]
+                if k != "task"
+                and all(
+                    isinstance(r.get(k), (int, float)) for r in records
+                )
+            ]
+            if metrics:
+                fig, axes = plt.subplots(
+                    1, len(metrics), figsize=(6 * len(metrics), 5)
+                )
+                axes = [axes] if len(metrics) == 1 else list(axes)
+                tasks = [r["task"] for r in records]
+                for ax, metric in zip(axes, metrics):
+                    ax.bar(tasks, [r[metric] for r in records])
+                    ax.set_title(metric)
+                fig.tight_layout()
+                fig.savefig(os.path.join(dir_path, "task_comparison.png"))
+                plt.close(fig)
+
+    if to_mlflow:
+        try:
+            import mlflow  # noqa: PLC0415
+        except ImportError:
+            pass
+        else:
+            mlflow.log_artifact(dir_path)
+    return records

@@ -191,3 +191,23 @@ def test_pipeline_model_save_load_roundtrip(spark, tmp_path):
     a = [r.prediction for r in model.transform(test).collect()]
     b = [r.prediction for r in reloaded.transform(test).collect()]
     assert a == b
+
+
+def test_write_comparison_report(tmp_path):
+    """The multi-task report writer (generate_report parity): records
+    JSON with numeric metrics preserved, plot gated on matplotlib."""
+    import json as _json
+
+    from pyspark_text_classification_spark.ml.reporting import (
+        write_comparison_report,
+    )
+
+    results = {
+        "sst2": {"accuracy": 0.7752, "auc": 0.8528, "n": 872},
+        "qqp": {"accuracy": 0.7057, "auc": 0.7252, "n": 39972},
+    }
+    records = write_comparison_report(results, str(tmp_path / "report"))
+    assert [r["task"] for r in records] == ["sst2", "qqp"]
+    on_disk = _json.load(open(tmp_path / "report" / "report.json"))
+    assert on_disk == records
+    assert isinstance(on_disk[0]["accuracy"], float)  # numbers, not strings
