@@ -389,3 +389,36 @@ def test_pq_joins_all_broadcast(spark, sf_dir):
         plan = formatted_plan(QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "SortMergeJoin" not in plan, f"{name} shuffles for a join"
+
+
+def test_q49_is_pure_pushdown_aggregate(spark, sf_dir):
+    """Q6 shape: no joins at all, every predicate at the scan, 4 of 11
+    lineitem columns decoded."""
+    from pyspark_text_classification_spark.plans.explain import (
+        formatted_plan,
+        read_schema_columns,
+    )
+
+    df = QUERIES["q49_forecast_revenue"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert has_pushed_filter(df, "GreaterThanOrEqual(l_shipdate")
+    cols = set(read_schema_columns(df))
+    assert cols == {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    }, cols
+
+
+def test_correlated_aggregate_queries_never_shuffle_for_joins(spark, sf_dir):
+    """q44 (Q17) and q46 (Q15): the correlated pre-aggregates (per-part
+    stats, the one-row max) and the brand/supplier dims are all bounded —
+    every join must be broadcast, so the fact table's only shuffle is its
+    own aggregate."""
+    from pyspark_text_classification_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    for name in ("q44_small_quantity_revenue", "q46_top_supplier"):
+        plan = formatted_plan(QUERIES[name](spark, sf_dir))
+        assert "SortMergeJoin" not in plan, f"{name} shuffles for a join"
+        assert "CartesianProduct" not in plan, name
