@@ -150,6 +150,7 @@ _DRIVER_FIRST = [
     "text_domain_mixture",
     "events_stream_enrich",
     "pipeline_diverse_sample",
+    "ml_infer_exported",
 ]
 
 

@@ -117,3 +117,97 @@ def batch_infer(
     return fan_out(df.select(id_col, text_col)).mapInPandas(
         infer, schema=INFER_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# exported-weights serving: train with MLlib, serve through the same
+# mapInPandas lifecycle with NO JVM/MLlib dependency in the worker
+# ---------------------------------------------------------------------------
+
+
+def export_lr_scorer(model) -> dict:
+    """Serialize a fitted sst2-recipe PipelineModel (RegexTokenizer →
+    StopWords → CountVectorizer → IDF → LogisticRegression) into plain
+    Python data — the train-on-cluster / export / serve-anywhere loop the
+    reference never closes (its grouped-map UDF reloads a full HF pipeline
+    per task, transformers_test.py:123-131).
+
+    The export is a dict of (tokenizer params, stopword set, vocab→index,
+    idf weights, LR coefficients+intercept): a few hundred KB for a 3000-
+    term vocabulary, broadcast to workers by pickling into the factory —
+    the lightweight analogue of shipping distilled model weights."""
+    stages = model.stages
+    tok, sw, cv, idf, lr = (
+        stages[0], stages[1], stages[2], stages[3], stages[-1]
+    )
+    return {
+        "min_token_length": tok.getMinTokenLength(),
+        "stopwords": frozenset(sw.getStopWords()),
+        "vocab": {t: i for i, t in enumerate(cv.vocabulary)},
+        "idf": [float(x) for x in idf.idf],
+        "coef": [float(x) for x in lr.coefficients],
+        "intercept": float(lr.intercept),
+    }
+
+
+class ExportedLRScorer:
+    """Worker-side scorer over an :func:`export_lr_scorer` dict.
+
+    Reproduces the MLlib math exactly: Java-default ``\\W`` tokenization
+    ([^A-Za-z0-9_] — Python's ``\\W`` is Unicode-aware, Java's default is
+    not), stopword filter, per-doc term counts over the exported vocab,
+    tf·idf, then an index-ASCENDING ordered dot product — the same
+    accumulation order as MLlib's sparse-dense BLAS dot, so probabilities
+    agree to the last ulp instead of "within tolerance"."""
+
+    _SPLIT = None  # compiled lazily (re import stays off the hot path)
+
+    def __init__(self, export: dict):
+        self.e = export
+
+    def predict(self, texts: list[str]) -> tuple[list[int], list[float]]:
+        import math
+        import re
+
+        if ExportedLRScorer._SPLIT is None:
+            ExportedLRScorer._SPLIT = re.compile(r"[^A-Za-z0-9_]")
+        split = ExportedLRScorer._SPLIT
+        e = self.e
+        vocab, stop = e["vocab"], e["stopwords"]
+        idf, coef, b = e["idf"], e["coef"], e["intercept"]
+        min_len = e["min_token_length"]
+        labels, confs = [], []
+        for t in texts:
+            counts: dict[int, int] = {}
+            for tok in split.split(t.lower()):
+                if len(tok) >= min_len and tok not in stop:
+                    i = vocab.get(tok)
+                    if i is not None:
+                        counts[i] = counts.get(i, 0) + 1
+            z = b
+            for i in sorted(counts):  # MLlib sparse dot: ascending index
+                z += counts[i] * idf[i] * coef[i]
+            p1 = 1.0 / (1.0 + math.exp(-z))
+            label = 1 if p1 > 0.5 else 0
+            labels.append(label)
+            confs.append(p1 if label else 1.0 - p1)
+        return labels, confs
+
+
+class ExportedScorerFactory:
+    """Pickles the export INTO the factory so every worker can build the
+    scorer with no JVM access; carries a stable ``__qualname__`` derived
+    from the export content so the per-worker singleton cache
+    (:func:`_get_model`) hits across tasks instead of keying on a
+    per-task ``repr`` and silently reloading."""
+
+    def __init__(self, export: dict):
+        self.export = export
+        self.__module__ = __name__
+        self.__qualname__ = (
+            f"ExportedScorerFactory[{len(export['vocab'])}t"
+            f"/{export['intercept']:.12g}]"
+        )
+
+    def __call__(self) -> ExportedLRScorer:
+        return ExportedLRScorer(self.export)

@@ -464,3 +464,35 @@ def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= KEYWORDS_K)
         .select("doc_id", "token", "tfidf", F.col("rank").cast("int").alias("rank"))
     )
+
+
+@query("ml_infer_exported")
+def ml_infer_exported(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full train → export → serve loop with a REAL trained model and
+    no heavy-framework dependency: fit the sst2 recipe (MLlib LR over
+    tf-idf), export vocab/idf/coefficients to plain data
+    (ml/inference.export_lr_scorer), and serve it through the same
+    mapInPandas worker-singleton lifecycle the stub queries exercise —
+    the exported scorer reproduces model.transform() to 1e-9
+    (tests/test_ml.py::test_exported_scorer_matches_mllib_transform).
+    Rows-only check (iterative L-BFGS fit is not oracle-hashable)."""
+    from pyspark_text_classification_spark.ml.inference import (
+        ExportedScorerFactory,
+        batch_infer,
+        export_lr_scorer,
+    )
+    from pyspark_text_classification_spark.ml.pipelines import (
+        fit_text_classifier,
+    )
+
+    labeled = _labeled_documents(spark, sf_dir)
+    model = fit_text_classifier(labeled, recipe="sst2")
+    docs = load_table(spark, sf_dir, "documents")
+    served = batch_infer(
+        docs, model_factory=ExportedScorerFactory(export_lr_scorer(model))
+    )
+    return served.groupBy("predicted_label").agg(
+        F.count("*").alias("n_docs"),
+        F.floor(F.sum(F.col("confidence") * 10000.0)).cast("long")
+        .alias("conf_x4_sum"),
+    )

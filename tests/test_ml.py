@@ -211,3 +211,56 @@ def test_write_comparison_report(tmp_path):
     on_disk = _json.load(open(tmp_path / "report" / "report.json"))
     assert on_disk == records
     assert isinstance(on_disk[0]["accuracy"], float)  # numbers, not strings
+
+
+def test_exported_scorer_matches_mllib_transform(spark, sf_dir):
+    """Train-export-serve parity: the exported-weights scorer served
+    through batch_infer must reproduce the fitted PipelineModel's own
+    transform() — labels exactly (away from the 0.5 boundary) and
+    probabilities to float precision, because the export replays the
+    identical tokenize/stopword/count/idf/dot math in the same
+    accumulation order."""
+    from pyspark.ml.functions import vector_to_array
+
+    from pyspark_text_classification_spark.ml.inference import (
+        ExportedScorerFactory,
+        batch_infer,
+        export_lr_scorer,
+    )
+    from pyspark_text_classification_spark.ml.pipelines import (
+        fit_text_classifier,
+    )
+    from pyspark_text_classification_spark.ml.queries import (
+        _labeled_documents,
+    )
+    from pyspark_text_classification_spark.sources.parquet import load_table
+
+    labeled = _labeled_documents(spark, sf_dir)
+    model = fit_text_classifier(labeled, recipe="sst2")
+    want = {
+        r.doc_id: (int(r.prediction), float(r.p1))
+        for r in model.transform(labeled)
+        .select(
+            "doc_id",
+            "prediction",
+            vector_to_array("probability")[1].alias("p1"),
+        )
+        .collect()
+    }
+
+    docs = load_table(spark, sf_dir, "documents")
+    export = export_lr_scorer(model)
+    got = {
+        r.doc_id: (int(r.predicted_label), float(r.confidence))
+        for r in batch_infer(
+            docs, model_factory=ExportedScorerFactory(export)
+        ).collect()
+    }
+
+    assert set(got) == set(want)
+    for doc_id, (label, p1) in want.items():
+        g_label, g_conf = got[doc_id]
+        w_conf = p1 if label else 1.0 - p1
+        assert abs(g_conf - w_conf) < 1e-9, (doc_id, g_conf, w_conf)
+        if abs(p1 - 0.5) > 1e-9:
+            assert g_label == label, (doc_id, p1)

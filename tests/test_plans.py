@@ -58,7 +58,7 @@ EAGER_QUERIES = {
     "similarity_stream_pq_codes", "events_stream_enrich",
     "dedup_clusters", "dedup_clusters_twostar", "similarity_dedup_clusters",
     "dedup_incremental_ingest", "dedup_containment",
-    "ml_tfidf_lr_metrics", "ml_topk_coefficients",
+    "ml_tfidf_lr_metrics", "ml_topk_coefficients", "ml_infer_exported",
 }
 
 
