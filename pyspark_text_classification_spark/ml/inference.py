@@ -187,7 +187,14 @@ class ExportedLRScorer:
             z = b
             for i in sorted(counts):  # MLlib sparse dot: ascending index
                 z += counts[i] * idf[i] * coef[i]
-            p1 = 1.0 / (1.0 + math.exp(-z))
+            # guarded sigmoid: math.exp(-z) overflows for z < ~-709 (an
+            # unregularized LR can produce such margins on long docs
+            # repeating a high-idf term); MLlib returns 0.0/1.0 there.
+            if z >= 0.0:
+                p1 = 1.0 / (1.0 + math.exp(-z))
+            else:
+                ez = math.exp(z)
+                p1 = ez / (1.0 + ez)
             label = 1 if p1 > 0.5 else 0
             labels.append(label)
             confs.append(p1 if label else 1.0 - p1)
@@ -202,12 +209,21 @@ class ExportedScorerFactory:
     per-task ``repr`` and silently reloading."""
 
     def __init__(self, export: dict):
+        import hashlib
+        import json
+
         self.export = export
         self.__module__ = __name__
-        self.__qualname__ = (
-            f"ExportedScorerFactory[{len(export['vocab'])}t"
-            f"/{export['intercept']:.12g}]"
-        )
+        # content digest over the full weight set: vocab size + intercept
+        # alone collide once the vocab is capped (always 3000 terms), and
+        # a long-lived worker serving two retrains would silently reuse
+        # the first model's coefficients
+        digest = hashlib.sha256(
+            json.dumps(
+                [export["idf"], export["coef"], export["intercept"]]
+            ).encode()
+        ).hexdigest()[:16]
+        self.__qualname__ = f"ExportedScorerFactory[{digest}]"
 
     def __call__(self) -> ExportedLRScorer:
         return ExportedLRScorer(self.export)

@@ -491,8 +491,10 @@ def ml_infer_exported(spark: SparkSession, sf_dir: str) -> DataFrame:
     served = batch_infer(
         docs, model_factory=ExportedScorerFactory(export_lr_scorer(model))
     )
+    # quantize BEFORE summing (int64 sums are partition-order-free; a
+    # floor over a double sum can flip on shuffle-arrival order)
     return served.groupBy("predicted_label").agg(
         F.count("*").alias("n_docs"),
-        F.floor(F.sum(F.col("confidence") * 10000.0)).cast("long")
+        F.sum(F.floor(F.col("confidence") * 10000.0).cast("long"))
         .alias("conf_x4_sum"),
     )

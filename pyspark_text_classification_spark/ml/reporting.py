@@ -87,17 +87,26 @@ def log_to_mlflow(
     return True
 
 
-def save_roc_plot(points: DataFrame, path: str) -> bool:
-    """Optional matplotlib ROC curve from the AGGREGATED ``roc_points``
-    output (~n_bins rows regardless of corpus size) — the distributed twin
-    of the reference's sklearn.roc_curve-over-full-collect plot
-    (sst2_test2.py:105-128). Returns False when matplotlib is absent."""
+def _load_pyplot():
+    """Import-gated headless pyplot shared by every plot writer; None when
+    matplotlib is absent (plot sinks become no-ops, never failures)."""
     try:
         import matplotlib  # noqa: PLC0415
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt  # noqa: PLC0415
     except ImportError:
+        return None
+    return plt
+
+
+def save_roc_plot(points: DataFrame, path: str) -> bool:
+    """Optional matplotlib ROC curve from the AGGREGATED ``roc_points``
+    output (~n_bins rows regardless of corpus size) — the distributed twin
+    of the reference's sklearn.roc_curve-over-full-collect plot
+    (sst2_test2.py:105-128). Returns False when matplotlib is absent."""
+    plt = _load_pyplot()
+    if plt is None:
         return False
     rows = points.orderBy(F.col("threshold").desc()).collect()  # ~n_bins
     total_pos = max((r.cum_pos for r in rows), default=0)
@@ -121,12 +130,8 @@ def save_confusion_plot(confusion: DataFrame, path: str) -> bool:
     """Optional matplotlib confusion-matrix heatmap from the AGGREGATED
     matrix (4 rows for binary), never raw predictions. Returns False when
     matplotlib is absent."""
-    try:
-        import matplotlib  # noqa: PLC0415
-
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt  # noqa: PLC0415
-    except ImportError:
+    plt = _load_pyplot()
+    if plt is None:
         return False
     rows = confusion.collect()  # aggregated: O(label_cardinality^2) rows
     labels = sorted({r[0] for r in rows} | {r[1] for r in rows})
@@ -169,14 +174,8 @@ def write_comparison_report(
         json.dump(records, f, indent=2)
 
     if plot and records:
-        try:
-            import matplotlib  # noqa: PLC0415
-
-            matplotlib.use("Agg")
-            import matplotlib.pyplot as plt  # noqa: PLC0415
-        except ImportError:
-            matplotlib = None  # noqa: SIM105
-        else:
+        plt = _load_pyplot()
+        if plt is not None:
             metrics = [
                 k
                 for k in records[0]

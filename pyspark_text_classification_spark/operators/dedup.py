@@ -1217,29 +1217,38 @@ def dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_hashes(docs, k=BOILER_K).persist()
     try:
-        boiler = (
-            sh.groupBy("h")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") >= BOILER_MIN_DF)
-            .select("h", F.lit(1).alias("b"))
-        )
-        per_doc = (
-            sh.join(F.broadcast(boiler), "h", "left")
-            .groupBy("doc_id")
-            .agg(
-                F.count("*").alias("n_shingles"),
-                F.coalesce(F.sum("b"), F.lit(0)).cast("long").alias("n_boiler"),
-            )
-        )
-        out = per_doc.select(
-            "doc_id",
-            "n_shingles",
-            "n_boiler",
-            F.expr("n_boiler * 10000 div n_shingles").alias("boiler_bp"),
-        ).localCheckpoint(eager=True)
+        out = boilerplate_frame(sh).localCheckpoint(eager=True)
     finally:
         sh.unpersist()
     return out
+
+
+def boilerplate_frame(sh: DataFrame) -> DataFrame:
+    """The LAZY boilerplate plan over a (doc_id, h) shingle stream —
+    factored out so the plan contract (tests/test_plans.py) can inspect
+    the real join strategy; the registered query wraps it with the
+    persist + eager-checkpoint cache hygiene that would otherwise hide
+    the plan behind an ExistingRDD scan."""
+    boiler = (
+        sh.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= BOILER_MIN_DF)
+        .select("h", F.lit(1).alias("b"))
+    )
+    per_doc = (
+        sh.join(F.broadcast(boiler), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("b"), F.lit(0)).cast("long").alias("n_boiler"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_boiler",
+        F.expr("n_boiler * 10000 div n_shingles").alias("boiler_bp"),
+    )
 
 
 # fill in the shared shingle CTE (f-string above would need brace escaping

@@ -128,13 +128,18 @@ def pq_codebook_refined(e: DataFrame) -> DataFrame:
         F.expr(f"(s{i} - ((s{i} % cnt) + cnt) % cnt) div cnt")
         for i in range(PQ_SUB)
     ]
-    return cb0.join(F.broadcast(means), ["m", "code_id"], "left").select(
+    refined = cb0.join(F.broadcast(means), ["m", "code_id"], "left").select(
         "m",
         "code_id",
         F.when(F.col("cnt").isNull(), F.col("cq"))
         .otherwise(F.array(*comp))
         .alias("cq"),
     )
+    # the codebook is M x K = 1024 rows but its lineage is ~3 corpus
+    # passes (seed sort-limit + assignment + means); materialize it once
+    # so every downstream broadcast (codes, LUT, recall) reuses the rows
+    # instead of re-running the training scans
+    return refined.localCheckpoint(eager=True)
 
 
 def pq_assign(e: DataFrame, cb: DataFrame) -> DataFrame:

@@ -1036,18 +1036,23 @@ def text_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     division — no IEEE rounding anywhere.  At 100 TB: one shuffle,
     carrying one row per (source, lang) per task."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    g = (
-        docs.groupBy("source", "lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.size(tokenize("text", 2))).cast("long").alias("n_tokens"),
-            F.sum("n_chars").cast("long").alias("sum_chars"),
-        )
-        # materialize the |sources| x |langs| rollup once: deriving the
-        # total from the lazy plan would re-evaluate the whole aggregate
-        # (a second corpus scan — caught by the plan contract)
-        .localCheckpoint(eager=True)
+    return domain_mixture_frame(docs)
+
+
+def domain_mixture_frame(docs: DataFrame, checkpoint: bool = True) -> DataFrame:
+    """``checkpoint=True`` materializes the |sources| x |langs| rollup
+    once before the total is derived from it — WITHOUT it the lazy total
+    re-evaluates the whole aggregate, a second corpus scan.  The plan
+    contract (tests/test_plans.py) asserts the registered query's final
+    plan has NO parquet scan: both join sides must come from the
+    checkpointed rollup rows."""
+    g = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokenize("text", 2))).cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+    if checkpoint:
+        g = g.localCheckpoint(eager=True)
     t = g.agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
     return g.crossJoin(F.broadcast(t)).select(
         "source",

@@ -28,6 +28,23 @@ ORDERS_STREAM_SCHEMA = (
 )
 
 
+def enrich_frame(src: DataFrame, dim: DataFrame) -> DataFrame:
+    """The enrichment plan over any orders frame (streaming or batch):
+    broadcast-join the customer dim, aggregate integer-cent revenue per
+    nation.  Shared by the registered twin and the multi-batch test so
+    both exercise the SAME join condition and quantization (a hand-copied
+    twin in the test would keep passing after this code drifts)."""
+    price_c = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+    return (
+        src.join(F.broadcast(dim), src.o_custkey == dim.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(price_c).alias("revenue_c"),
+        )
+    )
+
+
 def stream_enrich_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream(orders) -> broadcast join static customer -> per-nation
     aggregate -> memory sink, drained with availableNow."""
@@ -40,15 +57,7 @@ def stream_enrich_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
     )
-    price_c = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
-    enriched = (
-        src.join(F.broadcast(dim), src.o_custkey == dim.c_custkey)
-        .groupBy("c_nationkey")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.sum(price_c).alias("revenue_c"),
-        )
-    )
+    enriched = enrich_frame(src, dim)
     sink_name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
     q = (
         enriched.writeStream.format("memory")

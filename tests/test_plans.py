@@ -350,30 +350,47 @@ def test_tpch_tail2_dimension_paths_broadcast(spark, sf_dir):
 
 def test_boilerplate_set_broadcasts(spark, sf_dir):
     """dedup_boilerplate: the high-DF shingle set must come back as a
-    broadcast join against the shingle stream (it is Zipf-tail small);
-    a shuffle join there re-shuffles the whole shingle stream."""
+    BROADCAST join against the shingle stream (it is Zipf-tail small) —
+    a sort-merge join there re-shuffles the whole shingle stream.  The
+    registered query eagerly checkpoints (its returned plan is an
+    ExistingRDD scan), so the contract inspects the LAZY frame builder
+    the query wraps."""
+    from pyspark_text_classification_spark.operators.dedup import (
+        BOILER_K,
+        boilerplate_frame,
+        shingle_hashes,
+    )
     from pyspark_text_classification_spark.plans.explain import (
         formatted_plan,
     )
+    from pyspark_text_classification_spark.sources.parquet import load_table
 
-    plan = formatted_plan(QUERIES["dedup_boilerplate"](spark, sf_dir))
-    assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(boilerplate_frame(shingle_hashes(docs, BOILER_K)))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_domain_mixture_single_corpus_pass(spark, sf_dir):
     """text_domain_mixture: the corpus-total side must be derived from
-    the grouped table and broadcast back — exactly one Exchange may
-    touch corpus-grain data (the (source, lang) aggregate shuffle)."""
+    the MATERIALIZED (source, lang) rollup, never by re-scanning the
+    corpus.  The lazy formulation inherently re-evaluates the rollup for
+    the total (two scans — the regression this test originally caught),
+    and the eager checkpoint of the ~100-row rollup is the fix; so the
+    contract is that the registered query's final plan contains NO
+    parquet scan at all: both the rollup side and the broadcast total
+    side must come from the checkpointed rows.  Removing the checkpoint
+    reintroduces the scans and fails this immediately."""
     from pyspark_text_classification_spark.plans.explain import (
         formatted_plan,
     )
 
     plan = formatted_plan(QUERIES["text_domain_mixture"](spark, sf_dir))
     assert "CartesianProduct" not in plan
-    # one grouped-aggregate exchange + the 1-row total's single-partition
-    # exchange; anything more means a second pass over documents
-    assert plan.count("Scan parquet") <= 2, plan.count("Scan parquet")
+    assert "Scan parquet" not in plan, (
+        "corpus re-scanned instead of reusing the materialized rollup"
+    )
 
 
 def test_pq_joins_all_broadcast(spark, sf_dir):

@@ -556,6 +556,7 @@ def test_stream_enrich_accumulates_across_batches(spark, sf_dir, tmp_path):
     from pyspark_text_classification_spark.sources.parquet import load_table
     from pyspark_text_classification_spark.streaming.enrich import (
         ORDERS_STREAM_SCHEMA,
+        enrich_frame,
     )
 
     orders = load_table(spark, sf_dir, "orders")
@@ -578,12 +579,7 @@ def test_stream_enrich_accumulates_across_batches(spark, sf_dir, tmp_path):
     dim = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
     )
-    price_c = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
-    enriched = (
-        src.join(F.broadcast(dim), src.o_custkey == dim.c_custkey)
-        .groupBy("c_nationkey")
-        .agg(F.count("*").alias("n_orders"), F.sum(price_c).alias("revenue_c"))
-    )
+    enriched = enrich_frame(src, dim)  # the PRODUCTION frame builder
     sink = f"enrich_mb_{uuid.uuid4().hex[:8]}"
     q = (
         enriched.writeStream.format("memory")
@@ -601,14 +597,6 @@ def test_stream_enrich_accumulates_across_batches(spark, sf_dir, tmp_path):
     }
     want = {
         r["c_nationkey"]: (r["n_orders"], r["revenue_c"])
-        for r in (
-            orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
-            .groupBy("c_nationkey")
-            .agg(
-                F.count("*").alias("n_orders"),
-                F.sum(price_c).alias("revenue_c"),
-            )
-            .collect()
-        )
+        for r in enrich_frame(orders, dim).collect()
     }
     assert got == want
