@@ -141,6 +141,7 @@ HEADLINE = [
     "dedup_boilerplate",
     "text_domain_mixture",
     "pipeline_diverse_sample",
+    "similarity_ivf_pq",
 ]
 
 

@@ -151,6 +151,7 @@ _DRIVER_FIRST = [
     "events_stream_enrich",
     "pipeline_diverse_sample",
     "ml_infer_exported",
+    "similarity_ivf_pq",
 ]
 
 

@@ -497,3 +497,181 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("perfect_frac"),
     )
     return _finalize(out, e, ext)
+
+
+# --------------------------------------------------------------------------
+# IVF + PQ: coarse cell pruning over compressed ADC scoring — the two
+# index components composed into the canonical large-scale serving shape
+# (FAISS's IVFADC layout, Jegou et al. TPAMI 2011 §V; this variant scores
+# raw-vector PQ codes rather than residuals so both halves stay exactly
+# the already-oracle-checked components).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "similarity_ivf_pq",
+    oracle=None,  # assembled below from the PQ prelude + the IVF CTEs
+)
+def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving with BOTH index layers: assign every vector to its
+    nearest of 16 coarse cells (broadcast argmax, corpus never shuffles),
+    then answer each sampled query by ADC-scoring ONLY the PQ codes
+    inside its 2 probed cells — the candidate set shrinks by
+    ~nprobe/cells before any distance work, and the scored payload is
+    12-byte codes, not vectors.
+
+    At 100 TB this is the architecture that serves: the cell assignment
+    and code tables are both written once at index-build; a query fleet
+    broadcasts (probes, LUT) and touches 1/8th of the code table.  Cost
+    vs similarity_pq_adc_topk: the scored pair count drops ~8x for the
+    price of the coarse probe — recall loss is exactly the IVF pruning
+    (vectors whose true neighbors live outside the probed cells)."""
+    from pyspark_text_classification_spark.operators.similarity import (
+        IVF_CELLS,
+        IVF_NPROBE,
+        _fold_sum,
+        with_norms,
+    )
+
+    # ---- coarse layer: cosine cells over seed centroids ----
+    n = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
+    cents = (
+        n.orderBy("vec_id")
+        .limit(IVF_CELLS)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    dot_ac = _fold_sum(F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y))
+    ac = n.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        (dot_ac / (F.col("nrm") * F.col("cnrm"))).alias("cos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), "cent_id"
+    )
+    ranked = ac.select(
+        "vec_id", "cent_id", F.row_number().over(w_assign).alias("rk")
+    ).persist()
+    members = ranked.filter(F.col("rk") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cent_id"
+    )
+    probes = ranked.filter(
+        (F.col("rk") <= IVF_NPROBE)
+        & (F.pmod(F.col("vec_id"), F.lit(PQ_QUERY_MOD)) == 0)
+    ).select(F.col("vec_id").alias("q_id"), "cent_id")
+    cand = (
+        probes.join(members, "cent_id")
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .select("q_id", "neighbor_id")
+        .distinct()
+    )
+
+    # ---- fine layer: PQ codes + per-query LUT (trained codebook) ----
+    e = _quantized(spark, sf_dir)
+    cb = pq_codebook_refined(e)
+    codes = pq_assign(e, cb).select(
+        F.col("vec_id").alias("neighbor_id"), "m", "code"
+    )
+    queries_q = e.filter(F.pmod(F.col("vec_id"), F.lit(PQ_QUERY_MOD)) == 0)
+    lut = (
+        _subspaces(queries_q)
+        .withColumnRenamed("vec_id", "q_id")
+        .join(F.broadcast(cb), "m")
+        .select("q_id", "m", "code_id", _d2("sq", "cq").alias("d2"))
+    )
+    scored = (
+        cand.join(codes, "neighbor_id")
+        .join(
+            F.broadcast(lut),
+            (cand.q_id == lut.q_id)
+            & (codes.m == lut.m)
+            & (codes.code == lut.code_id),
+        )
+        .groupBy(cand.q_id, "neighbor_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_d2", "neighbor_id")
+    out = (
+        scored.select(
+            "q_id", "neighbor_id", "adc_d2",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= PQ_NN_K)
+        .localCheckpoint(eager=True)
+    )
+    ranked.unpersist()
+    n.unpersist()
+    return out
+
+
+def _sql_ivf_pq() -> str:
+    from pyspark_text_classification_spark.operators.similarity import (
+        IVF_CELLS,
+        IVF_NPROBE,
+        _SQL_IVF_DOT,
+        _SQL_NORMED,
+    )
+
+    return f"""
+    {_SQL_PQ_PRELUDE},
+    codes AS (
+      SELECT vec_id AS neighbor_id, m, key % {PQ_K} AS code FROM assigned
+    ),
+    n AS ({_SQL_NORMED}),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+      FROM n ORDER BY vec_id LIMIT {IVF_CELLS}
+    ),
+    ac AS (
+      SELECT n.vec_id, c.cent_id,
+             {_SQL_IVF_DOT.format(a='n.v', b='c.cv')} / (n.nrm * c.cnrm) AS cos
+      FROM n CROSS JOIN cents c
+    ),
+    rankedc AS (
+      SELECT vec_id, cent_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id)
+               AS rk
+      FROM ac
+    ),
+    mem AS (SELECT vec_id AS neighbor_id, cent_id FROM rankedc WHERE rk = 1),
+    probes AS (
+      SELECT vec_id AS q_id, cent_id FROM rankedc
+      WHERE rk <= {IVF_NPROBE} AND vec_id % {PQ_QUERY_MOD} = 0
+    ),
+    cand AS (
+      SELECT DISTINCT p.q_id, mem.neighbor_id
+      FROM probes p JOIN mem ON p.cent_id = mem.cent_id
+      WHERE p.q_id != mem.neighbor_id
+    ),
+    lut AS (
+      SELECT sub.vec_id AS q_id, sub.m, cb.code_id,
+             {_SQL_D2.format(n=PQ_SUB, a='sub.sq', b='cb.cq')} AS d2
+      FROM sub JOIN cb ON sub.m = cb.m
+      WHERE sub.vec_id % {PQ_QUERY_MOD} = 0
+    ),
+    scored AS (
+      SELECT c.q_id, c.neighbor_id, CAST(sum(lut.d2) AS BIGINT) AS adc_d2
+      FROM cand c
+      JOIN codes ON codes.neighbor_id = c.neighbor_id
+      JOIN lut ON lut.q_id = c.q_id AND lut.m = codes.m
+              AND lut.code_id = codes.code
+      GROUP BY 1, 2
+    )
+    SELECT q_id, neighbor_id, adc_d2, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT q_id, neighbor_id, adc_d2,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY adc_d2, neighbor_id
+             ) AS rnk
+      FROM scored
+    ) WHERE rnk <= {PQ_NN_K}
+    """
+
+
+from pyspark_text_classification_spark.registry import ORACLES as _PQ_ORACLES  # noqa: E402
+
+_PQ_ORACLES["similarity_ivf_pq"] = _sql_ivf_pq()
