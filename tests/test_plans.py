@@ -59,6 +59,7 @@ EAGER_QUERIES = {
     "dedup_clusters", "dedup_clusters_twostar", "similarity_dedup_clusters",
     "dedup_incremental_ingest", "dedup_containment",
     "ml_tfidf_lr_metrics", "ml_topk_coefficients", "ml_infer_exported",
+    "similarity_ivf_pq",  # eagerly checkpoints its top-k at construction
 }
 
 
