@@ -152,6 +152,7 @@ _DRIVER_FIRST = [
     "pipeline_diverse_sample",
     "ml_infer_exported",
     "similarity_ivf_pq",
+    "similarity_ivf_pq_recall",
 ]
 
 

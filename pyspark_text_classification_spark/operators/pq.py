@@ -349,93 +349,11 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "similarity_pq_recall",
-    oracle=f"""
-    {_SQL_PQ_PRELUDE},
-    codes AS (
-      SELECT vec_id, m, key % {PQ_K} AS code FROM assigned
-    ),
-    lut AS (
-      SELECT sub.vec_id AS q_id, sub.m, cb.code_id,
-             {_SQL_D2.format(n=PQ_SUB, a='sub.sq', b='cb.cq')} AS d2
-      FROM sub JOIN cb ON sub.m = cb.m
-      WHERE sub.vec_id % {PQ_QUERY_MOD} = 0
-    ),
-    scored AS (
-      SELECT lut.q_id, codes.vec_id AS neighbor_id,
-             CAST(sum(lut.d2) AS BIGINT) AS adc_d2
-      FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.code_id
-      WHERE codes.vec_id != lut.q_id
-      GROUP BY 1, 2
-    ),
-    annq AS (
-      SELECT q_id AS vec_id, neighbor_id FROM (
-        SELECT q_id, neighbor_id,
-               row_number() OVER (
-                 PARTITION BY q_id ORDER BY adc_d2, neighbor_id
-               ) AS rnk
-        FROM scored
-      ) WHERE rnk <= {PQ_NN_K}
-    ),
-    n AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-             sqrt(list_reduce(
-               list_prepend(0.0, list_transform(
-                 list_transform(embedding, x -> CAST(x AS DOUBLE)),
-                 x -> x * x)),
-               (acc, x) -> acc + x)) AS nrm
-      FROM embeddings
-    ),
-    ex AS (
-      SELECT a.vec_id, b.vec_id AS neighbor_id,
-             list_reduce(
-               list_prepend(0.0, list_transform(
-                 range(1, length(a.v) + 1), i -> a.v[i] * b.v[i])),
-               (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos
-      FROM n a JOIN n b
-        ON a.vec_id % {PQ_QUERY_MOD} = 0 AND a.vec_id <> b.vec_id
-    ),
-    ext AS (
-      SELECT vec_id, neighbor_id FROM (
-        SELECT vec_id, neighbor_id,
-               row_number() OVER (
-                 PARTITION BY vec_id
-                 ORDER BY {sql_round_half_up('cos', 4)} DESC, neighbor_id
-               ) AS rnk
-        FROM ex
-      ) WHERE rnk <= {PQ_NN_K}
-    ),
-    perq AS (
-      SELECT ext.vec_id, CAST(count(annq.neighbor_id) AS BIGINT) AS hits
-      FROM ext LEFT JOIN annq
-        ON ext.vec_id = annq.vec_id AND ext.neighbor_id = annq.neighbor_id
-      GROUP BY 1
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_queries,
-           CAST({PQ_NN_K} AS BIGINT) AS k,
-           {sql_round_half_up(
-               f'CAST(sum(hits) AS DOUBLE) / ({PQ_NN_K}.0 * count(*))', 4)}
-             AS macro_recall,
-           {sql_round_half_up(
-               f'CAST(sum(CASE WHEN hits = {PQ_NN_K} THEN 1 ELSE 0 END)'
-               ' AS DOUBLE) / count(*)', 4)}
-             AS perfect_frac
-    FROM perq
-    """,
-)
-def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of the PQ/ADC index against the exact cosine top-k for the
-    same deterministic query sample — the quality dial for (M, K) tuning,
-    mirroring similarity_recall_eval's contract for the sign-LSH index.
-
-    The exact side restricts the D-dim fold to |sample| x n pairs (never
-    the full cross product); the ADC side is the same broadcast-LUT
-    scoring similarity_pq_adc_topk serves.  Note the two sides rank under
-    different geometries (ADC = quantized L2, exact = cosine), so this
-    measures the deployed index end to end, reconstruction loss
-    included."""
+def _recall_vs_exact(spark: SparkSession, sf_dir: str, ann: DataFrame) -> DataFrame:
+    """One-row recall@k summary of ANY (vec_id, neighbor_id) ANN result
+    against the exact cosine top-k for the deterministic 1/32 query
+    sample — the Spark twin of _SQL_RECALL_TAIL, shared by every recall
+    query in this module."""
     from pyspark_text_classification_spark.operators.similarity import (
         _finalize,
         _fold_sum,
@@ -443,11 +361,6 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_norms,
     )
     from pyspark_text_classification_spark.functions.text import round_half_up
-
-    ann = (
-        similarity_pq_adc_topk(spark, sf_dir)
-        .select(F.col("q_id").alias("vec_id"), "neighbor_id")
-    )
 
     e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
     sampled = F.pmod(F.col("vec_id"), F.lit(PQ_QUERY_MOD)) == 0
@@ -497,6 +410,109 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("perfect_frac"),
     )
     return _finalize(out, e, ext)
+
+
+# Generic on-engine recall evaluation: compares an ``annq(vec_id,
+# neighbor_id)`` CTE against the exact cosine top-k for the same
+# deterministic query sample; shared by every recall oracle in this
+# module so the exact side is defined exactly once.
+_SQL_RECALL_TAIL = f"""
+    n AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_reduce(
+               list_prepend(0.0, list_transform(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                 x -> x * x)),
+               (acc, x) -> acc + x)) AS nrm
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             list_reduce(
+               list_prepend(0.0, list_transform(
+                 range(1, length(a.v) + 1), i -> a.v[i] * b.v[i])),
+               (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos
+      FROM n a JOIN n b
+        ON a.vec_id % {PQ_QUERY_MOD} = 0 AND a.vec_id <> b.vec_id
+    ),
+    ext AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT vec_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY {sql_round_half_up('cos', 4)} DESC, neighbor_id
+               ) AS rnk
+        FROM ex
+      ) WHERE rnk <= {PQ_NN_K}
+    ),
+    perq AS (
+      SELECT ext.vec_id, CAST(count(annq.neighbor_id) AS BIGINT) AS hits
+      FROM ext LEFT JOIN annq
+        ON ext.vec_id = annq.vec_id AND ext.neighbor_id = annq.neighbor_id
+      GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST({PQ_NN_K} AS BIGINT) AS k,
+           {sql_round_half_up(
+               f'CAST(sum(hits) AS DOUBLE) / ({PQ_NN_K}.0 * count(*))', 4)}
+             AS macro_recall,
+           {sql_round_half_up(
+               f'CAST(sum(CASE WHEN hits = {PQ_NN_K} THEN 1 ELSE 0 END)'
+               ' AS DOUBLE) / count(*)', 4)}
+             AS perfect_frac
+    FROM perq
+"""
+
+
+@query(
+    "similarity_pq_recall",
+    oracle=f"""
+    {_SQL_PQ_PRELUDE},
+    codes AS (
+      SELECT vec_id, m, key % {PQ_K} AS code FROM assigned
+    ),
+    lut AS (
+      SELECT sub.vec_id AS q_id, sub.m, cb.code_id,
+             {_SQL_D2.format(n=PQ_SUB, a='sub.sq', b='cb.cq')} AS d2
+      FROM sub JOIN cb ON sub.m = cb.m
+      WHERE sub.vec_id % {PQ_QUERY_MOD} = 0
+    ),
+    scored AS (
+      SELECT lut.q_id, codes.vec_id AS neighbor_id,
+             CAST(sum(lut.d2) AS BIGINT) AS adc_d2
+      FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.code_id
+      WHERE codes.vec_id != lut.q_id
+      GROUP BY 1, 2
+    ),
+    annq AS (
+      SELECT q_id AS vec_id, neighbor_id FROM (
+        SELECT q_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q_id ORDER BY adc_d2, neighbor_id
+               ) AS rnk
+        FROM scored
+      ) WHERE rnk <= {PQ_NN_K}
+    ),
+    {_SQL_RECALL_TAIL}
+    """,
+)
+def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ/ADC index against the exact cosine top-k for the
+    same deterministic query sample — the quality dial for (M, K) tuning,
+    mirroring similarity_recall_eval's contract for the sign-LSH index.
+
+    The exact side restricts the D-dim fold to |sample| x n pairs (never
+    the full cross product); the ADC side is the same broadcast-LUT
+    scoring similarity_pq_adc_topk serves.  Note the two sides rank under
+    different geometries (ADC = quantized L2, exact = cosine), so this
+    measures the deployed index end to end, reconstruction loss
+    included."""
+    ann = (
+        similarity_pq_adc_topk(spark, sf_dir)
+        .select(F.col("q_id").alias("vec_id"), "neighbor_id")
+    )
+    return _recall_vs_exact(spark, sf_dir, ann)
 
 
 # --------------------------------------------------------------------------
@@ -608,7 +624,7 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _sql_ivf_pq() -> str:
+def _sql_ivf_pq_ctes() -> str:
     from pyspark_text_classification_spark.operators.similarity import (
         IVF_CELLS,
         IVF_NPROBE,
@@ -621,15 +637,15 @@ def _sql_ivf_pq() -> str:
     codes AS (
       SELECT vec_id AS neighbor_id, m, key % {PQ_K} AS code FROM assigned
     ),
-    n AS ({_SQL_NORMED}),
+    nv AS ({_SQL_NORMED}),
     cents AS (
       SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
-      FROM n ORDER BY vec_id LIMIT {IVF_CELLS}
+      FROM nv ORDER BY vec_id LIMIT {IVF_CELLS}
     ),
     ac AS (
-      SELECT n.vec_id, c.cent_id,
-             {_SQL_IVF_DOT.format(a='n.v', b='c.cv')} / (n.nrm * c.cnrm) AS cos
-      FROM n CROSS JOIN cents c
+      SELECT nv.vec_id, c.cent_id,
+             {_SQL_IVF_DOT.format(a='nv.v', b='c.cv')} / (nv.nrm * c.cnrm) AS cos
+      FROM nv CROSS JOIN cents c
     ),
     rankedc AS (
       SELECT vec_id, cent_id,
@@ -661,6 +677,12 @@ def _sql_ivf_pq() -> str:
               AND lut.code_id = codes.code
       GROUP BY 1, 2
     )
+    """
+
+
+def _sql_ivf_pq() -> str:
+    return f"""
+    {_sql_ivf_pq_ctes()}
     SELECT q_id, neighbor_id, adc_d2, CAST(rnk AS INT) AS rank
     FROM (
       SELECT q_id, neighbor_id, adc_d2,
@@ -675,3 +697,37 @@ def _sql_ivf_pq() -> str:
 from pyspark_text_classification_spark.registry import ORACLES as _PQ_ORACLES  # noqa: E402
 
 _PQ_ORACLES["similarity_ivf_pq"] = _sql_ivf_pq()
+
+
+@query("similarity_ivf_pq_recall", oracle=None)  # assembled below
+def similarity_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the COMPOSED serving system (IVF cell pruning + PQ/ADC
+    scoring) against the exact cosine top-k — the end-to-end quality
+    number a deployment quotes, folding in BOTH loss sources: neighbors
+    outside the probed cells (IVF pruning) and code-reconstruction error
+    (PQ).  similarity_recall_eval isolates the candidate layer and
+    similarity_pq_recall the compression layer; this closes the
+    triangle.  Tracked per round in the bench summary line."""
+    ann = similarity_ivf_pq(spark, sf_dir).select(
+        F.col("q_id").alias("vec_id"), "neighbor_id"
+    )
+    return _recall_vs_exact(spark, sf_dir, ann)
+
+
+def _sql_ivf_pq_recall() -> str:
+    return f"""
+    {_sql_ivf_pq_ctes()},
+    annq AS (
+      SELECT q_id AS vec_id, neighbor_id FROM (
+        SELECT q_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q_id ORDER BY adc_d2, neighbor_id
+               ) AS rnk
+        FROM scored
+      ) WHERE rnk <= {PQ_NN_K}
+    ),
+    {_SQL_RECALL_TAIL}
+    """
+
+
+_PQ_ORACLES["similarity_ivf_pq_recall"] = _sql_ivf_pq_recall()

@@ -60,6 +60,7 @@ EAGER_QUERIES = {
     "dedup_incremental_ingest", "dedup_containment",
     "ml_tfidf_lr_metrics", "ml_topk_coefficients", "ml_infer_exported",
     "similarity_ivf_pq",  # eagerly checkpoints its top-k at construction
+    "similarity_ivf_pq_recall",
 }
 
 
