@@ -49,6 +49,9 @@ PQ_K = 64         # codewords per subspace (6-bit codes)
 PQ_SUB = 4        # dims per subspace (embeddings are 64-dim)
 PQ_QUERY_MOD = 32  # deterministic 1/32 query sample for ADC search
 PQ_NN_K = 5       # neighbors returned per query
+IVFPQ_NPROBE = 4  # cells probed by the composed system (ann_ivf keeps 2:
+                  # pruning 3/4 of cells costs the composition ~0.1 recall
+                  # vs the PQ ceiling, measured, while 2/16 costs ~0.22)
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -532,19 +535,18 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN serving with BOTH index layers: assign every vector to its
     nearest of 16 coarse cells (broadcast argmax, corpus never shuffles),
     then answer each sampled query by ADC-scoring ONLY the PQ codes
-    inside its 2 probed cells — the candidate set shrinks by
+    inside its 4 probed cells — the candidate set shrinks by
     ~nprobe/cells before any distance work, and the scored payload is
     12-byte codes, not vectors.
 
     At 100 TB this is the architecture that serves: the cell assignment
     and code tables are both written once at index-build; a query fleet
-    broadcasts (probes, LUT) and touches 1/8th of the code table.  Cost
-    vs similarity_pq_adc_topk: the scored pair count drops ~8x for the
+    broadcasts (probes, LUT) and touches a quarter of the code table.
+    Cost vs similarity_pq_adc_topk: the scored pair count drops ~4x for the
     price of the coarse probe — recall loss is exactly the IVF pruning
     (vectors whose true neighbors live outside the probed cells)."""
     from pyspark_text_classification_spark.operators.similarity import (
         IVF_CELLS,
-        IVF_NPROBE,
         _fold_sum,
         with_norms,
     )
@@ -576,7 +578,7 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), "cent_id"
     )
     probes = ranked.filter(
-        (F.col("rk") <= IVF_NPROBE)
+        (F.col("rk") <= IVFPQ_NPROBE)
         & (F.pmod(F.col("vec_id"), F.lit(PQ_QUERY_MOD)) == 0)
     ).select(F.col("vec_id").alias("q_id"), "cent_id")
     cand = (
@@ -627,7 +629,6 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_ivf_pq_ctes() -> str:
     from pyspark_text_classification_spark.operators.similarity import (
         IVF_CELLS,
-        IVF_NPROBE,
         _SQL_IVF_DOT,
         _SQL_NORMED,
     )
@@ -656,7 +657,7 @@ def _sql_ivf_pq_ctes() -> str:
     mem AS (SELECT vec_id AS neighbor_id, cent_id FROM rankedc WHERE rk = 1),
     probes AS (
       SELECT vec_id AS q_id, cent_id FROM rankedc
-      WHERE rk <= {IVF_NPROBE} AND vec_id % {PQ_QUERY_MOD} = 0
+      WHERE rk <= {IVFPQ_NPROBE} AND vec_id % {PQ_QUERY_MOD} = 0
     ),
     cand AS (
       SELECT DISTINCT p.q_id, mem.neighbor_id
