@@ -138,6 +138,11 @@ HEADLINE = [
     "q50_market_share",
     "q51_nation_profit",
     "q52_sole_late_supplier",
+    "q53_shipmode_priority",
+    "q54_supplier_relationship",
+    "q55_min_cost_supplier",
+    "q56_important_parts",
+    "q57_dominant_supplier",
     "dedup_boilerplate",
     "text_domain_mixture",
     "pipeline_diverse_sample",

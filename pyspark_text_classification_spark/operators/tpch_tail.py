@@ -4,9 +4,11 @@ two-level-aggregate, and scalar-subquery query shapes (SURVEY.md §2.10).
 The reference never joins (its pairs arrive pre-joined in one TSV row), but
 a drop-in engine needs the full decision-support join/subquery repertoire.
 q32-q41 (operators/joins.py) cover the Q1/Q5/Q7/Q14/Q18/Q19 shapes; this
-module adds the remaining shapes expressible on the synthetic tables
-(TESTDATA.md has no partsupp, l_commitdate/l_receiptdate, or comments, so
-Q2/Q11/Q12/Q16/Q20/Q21 correlations are adapted or out of scope):
+module adds the remaining shapes — with q53-q57 the full 22-query
+repertoire is represented (TESTDATA.md has no partsupp,
+l_commitdate/l_receiptdate, or comments, so the Q2/Q11/Q12/Q16/Q20/Q21
+correlations are adapted to the synthetic columns; each docstring states
+exactly what stands in for the missing column):
 
 - q42: Q4  — EXISTS correlation with an inequality (semi join + range)
 - q43: Q13 — left outer join + two-level aggregate (distribution of counts)
@@ -22,6 +24,16 @@ Q2/Q11/Q12/Q16/Q20/Q21 correlations are adapted or out of scope):
 - q52: Q21 — sole-late-supplier attribution (the EXISTS + NOT EXISTS
   double correlation collapsed to a two-level aggregate: one shuffle
   instead of two extra fact-sized semi/anti join probes)
+- q53: Q12 — mode IN-filter + correlated date inequality + two-way
+  conditional counts (l_returnflag as the shipmode proxy)
+- q54: Q16 — bridge-table distinct-supplier counts with a NOT IN
+  exclusion (lineitem pairs as the missing partsupp bridge)
+- q55: Q2  — correlated min-cost supplier per part within a region
+  (observed unit price as the missing ps_supplycost)
+- q56: Q11 — value per part with a scalar-subquery HAVING threshold
+  (above-mean instead of Q11's fixed fraction, non-degenerate at any sf)
+- q57: Q20 — nested-subquery supplier qualification (dominates the
+  shipped quantity of a prefix-named part)
 
 Determinism rules are the repo standard: every money/quantity measure is
 quantized to integer centi-units IN THE SCAN PROJECTION (`floor(x*100+0.5)`
@@ -806,4 +818,432 @@ def q52_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(Q52_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# q53 — TPC-H Q12 shape: shipping-mode / order-priority cross counts.
+# The reference predicate set (l_shipmode IN two modes, l_commitdate <
+# l_receiptdate, l_shipdate < l_commitdate, receipt-year window) uses
+# columns the synthetic lineitem lacks; the adapted twin keeps the plan
+# shape — selective IN filter on a low-cardinality fact column, a
+# fact-fact join carrying a correlated date inequality, and a two-way
+# conditional count per mode — with l_returnflag standing in for
+# l_shipmode and "shipped >30 days after the order date" standing in for
+# the commit/receipt lateness chain.
+# --------------------------------------------------------------------------
+
+Q53_LO_US = _us("1997-01-01")
+Q53_HI_US = _us("1998-01-01")
+Q53_LATE_US = 30 * 86_400_000_000  # 30 days in microseconds
+Q53_HIGH = ("1-URGENT", "2-HIGH")
+
+
+@query(
+    "q53_shipmode_priority",
+    oracle=f"""
+    SELECT l.l_returnflag AS ship_mode,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag IN ('A', 'R')
+      AND epoch_us(l.l_shipdate) >= {Q53_LO_US}
+      AND epoch_us(l.l_shipdate) < {Q53_HI_US}
+      AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) + {Q53_LATE_US}
+    GROUP BY 1
+    """,
+)
+def q53_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per ship mode (l_returnflag proxy), count late
+    line items on high-priority vs lower-priority orders in one year.
+
+    The IN-list and year window are literal predicates that reach the
+    lineitem parquet scan as PushedFilters; only the correlated lateness
+    inequality waits for the join.  At 100 TB the join is the single
+    fact-fact shuffle on orderkey (orders pruned to 2 narrow columns) and
+    the aggregate is a 2-row conditional count with map-side partials —
+    the exact Q12 execution profile."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin(*["A", "R"])
+        & (F.col("l_shipdate") >= _ntz("1997-01-01"))
+        & (F.col("l_shipdate") < _ntz("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin(*Q53_HIGH)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(_col_us("l_shipdate") > _col_us("o_orderdate") + F.lit(Q53_LATE_US))
+        .groupBy(F.col("l_returnflag").alias("ship_mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q54 — TPC-H Q16 shape: supplier-relationship counts per part attribute.
+# partsupp doesn't exist in the synthetic schema; the observed lineitem
+# (partkey, suppkey) pairs ARE the part-supplier bridge.  The "customers
+# complain" NOT IN subquery becomes a negative-balance supplier exclusion.
+# --------------------------------------------------------------------------
+
+Q54_SIZES = (1, 4, 7, 10, 13, 16, 19, 22)
+
+
+@query(
+    "q54_supplier_relationship",
+    oracle=f"""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#2'
+      AND p.p_type <> 'ECONOMY'
+      AND p.p_size IN {Q54_SIZES}
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q54_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each surviving
+    (brand, type, size) part class, excluding flagged suppliers.
+
+    partsupp is absent from the synthetic schema, so the fact's observed
+    (l_partkey, l_suppkey) pairs serve as the bridge — no pre-distinct is
+    needed because ``count(DISTINCT suppkey)`` dedups inside the single
+    hash aggregate.  Both dimension sides broadcast: the filtered part
+    subset (selective brand/type/size predicates, pushed to its scan) and
+    the negative-balance supplier exclusion as a broadcast ANTI join
+    (Q16's NOT IN; null-safe here because s_suppkey is a key and never
+    null).  One fact-sized shuffle on the 3 group columns, map-side
+    partial-distinct; at 100 TB nothing else moves."""
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#2")
+            & (F.col("p_type") != "ECONOMY")
+            & F.col("p_size").isin(*Q54_SIZES)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey)
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q55 — TPC-H Q2 shape: minimum-cost supplier per part within a region.
+# ps_supplycost doesn't exist; each supplier's observed unit price
+# (extendedprice / quantity, min over their line items) stands in for it.
+# The correlated "cost = (SELECT min(cost) ...)" becomes a per-part min
+# aggregate joined back on (partkey, cost) — same tie semantics as Q2
+# (every supplier AT the minimum survives).
+# --------------------------------------------------------------------------
+
+Q55_TOPK = 100
+SQL_UNIT_CENTS = (
+    "CAST(floor((l_extendedprice / l_quantity) * 100.0 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "q55_min_cost_supplier",
+    oracle=f"""
+    WITH eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+    ),
+    offers AS (
+      SELECT l.l_partkey, l.l_suppkey, min({SQL_UNIT_CENTS}) AS cost_cents
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'SMALL'
+      JOIN eu ON l.l_suppkey = eu.s_suppkey
+      GROUP BY 1, 2
+    ),
+    best AS (SELECT l_partkey, min(cost_cents) AS best_cents
+             FROM offers GROUP BY 1)
+    SELECT CAST(floor(eu.s_acctbal * 100.0 + 0.5) AS BIGINT) AS s_acctbal_cents,
+           eu.s_name, eu.n_name,
+           o.l_partkey AS p_partkey, p.p_name, o.cost_cents
+    FROM offers o
+    JOIN best b ON o.l_partkey = b.l_partkey AND o.cost_cents = b.best_cents
+    JOIN eu ON o.l_suppkey = eu.s_suppkey
+    JOIN part p ON o.l_partkey = p.p_partkey
+    ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
+    LIMIT {Q55_TOPK}
+    """,
+)
+def q55_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for every 'SMALL'-type part, the European
+    supplier(s) offering it at the lowest observed unit price.
+
+    The synthetic schema has no partsupp/ps_supplycost, so each
+    supplier's cost for a part is min(extendedprice/quantity in integer
+    half-up cents) over their line items — computed in ONE fact aggregate
+    at (partkey, suppkey) grain after broadcast-filtering the fact to
+    SMALL parts and European suppliers (both dims are small AFTER their
+    selective filters, the Q2 broadcast pattern).  Q2's correlated scalar
+    subquery is the per-part min of that table joined back on
+    (partkey, cost) — offers is partkey-partitioned from its own
+    aggregate, so the min and the join-back reuse the exchange (AQE).
+    Ties at the min survive, exactly like Q2.  Top-k is TakeOrdered on
+    the integer (acctbal desc, nation, supplier, partkey) key — a
+    deterministic total order, never a global sort."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    eu = (
+        supp.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey", "n_name")
+            ),
+            supp.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part_f = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "SMALL"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    unit_cents = F.floor(
+        (F.col("l_extendedprice") / F.col("l_quantity")) * 100.0 + F.lit(0.5)
+    ).cast("long")
+    offers = (
+        li.join(
+            F.broadcast(part_f.select("p_partkey", "p_name")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(eu), li.l_suppkey == eu.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(unit_cents).alias("cost_cents"))
+    )
+    best = (
+        offers.groupBy("l_partkey")
+        .agg(F.min("cost_cents").alias("best_cents"))
+        .withColumnRenamed("l_partkey", "b_partkey")
+    )
+    winners = offers.join(
+        best,
+        (F.col("l_partkey") == F.col("b_partkey"))
+        & (F.col("cost_cents") == F.col("best_cents")),
+    ).select("l_partkey", "l_suppkey", "cost_cents")
+    return (
+        winners.join(F.broadcast(eu), winners.l_suppkey == eu.s_suppkey)
+        .join(
+            F.broadcast(part_f.select("p_partkey", "p_name")),
+            winners.l_partkey == F.col("p_partkey"),
+        )
+        .select(
+            F.floor(F.col("s_acctbal") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("s_acctbal_cents"),
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "cost_cents",
+        )
+        .orderBy(
+            F.col("s_acctbal_cents").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(Q55_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# q56 — TPC-H Q11 shape: important parts by supplied value, HAVING a
+# scalar-subquery threshold.  ps_availqty*ps_supplycost doesn't exist;
+# discounted revenue supplied by one region's suppliers stands in for
+# inventory value, and the fixed-fraction threshold becomes "above the
+# mean part" (value * n_parts > total) so the query is non-degenerate at
+# every scale factor — still a scalar aggregate feeding a HAVING.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q56_important_parts",
+    oracle=f"""
+    WITH pv AS (
+      SELECT l.l_partkey, sum({SQL_REV_CENTS}) AS value_cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(value_cents) AS total_cents,
+                   CAST(count(*) AS BIGINT) AS n_parts FROM pv)
+    SELECT pv.l_partkey, pv.value_cents
+    FROM pv, tot
+    WHERE pv.value_cents * tot.n_parts > tot.total_cents
+    """,
+)
+def q56_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose value supplied by one region's
+    suppliers exceeds a threshold computed by a scalar subquery over the
+    same aggregate (here: above the per-part mean, which stays
+    non-degenerate at every sf; Q11's 0.0001/SF fraction would select
+    zero rows at bundled scales).
+
+    The region's supplier set broadcasts into the fact scan, the per-part
+    value is ONE map-side-combined integer-cents aggregate, and the
+    scalar (total, n_parts) is a one-row aggregate of that result
+    broadcast back as a cross join — Q11's HAVING (SELECT sum(...) ...)
+    with zero extra fact passes.  The comparison is pure int64
+    (value * n_parts > total), so both engines decide membership
+    identically — no floating-point fraction ever exists."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    rsupp = supp.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region), nation.n_regionkey == region.r_regionkey
+            ).select("n_nationkey")
+        ),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    pv = (
+        li.join(F.broadcast(rsupp), li.l_suppkey == rsupp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev_cents()).alias("value_cents"))
+    )
+    tot = pv.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count("*").alias("n_parts"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * F.col("n_parts") > F.col("total_cents"))
+        .select("l_partkey", "value_cents")
+    )
+
+
+# --------------------------------------------------------------------------
+# q57 — TPC-H Q20 shape: suppliers dominating the supply of a filtered
+# part family.  Q20's availqty > 0.5 * shipped-quantity correlation needs
+# partsupp; the adapted correlation keeps the nested-subquery plan shape:
+# suppliers who shipped MORE THAN HALF of a prefix-named part's total
+# 1997 quantity (2 * supp_qty > part_total — pure int64).
+# --------------------------------------------------------------------------
+
+Q57_LO_US = _us("1997-01-01")
+Q57_HI_US = _us("1998-01-01")
+SQL_QTY_CENTI = "CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)"
+
+
+@query(
+    "q57_dominant_supplier",
+    oracle=f"""
+    WITH sp AS (
+      SELECT l.l_partkey, l.l_suppkey, sum({SQL_QTY_CENTI}) AS supp_qty
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE 'small%'
+      WHERE epoch_us(l.l_shipdate) >= {Q57_LO_US}
+        AND epoch_us(l.l_shipdate) < {Q57_HI_US}
+      GROUP BY 1, 2
+    ),
+    pt AS (SELECT l_partkey, sum(supp_qty) AS part_qty FROM sp GROUP BY 1)
+    SELECT s.s_name, n.n_name,
+           CAST(count(DISTINCT sp.l_partkey) AS BIGINT) AS n_dominated
+    FROM sp
+    JOIN pt ON sp.l_partkey = pt.l_partkey AND 2 * sp.supp_qty > pt.part_qty
+    JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+    GROUP BY 1, 2
+    """,
+)
+def q57_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: Asian suppliers who shipped more than half of the
+    total 1997 quantity of some prefix-named part ("small%"), with how
+    many parts each dominates.
+
+    Q20's nested IN-subqueries (parts by name prefix -> per-(supp, part)
+    shipped quantity -> half-threshold correlation) map to: broadcast the
+    prefix-filtered part keys into the year-pruned fact scan, aggregate
+    once at (partkey, suppkey) grain in integer centi-units, roll that up
+    to part totals (the second aggregate re-uses the partkey hash
+    partitioning — AQE keeps it exchange-free), and join the two on
+    partkey with the pure-int64 dominance predicate 2*supp > total.  The
+    region/supplier side broadcasts; output is |suppliers|-bounded.  At
+    100 TB the only fact-sized movement is the single (partkey, suppkey)
+    shuffle of the name+year-filtered subset."""
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ntz("1997-01-01"))
+        & (F.col("l_shipdate") < _ntz("1998-01-01"))
+    )
+    qty_centi = F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5)).cast("long")
+    sp = (
+        li.join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(qty_centi).alias("supp_qty"))
+    )
+    pt = (
+        sp.groupBy("l_partkey")
+        .agg(F.sum("supp_qty").alias("part_qty"))
+        .withColumnRenamed("l_partkey", "t_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    rsupp = supp.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region), nation.n_regionkey == region.r_regionkey
+            ).select("n_nationkey", "n_name")
+        ),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "n_name")
+    return (
+        sp.join(
+            pt,
+            (F.col("l_partkey") == F.col("t_partkey"))
+            & (2 * F.col("supp_qty") > F.col("part_qty")),
+        )
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(rsupp), F.col("l_suppkey") == rsupp.s_suppkey)
+        .groupBy("s_name", "n_name")
+        .agg(F.count_distinct(F.col("l_partkey")).alias("n_dominated"))
     )

@@ -45,6 +45,20 @@ def uses_broadcast_join(df: DataFrame) -> bool:
     )
 
 
+def count_physical_nodes(plan: str, name: str) -> int:
+    """Count distinct physical operators named `name` in a formatted plan.
+
+    The formatted explain output mentions every node twice — once in the
+    plan tree (``+- SortMergeJoin Inner (64)``) and once as a detail
+    header (``(64) SortMergeJoin``) — so a raw substring count
+    double-counts.  Counting unique node ids from detail headers gives
+    the true operator count.
+    """
+    import re
+
+    return len(set(re.findall(rf"^\((\d+)\) {name}\b", plan, re.MULTILINE)))
+
+
 def python_eval_nodes(df: DataFrame) -> list[str]:
     """Python-worker exec nodes in the plan (should be empty for the
     relational core; exactly the declared pandas stages elsewhere)."""

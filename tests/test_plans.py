@@ -441,3 +441,49 @@ def test_correlated_aggregate_queries_never_shuffle_for_joins(spark, sf_dir):
         plan = formatted_plan(QUERIES[name](spark, sf_dir))
         assert "SortMergeJoin" not in plan, f"{name} shuffles for a join"
         assert "CartesianProduct" not in plan, name
+
+
+def test_tpch_tail3_join_shapes(spark, sf_dir):
+    """q53-q57: the adapted Q12/Q16/Q2/Q11/Q20 shapes.
+
+    - q53's only allowed sort-merge join is the fact-fact orderkey join;
+      its mode IN-list must reach the lineitem scan as a PushedFilter.
+    - q54's joins (broadcast part filter, broadcast anti supplier
+      exclusion) must ALL broadcast - the fact's single shuffle is the
+      3-column distinct-count aggregate.
+    - q55/q57 may sort-merge only the aggregate-to-aggregate partkey
+      joins (offers/best, sp/pt); every dimension path broadcasts.
+    - q56's scalar threshold is a broadcast nested-loop against a 1-row
+      aggregate - never a CartesianProduct.
+    """
+    from pyspark_text_classification_spark.plans.explain import (
+        count_physical_nodes,
+        formatted_plan,
+        has_pushed_filter,
+        uses_broadcast_join,
+    )
+
+    q53 = QUERIES["q53_shipmode_priority"](spark, sf_dir)
+    plan53 = formatted_plan(q53)
+    assert has_pushed_filter(q53, "In(l_returnflag")
+    assert count_physical_nodes(plan53, "SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan53
+
+    plan54 = formatted_plan(QUERIES["q54_supplier_relationship"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan54, "q54 shuffles for a join"
+    assert "CartesianProduct" not in plan54
+
+    for name, max_smj in [
+        ("q55_min_cost_supplier", 1),   # offers JOIN best (partkey)
+        ("q57_dominant_supplier", 1),   # sp JOIN pt (partkey)
+    ]:
+        df = QUERIES[name](spark, sf_dir)
+        plan = formatted_plan(df)
+        n_smj = count_physical_nodes(plan, "SortMergeJoin")
+        assert n_smj <= max_smj, f"{name}: {n_smj} sort-merge joins"
+        assert "CartesianProduct" not in plan, name
+        assert uses_broadcast_join(df), name
+
+    plan56 = formatted_plan(QUERIES["q56_important_parts"](spark, sf_dir))
+    assert "CartesianProduct" not in plan56
+    assert "SortMergeJoin" not in plan56, "q56 shuffles for a join"
