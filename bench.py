@@ -148,6 +148,7 @@ HEADLINE = [
     "pipeline_diverse_sample",
     "similarity_ivf_pq",
     "similarity_ivf_pq_recall",
+    "retrieval_bm25_topk",
 ]
 
 

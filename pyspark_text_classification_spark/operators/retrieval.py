@@ -1,0 +1,180 @@
+"""Lexical retrieval over the documents table: inverted-index BM25 top-k.
+
+A training-data pipeline needs retrieval for contamination lookups,
+hard-negative mining against a lexical baseline, and dataset search.
+BM25 (Robertson & Sparck Jones probabilistic relevance framework; the
+Okapi BM25 formulation with k1=1.2, b=0.75) is the standard lexical
+scorer, and it maps cleanly onto Spark's relational algebra:
+
+- the POSTINGS table (term, doc_id, tf) is one explode + hash aggregate
+  over the tokenized corpus — the inverted index as a DataFrame;
+- the query set is tiny and BROADCASTS into the postings scan, so at
+  100 TB only postings of the query's terms ever leave the mappers
+  (a broadcast hash semi-probe is the relational form of "look up the
+  posting lists for these terms");
+- document lengths and the corpus totals (N docs, L total tokens) come
+  from the same tokenized pass — two aggregates, one of them a 1-row
+  broadcast;
+- top-k per query is the repo's salted TWO-LEVEL pattern (partial top-k
+  per (query, salt) bucket, then final top-k over survivors), never a
+  single per-query window funneling a hot query's full candidate set
+  through one reducer.
+
+Cross-engine determinism: BM25's tf-normalization is RATIONAL once
+avgdl is written as L/N — with k1 = 6/5 and b = 3/4,
+
+    tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl)
+  = 22*tf*L / (10*L*tf + 3*L + 9*N*dl)        (multiply through by 10*L/N)
+
+so the per-term score is idf_micro * 22*tf*L // (10*L*tf + 3*L + 9*N*dl)
+in pure int64 (all operands positive, so Spark's truncating ``div`` and
+DuckDB's flooring ``//`` agree); idf is quantized to integer micro-nats
+(floor(ln(.)*1e6+0.5), the text_lm_logprob pattern) before the multiply.
+int64 bound: idf_micro(<=~2e7) * 22 * tf * L stays under 2^63 while
+tf*L < ~2e10 — comfortable at bundled scale factors; at 100 TB shard the
+corpus (per-shard L) or move the numerator to double scoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_text_classification_spark.functions.text import tokenize
+from pyspark_text_classification_spark.registry import query
+from pyspark_text_classification_spark.sources.parquet import fan_out, load_table
+
+# Fixed public query set over the synthetic vocabulary; externally
+# supplied query batches would arrive the same way (a tiny broadcast).
+BM25_QUERIES: list[tuple[int, str]] = [
+    (0, "spark"), (0, "join"), (0, "filter"),
+    (1, "hash"), (1, "merge"), (1, "sort"),
+    (2, "stream"), (2, "window"), (2, "agg"),
+    (3, "customer"), (3, "order"), (3, "value"),
+]
+BM25_TOPK = 10
+BM25_SALTS = 8  # fan-out of the first-level top-k (bounds reducer rows)
+
+_SQL_Q_VALUES = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
+_SQL_TOKS = (
+    r"list_filter(str_split_regex(lower(text), '\W+'), t -> length(t) >= 2)"
+)
+
+
+@query(
+    "retrieval_bm25_topk",
+    oracle=f"""
+    WITH q(query_id, term) AS (VALUES {_SQL_Q_VALUES}),
+    toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    postings AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS l_tot,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM toks),
+    tdf AS (
+      SELECT p.term, CAST(count(*) AS BIGINT) AS df
+      FROM postings p
+      WHERE p.term IN (SELECT DISTINCT term FROM q)
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT q.query_id, p.doc_id,
+        CAST(floor(ln((tot.n_docs - tdf.df + 0.5) / (tdf.df + 0.5) + 1.0)
+                   * 1000000.0 + 0.5) AS BIGINT)
+          * (22 * p.tf * tot.l_tot)
+          // (10 * tot.l_tot * p.tf + 3 * tot.l_tot
+              + 9 * tot.n_docs * dl.dl) AS contrib
+      FROM q
+      JOIN postings p ON p.term = q.term
+      JOIN tdf ON tdf.term = q.term
+      JOIN dl ON dl.doc_id = p.doc_id
+      CROSS JOIN tot
+    ),
+    per_doc AS (SELECT query_id, doc_id, sum(contrib) AS score_micro
+                FROM scored GROUP BY 1, 2)
+    SELECT query_id, doc_id, score_micro, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT query_id, doc_id, score_micro,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_micro DESC, doc_id) AS rnk
+      FROM per_doc
+    ) WHERE rnk <= {BM25_TOPK}
+    """,
+)
+def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) top-{BM25_TOPK} documents per query
+    over an inverted-index postings DataFrame, scored in pure int64.
+
+    See the module docstring for the rational-arithmetic derivation and
+    the 100 TB plan shape (broadcast query probe into postings; salted
+    two-level top-k)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(tokenize("text", 2)).alias("term")
+    ).localCheckpoint(eager=True)  # postings + dl + totals share one pass
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tot = toks.agg(
+        F.count("*").alias("l_tot"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    qterms = spark.createDataFrame(BM25_QUERIES, "query_id INT, term STRING")
+    # inverted-index probe: only postings of query terms survive the scan
+    post_q = postings.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    )
+    tdf = post_q.groupBy("term").agg(F.count("*").alias("df"))
+    idf_micro = F.floor(
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        * 1_000_000.0
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        post_q.join(F.broadcast(tdf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(qterms), "term")
+        .withColumn("idf_micro", idf_micro)
+        .withColumn("num", F.col("idf_micro") * (22 * F.col("tf") * F.col("l_tot")))
+        .withColumn(
+            "den",
+            10 * F.col("l_tot") * F.col("tf")
+            + 3 * F.col("l_tot")
+            + 9 * F.col("n_docs") * F.col("dl"),
+        )
+        .withColumn("contrib", F.expr("num div den"))
+    )
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("score_micro")
+    )
+    w1 = Window.partitionBy(
+        "query_id", F.pmod(F.col("doc_id"), F.lit(BM25_SALTS))
+    ).orderBy(F.col("score_micro").desc(), "doc_id")
+    survivors = (
+        per_doc.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= BM25_TOPK)
+        .drop("r1")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), "doc_id"
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            "score_micro",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -487,3 +487,24 @@ def test_tpch_tail3_join_shapes(spark, sf_dir):
     plan56 = formatted_plan(QUERIES["q56_important_parts"](spark, sf_dir))
     assert "CartesianProduct" not in plan56
     assert "SortMergeJoin" not in plan56, "q56 shuffles for a join"
+
+
+def test_bm25_probe_broadcasts_and_salts(spark, sf_dir):
+    """retrieval_bm25_topk: the query-term probe, df table, totals row,
+    and query attach must all broadcast — the only sort-merge join
+    allowed is postings JOIN doc-lengths (both document-scaled).  Top-k
+    must be the salted two-level shape: two Window row_number stages,
+    never one global per-query funnel over the full candidate set."""
+    from pyspark_text_classification_spark.plans.explain import (
+        count_physical_nodes,
+        formatted_plan,
+        uses_broadcast_join,
+    )
+
+    df = QUERIES["retrieval_bm25_topk"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert uses_broadcast_join(df)
+    n_smj = count_physical_nodes(plan, "SortMergeJoin")
+    assert n_smj <= 1, f"{n_smj} sort-merge joins (expected only postings-dl)"
+    assert count_physical_nodes(plan, "Window") == 2, "two-level top-k lost"
