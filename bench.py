@@ -149,6 +149,9 @@ HEADLINE = [
     "similarity_ivf_pq",
     "similarity_ivf_pq_recall",
     "retrieval_bm25_topk",
+    "graph_pagerank_step",
+    "graph_adamic_adar",
+    "graph_degree_stats",
 ]
 
 

@@ -1,0 +1,258 @@
+"""Graph analytics over the customer-supplier bipartite graph.
+
+The synthetic schema induces a natural bipartite graph: an edge
+(customer, supplier) whenever a customer's order contains a line item
+from that supplier.  Three operators cover the graph-analytics surface a
+relational engine can express without an iteration framework:
+
+- graph_degree_stats: per-side degree histogram (graph profiling);
+- graph_pagerank_step: ONE power-iteration step of PageRank (d = 0.85)
+  in pure int64 micro-units — the building block of iterative PageRank,
+  which at 100 TB is this exact dataflow repeated with the rank table
+  persisted between steps (the same persist-and-loop pattern
+  dedup_clusters uses for label propagation);
+- graph_adamic_adar: link-prediction scores between supplier pairs
+  sharing customers (Adamic & Adar 2003), hub-capped.
+
+Determinism: PageRank ranks are integer micro-units (initial rank =
+10^12 // N; per-edge contribution = 85 * rank // (100 * outdeg)) — all
+operands positive, so Spark's truncating ``div`` equals DuckDB's
+flooring ``//``.  Adamic-Adar's 1/ln(deg) weight is NOT computed with
+engine libm at query time: the hub cap bounds deg to [2, 64], so the 63
+possible weights are precomputed ONCE in Python (floor(1e6/ln(d)+0.5))
+and embedded in BOTH engines as a literal lookup table — bit-identical
+by construction, the same motivation as the repo's micro-nat ln
+quantization but with zero runtime transcendentals.
+
+Scale shape (100 TB): the edge list is one fact-sized distinct (orders
+joined to lineitem, projected to the two keys); degree and rank
+aggregates are map-side-combined integer sums; the PageRank contribution
+join is src-to-src (the aggregate's own partitioning is reused); the
+Adamic-Adar self-join runs only on hub-capped customers, bounding pair
+fan-out at C(64, 2) per customer — the standard mitigation for the
+quadratic hot-key blowup in common-neighbor joins.  Output is top-k via
+TakeOrdered, never a global sort.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_text_classification_spark.registry import query
+from pyspark_text_classification_spark.sources.parquet import load_table
+
+PR_DAMP_NUM = 85  # d = 0.85 as the rational 85/100
+PR_DAMP_DEN = 100
+PR_SCALE = 1_000_000_000_000  # ranks in integer micro-micro units (1e12)
+
+AA_HUB_CAP = 64   # drop customers with more distinct suppliers than this
+AA_TOPK = 100
+
+# 1/ln(deg) in integer micro-units for every degree the hub cap admits —
+# computed once HERE so both engines read the same literal table and no
+# engine-side ln() (whose last ulp may differ between JVM and libm) ever
+# runs. deg=1 rows are filtered out (a single-supplier customer adds no
+# pair), so the table starts at 2.
+AA_WEIGHTS: list[tuple[int, int]] = [
+    (d, int(math.floor(1_000_000.0 / math.log(float(d)) + 0.5)))
+    for d in range(2, AA_HUB_CAP + 1)
+]
+_SQL_AA_WEIGHTS = ", ".join(f"({d}, {w})" for d, w in AA_WEIGHTS)
+
+_SQL_EDGES = """
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+"""
+
+
+def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (customer, supplier) pairs observed in the fact tables."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+
+
+@query(
+    "graph_degree_stats",
+    oracle=f"""
+    WITH e AS ({_SQL_EDGES}),
+    cdeg AS (SELECT c, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY 1),
+    sdeg AS (SELECT s, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY 1)
+    SELECT 'customer' AS side, degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM cdeg GROUP BY 1, 2
+    UNION ALL
+    SELECT 'supplier' AS side, degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM sdeg GROUP BY 1, 2
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of each side of the bipartite graph — the
+    profiling pass that sizes hub caps and skew mitigations before any
+    graph algorithm runs.  Two aggregates over the edge list; the
+    histogram regroup is |degrees|-bounded."""
+    e = _bipartite_edges(spark, sf_dir)
+    cdeg = e.groupBy("c").agg(F.count("*").alias("degree"))
+    sdeg = e.groupBy("s").agg(F.count("*").alias("degree"))
+    return (
+        cdeg.groupBy("degree")
+        .agg(F.count("*").alias("n_nodes"))
+        .select(F.lit("customer").alias("side"), "degree", "n_nodes")
+        .unionByName(
+            sdeg.groupBy("degree")
+            .agg(F.count("*").alias("n_nodes"))
+            .select(F.lit("supplier").alias("side"), "degree", "n_nodes")
+        )
+    )
+
+
+@query(
+    "graph_pagerank_step",
+    oracle=f"""
+    WITH e0 AS ({_SQL_EDGES}),
+    edges AS (SELECT c * 2 AS src, s * 2 + 1 AS dst FROM e0
+              UNION ALL SELECT s * 2 + 1, c * 2 FROM e0),
+    outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+               FROM edges GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM outdeg),
+    contrib AS (
+      SELECT e.dst AS node,
+             ({PR_DAMP_NUM} * ({PR_SCALE} // nn.n))
+               // ({PR_DAMP_DEN} * o.deg) AS ci
+      FROM edges e JOIN outdeg o ON o.src = e.src CROSS JOIN nn
+    )
+    SELECT c.node,
+           ({PR_DAMP_DEN} - {PR_DAMP_NUM}) * ({PR_SCALE} // nn.n)
+             // {PR_DAMP_DEN} + sum(c.ci) AS rank_micro
+    FROM contrib c CROSS JOIN nn
+    GROUP BY c.node, nn.n
+    """,
+)
+def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank power-iteration step (d = 0.85) over the symmetrized
+    bipartite graph, from the uniform start vector, in pure int64.
+
+    The edge list feeds three consumers (both union branches and the
+    contribution join), so it is eagerly localCheckpointed — computed
+    once, exactly what an iterative PageRank loop would persist anyway.
+    Node ids are disjointly encoded (customer -> 2k, supplier -> 2k+1).
+    Both edge directions are materialized, so every node has out-degree
+    >= 1 — no dangling-mass correction is needed and N is just the
+    out-degree table's row count.  rank1(v) = (1-d)*R/N + d * sum over
+    in-edges of rank0(u)/outdeg(u), all in integer micro-units with
+    truncating division (identical on both engines; the truncation loses
+    < 1 micro-unit per edge, irrelevant for ranking and identical
+    cross-engine).  Full PageRank is THIS dataflow looped with the rank
+    table persisted between steps — each step is one src-side join (the
+    out-degree aggregate's partitioning is reused) plus one dst-side
+    aggregate."""
+    e0 = _bipartite_edges(spark, sf_dir)
+    edges = (
+        e0.select(
+            (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
+        )
+        .unionByName(
+            e0.select(
+                (F.col("s") * 2 + 1).alias("src"),
+                (F.col("c") * 2).alias("dst"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nn = outdeg.agg(F.count("*").alias("n"))
+    contrib = (
+        edges.join(outdeg, "src")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("dst").alias("node"),
+            F.expr(
+                f"({PR_DAMP_NUM} * ({PR_SCALE} div n))"
+                f" div ({PR_DAMP_DEN} * deg)"
+            ).alias("ci"),
+            "n",
+        )
+    )
+    return contrib.groupBy("node", "n").agg(
+        (
+            F.expr(
+                f"({PR_DAMP_DEN} - {PR_DAMP_NUM}) * ({PR_SCALE} div n)"
+                f" div {PR_DAMP_DEN}"
+            )
+            + F.sum("ci")
+        ).alias("rank_micro")
+    ).select("node", "rank_micro")
+
+
+@query(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH e AS ({_SQL_EDGES}),
+    cdeg AS (SELECT c, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+    w(deg, w_micro) AS (VALUES {_SQL_AA_WEIGHTS}),
+    small AS (
+      SELECT e.c, e.s, w.w_micro
+      FROM e JOIN cdeg ON e.c = cdeg.c
+      JOIN w ON w.deg = cdeg.deg
+    ),
+    pairs AS (
+      SELECT a.s AS s1, b.s AS s2,
+             sum(a.w_micro) AS aa_micro,
+             CAST(count(*) AS BIGINT) AS common_customers
+      FROM small a JOIN small b ON a.c = b.c AND a.s < b.s
+      GROUP BY 1, 2
+    )
+    SELECT s1, s2, aa_micro, common_customers
+    FROM pairs
+    ORDER BY aa_micro DESC, s1, s2
+    LIMIT {AA_TOPK}
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{AA_TOPK} supplier pairs by Adamic-Adar link-prediction score:
+    sum over shared customers of 1/ln(customer degree), hub-capped.
+
+    The weight join against the precomputed [2, {AA_HUB_CAP}] lookup
+    table does double duty: it attaches the integer weight AND drops both
+    degree-1 customers (no pairs to contribute) and hub customers above
+    the cap — the standard guard that bounds the common-neighbor
+    self-join's fan-out at C({AA_HUB_CAP}, 2) rows per customer instead
+    of letting one hot customer emit |suppliers|^2 pairs.  The self-join
+    is an equi-join on customer (bucket-local at scale), the pair
+    aggregate is map-side-combined int64, and top-k is TakeOrdered on
+    (score, s1, s2) — a deterministic total order."""
+    e = _bipartite_edges(spark, sf_dir).localCheckpoint(eager=True)
+    cdeg = e.groupBy("c").agg(F.count("*").alias("deg"))
+    wdf = F.broadcast(
+        spark.createDataFrame(AA_WEIGHTS, "deg LONG, w_micro LONG")
+    )
+    small = (
+        e.join(cdeg, "c")
+        .join(wdf, "deg")
+        .select("c", "s", "w_micro")
+    )
+    a = small.alias("a")
+    b = small.select(
+        F.col("c").alias("bc"), F.col("s").alias("s2")
+    ).alias("b")
+    pairs = (
+        a.join(b, (F.col("a.c") == F.col("bc")) & (F.col("a.s") < F.col("s2")))
+        .groupBy(F.col("a.s").alias("s1"), "s2")
+        .agg(
+            F.sum("w_micro").alias("aa_micro"),
+            F.count("*").alias("common_customers"),
+        )
+    )
+    return pairs.orderBy(
+        F.col("aa_micro").desc(), "s1", "s2"
+    ).limit(AA_TOPK)

@@ -508,3 +508,26 @@ def test_bm25_probe_broadcasts_and_salts(spark, sf_dir):
     n_smj = count_physical_nodes(plan, "SortMergeJoin")
     assert n_smj <= 1, f"{n_smj} sort-merge joins (expected only postings-dl)"
     assert count_physical_nodes(plan, "Window") == 2, "two-level top-k lost"
+
+
+def test_graph_family_plan_shapes(spark, sf_dir):
+    """graph_*: no CartesianProduct anywhere; adamic_adar's weight table
+    is a broadcast lookup and its top-k is TakeOrdered, not a global
+    Sort+Limit over all pairs; pagerank's scalar N broadcasts."""
+    from pyspark_text_classification_spark.plans.explain import (
+        formatted_plan,
+        uses_broadcast_join,
+    )
+
+    for name in (
+        "graph_degree_stats",
+        "graph_pagerank_step",
+        "graph_adamic_adar",
+    ):
+        plan = formatted_plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+
+    aa = QUERIES["graph_adamic_adar"](spark, sf_dir)
+    assert uses_broadcast_join(aa)
+    assert "TakeOrderedAndProject" in formatted_plan(aa)
+    assert uses_broadcast_join(QUERIES["graph_pagerank_step"](spark, sf_dir))
