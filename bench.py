@@ -152,6 +152,8 @@ HEADLINE = [
     "graph_pagerank_step",
     "graph_adamic_adar",
     "graph_degree_stats",
+    "sketch_cms_heavy_hitters",
+    "sketch_hll_distinct",
 ]
 
 

@@ -37,6 +37,7 @@ import pyspark_text_classification_spark.operators.similarity  # noqa: F401
 import pyspark_text_classification_spark.operators.pq  # noqa: F401
 import pyspark_text_classification_spark.operators.retrieval  # noqa: F401
 import pyspark_text_classification_spark.operators.graph  # noqa: F401
+import pyspark_text_classification_spark.operators.sketches  # noqa: F401
 from pyspark_text_classification_spark.registry import ORACLES, QUERIES  # noqa: F401
 
 # --- Driver-sweep ordering -------------------------------------------------

@@ -1,0 +1,275 @@
+"""Probabilistic sketches built from scratch as relational programs.
+
+q26_approx_sketches exercises Spark's BUILT-IN sketch aggregates
+(approx_count_distinct / approx_percentile), which have no cross-engine
+twin and are therefore only rows-checked.  This module implements two
+classic sketches (Cormode & Muthukrishnan's Count-Min, 2005; Flajolet et
+al.'s HyperLogLog, 2007) directly as DataFrame programs whose every
+intermediate is integer-exact, so the full sketch state AND the
+estimates hash-match a DuckDB oracle — the sketches themselves become
+verifiable operators instead of opaque aggregates.
+
+Why this matters at 100 TB: both sketches are algebraic aggregates
+(map-side combinable, mergeable across partitions) with O(1)-sized
+state — the CMS table is depth x width cells, the HLL state is m
+registers — so the full-corpus pass is one shuffle of bounded size no
+matter the input scale, and sketches from different shards/days merge by
+cell-wise sum (CMS) or register-wise max (HLL).
+
+Determinism contract: item hashes are the repo's polynomial-rolling
+family (functions/hashing.py) with the (a*h + b) mod p permutations
+embedded as literals; CMS cells and HLL registers are pure int64; HLL's
+2^-register harmonic sum is EXACT via left-shifts (Z_scaled =
+sum(1 << (50 - rho)), rho <= 26 so every term is an integer); the only
+floating-point op is the final single division by Z, whose numerator
+alpha*m^2*2^50 is ONE Python-computed double literal shared by both
+engines.  No engine-side transcendentals anywhere.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_text_classification_spark.functions.hashing import (
+    HASH_MOD,
+    char_poly_hash,
+    sql_char_poly_hash,
+    sql_token_shingle_hashes,
+    token_shingle_hashes_sql,
+)
+from pyspark_text_classification_spark.functions.text import tokenize
+from pyspark_text_classification_spark.registry import query
+from pyspark_text_classification_spark.sources.parquet import fan_out, load_table
+
+# --- Count-Min sketch parameters -------------------------------------------
+CMS_WIDTH = 512
+CMS_DEPTH = 4
+_rng = random.Random(20260814)
+CMS_PARAMS: list[tuple[int, int, int]] = [
+    (i, _rng.randrange(1, HASH_MOD), _rng.randrange(0, HASH_MOD))
+    for i in range(CMS_DEPTH)
+]
+# heavy hitter = term carrying >= 1% of the token stream (scale-free)
+CMS_HEAVY_PCT = 100
+
+# --- HyperLogLog parameters -------------------------------------------------
+HLL_P = 6                 # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+HLL_ALPHA = 0.709         # alpha_64 (Flajolet et al. 2007, Fig. 3)
+HLL_A, HLL_B = _rng.randrange(1, HASH_MOD), _rng.randrange(0, HASH_MOD)
+# hashes are < 2^31; after dropping p bucket bits, w has 31 - p = 25
+# significant bits, so rho = (25 - floor(log2(w))) + 1 = 26 - bitlen(w)
+HLL_RHO_MAX = 32 - HLL_P  # 26
+HLL_SHIFT = 50            # Z scaled by 2^50: max Z = m * 2^50 < 2^57
+# the single double constant both engines divide by Z_scaled
+HLL_NUMER = HLL_ALPHA * HLL_M * HLL_M * float(1 << HLL_SHIFT)
+
+_SQL_TOKS = (
+    r"list_filter(str_split_regex(lower(text), '\W+'), t -> length(t) >= 2)"
+)
+
+
+def _cms_cell_sql(i: int) -> str:
+    a, b = CMS_PARAMS[i][1], CMS_PARAMS[i][2]
+    return f"(({a} * h + {b}) % {HASH_MOD}) % {CMS_WIDTH}"
+
+
+@query(
+    "sketch_cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT term, {sql_char_poly_hash('term')} AS h,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1
+    ),
+    tot AS (SELECT sum(cnt) AS total FROM tf),
+    cells AS (
+      {" UNION ALL ".join(
+        f"SELECT {i} AS row_id, {_cms_cell_sql(i)} AS cell, cnt FROM tf"
+        for i in range(CMS_DEPTH)
+      )}
+    ),
+    sketch AS (
+      SELECT row_id, cell, CAST(sum(cnt) AS BIGINT) AS cell_sum
+      FROM cells GROUP BY 1, 2
+    ),
+    heavy AS (
+      SELECT tf.term, tf.h, tf.cnt AS true_cnt
+      FROM tf, tot WHERE tf.cnt * {CMS_HEAVY_PCT} >= tot.total
+    ),
+    probes AS (
+      {" UNION ALL ".join(
+        f"SELECT term, true_cnt, {i} AS row_id, "
+        f"{_cms_cell_sql(i)} AS cell FROM heavy"
+        for i in range(CMS_DEPTH)
+      )}
+    )
+    SELECT p.term, p.true_cnt, min(s.cell_sum) AS est_cnt
+    FROM probes p
+    JOIN sketch s ON s.row_id = p.row_id AND s.cell = p.cell
+    GROUP BY 1, 2
+    """,
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch ({CMS_DEPTH} x {CMS_WIDTH}) over the token
+    stream, probed for heavy hitters (terms carrying >= 1% of tokens),
+    with the exact count as the audit column (CMS guarantees
+    est_cnt >= true_cnt; the overestimate is the collision mass).
+
+    CMS is LINEAR, so the sketch is built from the term-frequency table
+    rather than the raw stream: cell(i, c) = sum of tf over terms
+    hashing to c under row i's permutation — one term-grain aggregate
+    (map-side combined over the corpus), then a {CMS_DEPTH * CMS_WIDTH}-
+    cell regroup.  The heavy-candidate probe explodes each candidate to
+    its {CMS_DEPTH} cells and joins the (tiny, broadcast) sketch, taking
+    the min across rows.  At 100 TB the sketch size never grows; only
+    the term-frequency aggregate scales."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(tokenize("text", 2)).alias("term"))
+    tf = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", char_poly_hash("term"))
+        .localCheckpoint(eager=True)  # feeds sketch, total, and probes
+    )
+    cells = None
+    for i, a, b in CMS_PARAMS:
+        part = tf.select(
+            F.lit(i).alias("row_id"),
+            (((a * F.col("h") + b) % HASH_MOD) % CMS_WIDTH).alias("cell"),
+            "cnt",
+        )
+        cells = part if cells is None else cells.unionByName(part)
+    sketch = cells.groupBy("row_id", "cell").agg(
+        F.sum("cnt").alias("cell_sum")
+    )
+    tot = tf.agg(F.sum("cnt").alias("total"))
+    heavy = (
+        tf.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * CMS_HEAVY_PCT >= F.col("total"))
+        .select("term", "h", F.col("cnt").alias("true_cnt"))
+    )
+    probes = None
+    for i, a, b in CMS_PARAMS:
+        part = heavy.select(
+            "term",
+            "true_cnt",
+            F.lit(i).alias("row_id"),
+            (((a * F.col("h") + b) % HASH_MOD) % CMS_WIDTH).alias("cell"),
+        )
+        probes = part if probes is None else probes.unionByName(part)
+    return (
+        probes.join(F.broadcast(sketch), ["row_id", "cell"])
+        .groupBy("term", "true_cnt")
+        .agg(F.min("cell_sum").alias("est_cnt"))
+    )
+
+
+_SQL_SHINGLES = f"""
+      SELECT (({HLL_A} * sh + {HLL_B}) % {HASH_MOD}) AS hp
+      FROM (
+        SELECT unnest({sql_token_shingle_hashes('th', 2)}) AS sh
+        FROM (
+          SELECT list_transform({_SQL_TOKS},
+                   t -> {sql_char_poly_hash('t')}) AS th
+          FROM documents
+        ) WHERE length(th) >= 1
+      )
+"""
+
+
+@query(
+    "sketch_hll_distinct",
+    oracle=f"""
+    WITH hp AS ({_SQL_SHINGLES}),
+    regs AS (
+      SELECT hp % {HLL_M} AS bucket,
+             max(CASE WHEN hp // {HLL_M} = 0 THEN {HLL_RHO_MAX}
+                 ELSE {HLL_RHO_MAX} - length(bin(hp // {HLL_M}))
+                 END) AS rho
+      FROM hp GROUP BY 1
+    ),
+    state AS (
+      SELECT CAST(count(*) AS BIGINT) AS used,
+             CAST(sum(CAST(1 AS BIGINT) << ({HLL_SHIFT} - rho))
+                  AS BIGINT) AS z_used
+      FROM regs
+    ),
+    truth AS (SELECT CAST(count(DISTINCT hp) AS BIGINT) AS true_distinct
+              FROM hp)
+    SELECT CAST({HLL_M} AS BIGINT) AS m, s.used,
+           CAST(s.z_used + ({HLL_M} - s.used)
+             * (CAST(1 AS BIGINT) << {HLL_SHIFT}) AS BIGINT) AS z_scaled,
+           CAST(floor({HLL_NUMER!r} / CAST(s.z_used + ({HLL_M} - s.used)
+             * (CAST(1 AS BIGINT) << {HLL_SHIFT}) AS DOUBLE)) AS BIGINT)
+             AS est_distinct,
+           t.true_distinct
+    FROM state s, truth t
+    """,
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog (m = {HLL_M} registers) distinct-count of the corpus's
+    2-token shingles, with the exact distinct count as the audit column.
+
+    Register update: bucket = h % m, rho = leading-zero count of the
+    remaining bits + 1 (computed exactly via the binary-string length,
+    identical on both engines) — one max-aggregate per bucket, the
+    mergeable HLL state.  The harmonic sum is EXACT integer arithmetic
+    (Z_scaled = sum over registers of 1 << (50 - rho), empty registers
+    contributing 1 << 50), and the estimate is the raw HLL formula
+    alpha * m^2 / Z as ONE double division by that integer — no
+    small-range linear-counting correction, because that needs ln() at
+    query time and the contract here is bit-identical cross-engine
+    state + estimate, not estimator bias (the audit column carries the
+    truth).  At 100 TB: one map-side-combined max-aggregate into {HLL_M}
+    registers; shards merge by register-wise max."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(tokenize("text", 2).alias("toks")).filter(
+        F.size("toks") >= 1
+    )
+    th_col = F.transform(F.col("toks"), lambda t: char_poly_hash(t))
+    shingles = toks.select(th_col.alias("th")).select(
+        F.explode(F.expr(token_shingle_hashes_sql("th", 2))).alias("sh")
+    )
+    hp = shingles.select(
+        ((HLL_A * F.col("sh") + HLL_B) % HASH_MOD).alias("hp")
+    )
+    regs = (
+        hp.select(
+            (F.col("hp") % HLL_M).alias("bucket"),
+            F.expr(
+                f"CASE WHEN hp div {HLL_M} = 0 THEN {HLL_RHO_MAX} "
+                f"ELSE {HLL_RHO_MAX} - length(bin(hp div {HLL_M})) END"
+            ).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    state = regs.agg(
+        F.count("*").alias("used"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_SHIFT} - rho)")).alias(
+            "z_used"
+        ),
+    )
+    truth = hp.agg(F.count_distinct("hp").alias("true_distinct"))
+    z_scaled = F.col("z_used") + (HLL_M - F.col("used")) * F.lit(
+        1 << HLL_SHIFT
+    ).cast("long")
+    return (
+        state.crossJoin(F.broadcast(truth))
+        .select(
+            F.lit(HLL_M).cast("long").alias("m"),
+            "used",
+            z_scaled.alias("z_scaled"),
+            F.floor(F.lit(HLL_NUMER) / z_scaled.cast("double"))
+            .cast("long")
+            .alias("est_distinct"),
+            "true_distinct",
+        )
+    )

@@ -531,3 +531,26 @@ def test_graph_family_plan_shapes(spark, sf_dir):
     assert uses_broadcast_join(aa)
     assert "TakeOrderedAndProject" in formatted_plan(aa)
     assert uses_broadcast_join(QUERIES["graph_pagerank_step"](spark, sf_dir))
+
+
+def test_sketch_family_plan_shapes(spark, sf_dir):
+    """sketch_*: the sketch tables are bounded (depth x width cells / m
+    registers), so every join against them must broadcast and no plan
+    may contain a CartesianProduct.  CMS's probe join carries two equi
+    keys (row_id, cell) — a SortMergeJoin there means the broadcast was
+    lost and the bounded sketch is being shuffled."""
+    from pyspark_text_classification_spark.plans.explain import (
+        formatted_plan,
+        uses_broadcast_join,
+    )
+
+    cms = QUERIES["sketch_cms_heavy_hitters"](spark, sf_dir)
+    plan = formatted_plan(cms)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, "CMS sketch join stopped broadcasting"
+    assert uses_broadcast_join(cms)
+
+    hll = QUERIES["sketch_hll_distinct"](spark, sf_dir)
+    plan = formatted_plan(hll)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
