@@ -154,6 +154,7 @@ HEADLINE = [
     "graph_degree_stats",
     "sketch_cms_heavy_hitters",
     "sketch_hll_distinct",
+    "graph_pagerank_iter3",
 ]
 
 
