@@ -32,6 +32,7 @@ import pyspark_text_classification_spark.streaming.checksum  # noqa: F401
 import pyspark_text_classification_spark.streaming.convert  # noqa: F401
 import pyspark_text_classification_spark.streaming.pq  # noqa: F401
 import pyspark_text_classification_spark.streaming.enrich  # noqa: F401
+import pyspark_text_classification_spark.streaming.sketch  # noqa: F401
 import pyspark_text_classification_spark.operators.dedup  # noqa: F401
 import pyspark_text_classification_spark.operators.similarity  # noqa: F401
 import pyspark_text_classification_spark.operators.pq  # noqa: F401

@@ -600,3 +600,58 @@ def test_stream_enrich_accumulates_across_batches(spark, sf_dir, tmp_path):
         for r in enrich_frame(orders, dim).collect()
     }
     assert got == want
+
+
+def test_stream_cms_sketch_merges_across_batches(spark, sf_dir, tmp_path):
+    """Streaming Count-Min: with the corpus split across two
+    micro-batches, the complete-mode (row_id, cell) counts must equal
+    the batch sketch over the union — CMS's linearity is exactly what
+    makes per-batch partials merge into the state store losslessly."""
+    import uuid
+
+    from pyspark_text_classification_spark.sources.parquet import load_table
+    from pyspark_text_classification_spark.streaming.infer import (
+        DOCS_STREAM_SCHEMA,
+    )
+    from pyspark_text_classification_spark.streaming.sketch import (
+        cms_sketch_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pdf = docs.toPandas().sort_values("doc_id")
+    d = tmp_path / "docs_stream"
+    os.makedirs(d)
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(str(d / "a_first.parquet"), index=False)
+    pdf.iloc[half:].to_parquet(str(d / "b_second.parquet"), index=False)
+    now = time.time()
+    os.utime(d / "a_first.parquet", (now - 100, now - 100))
+    os.utime(d / "b_second.parquet", (now, now))
+
+    src = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .load(str(d))
+    )
+    sink = f"cms_mb_{uuid.uuid4().hex[:8]}"
+    q = (
+        cms_sketch_frame(src)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None
+
+    got = {
+        (r["row_id"], r["cell"]): r["cell_sum"]
+        for r in spark.table(sink).collect()
+    }
+    want = {
+        (r["row_id"], r["cell"]): r["cell_sum"]
+        for r in cms_sketch_frame(docs).collect()
+    }
+    assert got == want
