@@ -155,6 +155,11 @@ HEADLINE = [
     "sketch_cms_heavy_hitters",
     "sketch_hll_distinct",
     "graph_pagerank_iter3",
+    "dedup_winnowing",
+    "graph_triangle_count",
+    "sketch_kmv_intersection",
+    "events_scd2_intervals",
+    "retrieval_phrase_match",
 ]
 
 

@@ -39,6 +39,7 @@ import pyspark_text_classification_spark.operators.pq  # noqa: F401
 import pyspark_text_classification_spark.operators.retrieval  # noqa: F401
 import pyspark_text_classification_spark.operators.graph  # noqa: F401
 import pyspark_text_classification_spark.operators.sketches  # noqa: F401
+import pyspark_text_classification_spark.operators.winnow  # noqa: F401
 from pyspark_text_classification_spark.registry import ORACLES, QUERIES  # noqa: F401
 
 # --- Driver-sweep ordering -------------------------------------------------
@@ -157,6 +158,11 @@ _DRIVER_FIRST = [
     "ml_infer_exported",
     "similarity_ivf_pq",
     "similarity_ivf_pq_recall",
+    "dedup_winnowing",
+    "graph_triangle_count",
+    "sketch_kmv_intersection",
+    "events_scd2_intervals",
+    "retrieval_phrase_match",
 ]
 
 

@@ -27,7 +27,11 @@ from pyspark_text_classification_spark.functions.text import (
     round_half_up,
     sql_round_half_up,
 )
-from pyspark_text_classification_spark.functions.time import TS_US_EXPR, ts_us
+from pyspark_text_classification_spark.functions.time import (
+    SQL_TS_US,
+    TS_US_EXPR,
+    ts_us,
+)
 from pyspark_text_classification_spark.registry import query
 from pyspark_text_classification_spark.sources.parquet import load_table
 
@@ -1131,4 +1135,73 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.percentile("latency_s", F.lit(0.5)), 4).alias("p50_s"),
         round_half_up(F.percentile("latency_s", F.lit(0.9)), 4).alias("p90_s"),
         F.max("latency_s").alias("max_s"),
+    )
+
+
+@query(
+    "events_scd2_intervals",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type AS state, {SQL_TS_US} AS ts_us, event_id
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, state, ts_us, event_id,
+             lag(state) OVER (PARTITION BY user_id
+                              ORDER BY ts_us, event_id) AS prev_state
+      FROM ev
+    ),
+    changes AS (
+      SELECT user_id, state, ts_us AS valid_from_us
+      FROM runs
+      WHERE prev_state IS NULL OR prev_state <> state
+    )
+    SELECT user_id, state, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY valid_from_us) AS valid_to_us,
+           CAST(lead(valid_from_us) OVER (PARTITION BY user_id
+                ORDER BY valid_from_us) IS NULL AS INT) AS is_current
+    FROM changes
+    """,
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from an event log: collapse
+    each user's event stream into state-validity intervals
+    [valid_from, valid_to) with an is_current flag on the open interval —
+    the standard dimension-table construction for "what was this user's
+    state at time T" joins (which then run as as-of joins against these
+    intervals, events_asof_join's shape).
+
+    Two windows, both partitioned BY USER — at 100 TB the sort is
+    per-user-partition (no global ordering anywhere) and AQE splits any
+    hot user.  Run-collapse before the lead() means the second window
+    sees only state CHANGES, typically orders of magnitude fewer rows
+    than events.  Ties on ts are broken by event_id so the run detection
+    is deterministic cross-engine."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        ts_us().alias("ts_us"),
+        "event_id",
+    )
+    w_run = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = (
+        ev.withColumn("prev_state", F.lag("state").over(w_run))
+        .filter(
+            F.col("prev_state").isNull()
+            | (F.col("prev_state") != F.col("state"))
+        )
+        .select("user_id", "state", F.col("ts_us").alias("valid_from_us"))
+    )
+    w_iv = Window.partitionBy("user_id").orderBy("valid_from_us")
+    return changes.select(
+        "user_id",
+        "state",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w_iv).alias("valid_to_us"),
+        F.lead("valid_from_us")
+        .over(w_iv)
+        .isNull()
+        .cast("int")
+        .alias("is_current"),
     )

@@ -259,6 +259,99 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(AA_TOPK)
 
 
+TRI_MIN_COMMON = 2  # supplier-graph edge: pairs sharing >= this many customers
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH e AS ({_SQL_EDGES}),
+    cdeg AS (SELECT c, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+    small AS (
+      SELECT e.c, e.s FROM e JOIN cdeg ON e.c = cdeg.c
+      WHERE cdeg.deg BETWEEN 2 AND {AA_HUB_CAP}
+    ),
+    se AS (
+      SELECT a.s AS u, b.s AS v
+      FROM small a JOIN small b ON a.c = b.c AND a.s < b.s
+      GROUP BY 1, 2
+      HAVING count(*) >= {TRI_MIN_COMMON}
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM se UNION ALL SELECT v FROM se
+      ) GROUP BY 1
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM se e1
+      JOIN se e2 ON e2.u = e1.v
+      JOIN se e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM se) AS n_edges,
+           (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT n_triangles FROM tri) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the supplier co-purchase graph (edge = supplier
+    pair sharing >= {TRI_MIN_COMMON} hub-capped customers): node/edge
+    counts, wedge count, and exact triangle count — the inputs to the
+    global clustering coefficient 3*triangles/wedges (kept as the two
+    integers; the division is the report's job).
+
+    The standard two-round relational triangle enumeration (e.g. Suri &
+    Vassilvitskii, WWW 2011): orient every edge low->high, join edges on
+    the shared middle vertex to enumerate wedges (u < v < w), then
+    semi-check the closing edge (u, w) with a third equi-join.  Vertex
+    ordering means each triangle is counted exactly once and the wedge
+    join's fan-out is bounded by the ordered out-degree, which the hub
+    cap on the underlying customer fan-out keeps small.  At 100 TB the
+    three joins are hash-partitioned on their keys and AQE handles
+    residual skew; the final census is a single-row aggregate."""
+    e = _bipartite_edges(spark, sf_dir)
+    cdeg = e.groupBy("c").agg(F.count("*").alias("deg"))
+    small = (
+        e.join(cdeg, "c")
+        .filter((F.col("deg") >= 2) & (F.col("deg") <= AA_HUB_CAP))
+        .select("c", "s")
+    )
+    a = small.alias("a")
+    b = small.select(F.col("c").alias("bc"), F.col("s").alias("v")).alias("b")
+    se = (
+        a.join(b, (F.col("a.c") == F.col("bc")) & (F.col("a.s") < F.col("v")))
+        .groupBy(F.col("a.s").alias("u"), "v")
+        .agg(F.count("*").alias("nc"))
+        .filter(F.col("nc") >= TRI_MIN_COMMON)
+        .select("u", "v")
+        .localCheckpoint(eager=True)  # feeds deg + the 3-way triangle join
+    )
+    deg = (
+        se.select(F.col("u").alias("node"))
+        .unionByName(se.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    e2 = se.select(F.col("u").alias("m"), F.col("v").alias("w"))
+    e3 = se.select(F.col("u").alias("cu"), F.col("v").alias("cw"))
+    tri = (
+        se.join(e2, se.v == e2.m)
+        .join(e3, (F.col("u") == F.col("cu")) & (F.col("w") == F.col("cw")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    counts = se.agg(F.count("*").alias("n_edges"))
+    nodes = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+    )
+    return (
+        nodes.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+    )
+
+
 PR_ITERS = 3
 
 

@@ -178,3 +178,105 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# --- positional-index phrase match ------------------------------------------
+PHRASE_QUERIES: list[tuple[int, str, str]] = [
+    (0, "hash", "join"),
+    (1, "merge", "sort"),
+    (2, "table", "scan"),
+    (3, "stream", "window"),
+]
+PHRASE_TOPK = 10
+
+_SQL_P_VALUES = ", ".join(
+    f"({qid}, '{t1}', '{t2}')" for qid, t1, t2 in PHRASE_QUERIES
+)
+
+
+@query(
+    "retrieval_phrase_match",
+    oracle=f"""
+    WITH q(query_id, t1, t2) AS (VALUES {_SQL_P_VALUES}),
+    pos AS (
+      SELECT doc_id, unnest(toks) AS term,
+             generate_subscripts(toks, 1) AS pos
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    ),
+    m AS (
+      SELECT q.query_id, p1.doc_id,
+             CAST(count(*) AS BIGINT) AS n_matches
+      FROM q
+      JOIN pos p1 ON p1.term = q.t1
+      JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+                 AND p2.term = q.t2
+      GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, n_matches, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT query_id, doc_id, n_matches,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY n_matches DESC, doc_id) AS rnk
+      FROM m
+    ) WHERE rnk <= {PHRASE_TOPK}
+    """,
+)
+def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval over a POSITIONAL inverted index: top-{PHRASE_TOPK}
+    documents per bigram phrase query, ranked by phrase-occurrence count.
+
+    The positional postings table (doc_id, pos, term) is one posexplode
+    over the tokenized corpus — the data structure behind phrase and
+    proximity operators in every lexical engine.  A phrase match is a
+    SELF-JOIN of the postings on (same doc, adjacent positions, the two
+    phrase terms): relationally, adjacency is just an equi-join key
+    (doc_id, pos+1).  The broadcast query probe prunes the postings scan
+    to the phrase's terms before the join, so at 100 TB only those
+    posting lists shuffle — and they are joined on doc_id, their natural
+    partitioning.  Positions index the FILTERED token sequence (tokens
+    >= 2 chars), identically in both engines.  Unlike BM25's scored
+    union, phrase candidates are only the documents containing both
+    terms adjacently, so the final per-query top-k window sees a small
+    bounded set (no salted two-level needed)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(tokenize("text", 2)).alias("pos0", "term"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    q = spark.createDataFrame(
+        PHRASE_QUERIES, "query_id INT, t1 STRING, t2 STRING"
+    )
+    terms = q.select(F.col("t1").alias("term")).unionByName(
+        q.select(F.col("t2").alias("term"))
+    ).distinct()
+    # probe: only postings of phrase terms survive the scan
+    pq = pos.join(F.broadcast(terms), "term").localCheckpoint(eager=True)
+    p1 = pq.alias("p1").join(F.broadcast(q), F.col("p1.term") == F.col("t1"))
+    p2 = pq.select(
+        F.col("doc_id").alias("d2"),
+        F.col("pos").alias("pos2"),
+        F.col("term").alias("term2"),
+    )
+    m = (
+        p1.join(
+            p2,
+            (F.col("p1.doc_id") == F.col("d2"))
+            & (F.col("pos2") == F.col("p1.pos") + 1)
+            & (F.col("term2") == F.col("t2")),
+        )
+        .groupBy("query_id", F.col("p1.doc_id").alias("doc_id"))
+        .agg(F.count("*").alias("n_matches"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_matches").desc(), "doc_id"
+    )
+    return (
+        m.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PHRASE_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            "n_matches",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -273,3 +273,166 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_distinct",
         )
     )
+
+
+# --- KMV (k-minimum-values) distinct / intersection sketch ------------------
+# Bar-Yossef et al., "Counting distinct elements in a data stream"
+# (RANDOM 2002); Beyer et al., "On synopses for distinct-value estimation
+# under multiset operations" (SIGMOD 2007) for the union/Jaccard form.
+KMV_K = 64
+KMV_A = 1_203_248_327   # fixed permutation (a*u + b) mod p, literals shared
+KMV_B = 730_482_109     # by both engines (drawn once, seed 20260815)
+KMV_SET_A = "click"
+KMV_SET_B = "purchase"
+KMV_SALTS = 8  # level-1 fan-out of the two-level min-k (bounds reducer rows)
+
+_SQL_KMV_UH = (
+    f"((user_id % {HASH_MOD}) * {KMV_A} + {KMV_B}) % {HASH_MOD}"
+)
+
+
+@query(
+    "sketch_kmv_intersection",
+    oracle=f"""
+    WITH sk AS (
+      SELECT DISTINCT event_type AS t, {_SQL_KMV_UH} AS uh
+      FROM events WHERE event_type IN ('{KMV_SET_A}', '{KMV_SET_B}')
+    ),
+    exact AS (
+      SELECT event_type AS t,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events WHERE event_type IN ('{KMV_SET_A}', '{KMV_SET_B}')
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT t, uh, row_number() OVER (PARTITION BY t ORDER BY uh) AS rn
+      FROM sk
+    ),
+    kmv AS (SELECT t, uh, rn FROM ranked WHERE rn <= {KMV_K}),
+    stats AS (
+      SELECT s.t, c.n_h, e.n_exact,
+             CASE WHEN c.n_h < {KMV_K} THEN c.n_h
+                  ELSE {(KMV_K - 1) * HASH_MOD}
+                       // max(CASE WHEN s.rn = {KMV_K} THEN s.uh END)
+             END AS est
+      FROM kmv s
+      JOIN (SELECT t, CAST(count(*) AS BIGINT) AS n_h FROM sk GROUP BY 1) c
+        ON c.t = s.t
+      JOIN exact e ON e.t = s.t
+      GROUP BY s.t, c.n_h, e.n_exact
+    ),
+    x AS (
+      SELECT uh, row_number() OVER (ORDER BY uh) AS rn
+      FROM (SELECT DISTINCT uh FROM kmv)
+    ),
+    xk AS (SELECT uh FROM x WHERE rn <= {KMV_K}),
+    inter AS (
+      SELECT CAST(count(*) AS BIGINT) AS inter_at_k
+      FROM xk
+      WHERE uh IN (SELECT uh FROM kmv WHERE t = '{KMV_SET_A}')
+        AND uh IN (SELECT uh FROM kmv WHERE t = '{KMV_SET_B}')
+    ),
+    xn AS (SELECT CAST(count(*) AS BIGINT) AS union_k FROM xk)
+    SELECT
+      (SELECT n_exact FROM stats WHERE t = '{KMV_SET_A}') AS exact_a,
+      (SELECT n_exact FROM stats WHERE t = '{KMV_SET_B}') AS exact_b,
+      (SELECT CAST(est AS BIGINT) FROM stats WHERE t = '{KMV_SET_A}') AS est_a,
+      (SELECT CAST(est AS BIGINT) FROM stats WHERE t = '{KMV_SET_B}') AS est_b,
+      (SELECT union_k FROM xn) AS union_k,
+      (SELECT inter_at_k FROM inter) AS inter_at_k,
+      (SELECT inter_at_k FROM inter) * 1000000
+        // (SELECT union_k FROM xn) AS jaccard_micro
+    """,
+)
+def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch comparison of two behavioral populations ('{KMV_SET_A}'
+    users vs '{KMV_SET_B}' users): per-set distinct estimates
+    (k-1)*M/h_(k) plus the union-sketch Jaccard estimate
+    |X ∩ A_k ∩ B_k| / |X| — the mergeable-synopsis way to answer
+    "how much do two audiences overlap" without a distinct-join.
+
+    Everything is integer-exact and oracle-checked: the permuted hash is
+    the literal (a*u+b) mod p family, the k minima come from a TWO-LEVEL
+    min-k (partial top-k per (set, salt) bucket, then final k over the
+    SALTS*k survivors — never a full set through one reducer), and sets
+    smaller than k fall back to their exact hash count (the KMV estimator
+    is exact below k by construction).  At 100 TB each sketch is O(k)
+    state mergeable across shards; the exact side-columns (a distinct
+    aggregate) are there as ground truth for the accuracy contract."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(KMV_SET_A, KMV_SET_B))
+        .select(F.col("event_type").alias("t"), "user_id")
+    )
+    exact = ev.groupBy("t").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    sk = ev.selectExpr("t", f"{_SQL_KMV_UH} AS uh").distinct()
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy(
+        "t", F.pmod(F.col("uh"), F.lit(KMV_SALTS))
+    ).orderBy("uh")
+    lvl1 = (
+        sk.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= KMV_K)
+        .drop("r1")
+    )
+    w2 = Window.partitionBy("t").orderBy("uh")
+    kmv = (
+        lvl1.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= KMV_K)
+        .localCheckpoint(eager=True)  # feeds stats + union + 2 memberships
+    )
+    nh = sk.groupBy("t").agg(F.count("*").alias("n_h"))
+    kth = kmv.filter(F.col("rn") == KMV_K).select(
+        "t", F.col("uh").alias("kth")
+    )
+    stats = (
+        nh.join(exact, "t")
+        .join(kth, "t", "left")
+        .select(
+            "t",
+            "n_exact",
+            F.expr(
+                f"CASE WHEN n_h < {KMV_K} THEN n_h "
+                f"ELSE {(KMV_K - 1) * HASH_MOD} div kth END"
+            ).alias("est"),
+        )
+    )
+    wx = Window.partitionBy(F.lit(1)).orderBy("uh")  # <= 2k rows: bounded
+    xk = (
+        kmv.select("uh")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wx))
+        .filter(F.col("rn") <= KMV_K)
+        .select("uh")
+    )
+    in_a = kmv.filter(F.col("t") == KMV_SET_A).select("uh")
+    in_b = kmv.filter(F.col("t") == KMV_SET_B).select("uh")
+    inter = (
+        xk.join(in_a, "uh", "left_semi")
+        .join(in_b, "uh", "left_semi")
+        .agg(F.count("*").alias("inter_at_k"))
+    )
+    xn = xk.agg(F.count("*").alias("union_k"))
+    sa = stats.filter(F.col("t") == KMV_SET_A).select(
+        F.col("n_exact").alias("exact_a"), F.col("est").alias("est_a")
+    )
+    sb = stats.filter(F.col("t") == KMV_SET_B).select(
+        F.col("n_exact").alias("exact_b"), F.col("est").alias("est_b")
+    )
+    return (
+        sa.crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(xn))
+        .crossJoin(F.broadcast(inter))
+        .select(
+            "exact_a",
+            "exact_b",
+            "est_a",
+            "est_b",
+            "union_k",
+            "inter_at_k",
+            F.expr("inter_at_k * 1000000 div union_k").alias("jaccard_micro"),
+        )
+    )
