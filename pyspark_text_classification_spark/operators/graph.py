@@ -260,6 +260,15 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRI_MIN_COMMON = 2  # supplier-graph edge: pairs sharing >= this many customers
+# Dense-projection guard: co-occurrence projections of uniform bipartite
+# data are near-COMPLETE graphs (every supplier pair shares customers),
+# and a complete graph has Theta(n^3) triangles — no enumeration algorithm
+# escapes that. The census therefore runs on the BACKBONE: the top-K
+# heaviest edges by shared-customer count (deterministic total order on
+# (weight desc, u, v) — the disparity-filter idea of Serrano et al. 2009
+# with a rank cap instead of a significance test). Bounds the wedge join
+# at O(K^1.5) regardless of projection density.
+TRI_EDGE_TOPK = 10_000
 
 
 @query(
@@ -271,11 +280,17 @@ TRI_MIN_COMMON = 2  # supplier-graph edge: pairs sharing >= this many customers
       SELECT e.c, e.s FROM e JOIN cdeg ON e.c = cdeg.c
       WHERE cdeg.deg BETWEEN 2 AND {AA_HUB_CAP}
     ),
-    se AS (
-      SELECT a.s AS u, b.s AS v
+    se0 AS (
+      SELECT a.s AS u, b.s AS v, CAST(count(*) AS BIGINT) AS w
       FROM small a JOIN small b ON a.c = b.c AND a.s < b.s
       GROUP BY 1, 2
       HAVING count(*) >= {TRI_MIN_COMMON}
+    ),
+    se AS (
+      SELECT u, v FROM (
+        SELECT u, v, row_number() OVER (ORDER BY w DESC, u, v) AS rnk
+        FROM se0
+      ) WHERE rnk <= {TRI_EDGE_TOPK}
     ),
     deg AS (
       SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
@@ -295,21 +310,26 @@ TRI_MIN_COMMON = 2  # supplier-graph edge: pairs sharing >= this many customers
     """,
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle census of the supplier co-purchase graph (edge = supplier
-    pair sharing >= {TRI_MIN_COMMON} hub-capped customers): node/edge
-    counts, wedge count, and exact triangle count — the inputs to the
-    global clustering coefficient 3*triangles/wedges (kept as the two
+    """Triangle census of the supplier co-purchase BACKBONE (top-
+    {TRI_EDGE_TOPK} heaviest edges among pairs sharing >=
+    {TRI_MIN_COMMON} hub-capped customers): node/edge counts, wedge
+    count, and exact triangle count — the inputs to the global
+    clustering coefficient 3*triangles/wedges (kept as the two
     integers; the division is the report's job).
 
     The standard two-round relational triangle enumeration (e.g. Suri &
     Vassilvitskii, WWW 2011): orient every edge low->high, join edges on
     the shared middle vertex to enumerate wedges (u < v < w), then
     semi-check the closing edge (u, w) with a third equi-join.  Vertex
-    ordering means each triangle is counted exactly once and the wedge
-    join's fan-out is bounded by the ordered out-degree, which the hub
-    cap on the underlying customer fan-out keeps small.  At 100 TB the
-    three joins are hash-partitioned on their keys and AQE handles
-    residual skew; the final census is a single-row aggregate."""
+    ordering counts each triangle exactly once.  The backbone cap (see
+    TRI_EDGE_TOPK) is what makes the census tractable on DENSE
+    co-occurrence projections: without it a near-complete projection has
+    Theta(n^3) triangles and 28s of wedge enumeration at sf0.1; on the
+    top-K backbone the wedge join is bounded at O(K^1.5) — and the cap
+    is the repo's salted-top-k away from being fully scalable (here a
+    single window suffices because se0 is already an aggregate output).
+    At 100 TB the joins are hash-partitioned on their keys and AQE
+    handles residual skew; the final census is a single-row aggregate."""
     e = _bipartite_edges(spark, sf_dir)
     cdeg = e.groupBy("c").agg(F.count("*").alias("deg"))
     small = (
@@ -319,11 +339,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = small.alias("a")
     b = small.select(F.col("c").alias("bc"), F.col("s").alias("v")).alias("b")
-    se = (
+    se0 = (
         a.join(b, (F.col("a.c") == F.col("bc")) & (F.col("a.s") < F.col("v")))
         .groupBy(F.col("a.s").alias("u"), "v")
-        .agg(F.count("*").alias("nc"))
-        .filter(F.col("nc") >= TRI_MIN_COMMON)
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= TRI_MIN_COMMON)
+    )
+    se = (
+        se0.orderBy(F.col("w").desc(), "u", "v")
+        .limit(TRI_EDGE_TOPK)  # TakeOrderedAndProject, never a global sort
         .select("u", "v")
         .localCheckpoint(eager=True)  # feeds deg + the 3-way triangle join
     )

@@ -555,3 +555,36 @@ def test_sketch_family_plan_shapes(spark, sf_dir):
     plan = formatted_plan(hll)
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_round3_additions_plan_shapes(spark, sf_dir):
+    """dedup_winnowing / graph_triangle_count / sketch_kmv_intersection /
+    retrieval_phrase_match / events_scd2_intervals: no CartesianProduct
+    anywhere; the phrase probe must broadcast its term list; the SCD2
+    windows must both partition by user (no empty-partitionBy global
+    sort)."""
+    from pyspark_text_classification_spark.plans.explain import (
+        formatted_plan,
+        uses_broadcast_join,
+    )
+
+    for name in (
+        "dedup_winnowing",
+        "graph_triangle_count",
+        "sketch_kmv_intersection",
+        "retrieval_phrase_match",
+    ):
+        plan = formatted_plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+
+    pm = QUERIES["retrieval_phrase_match"](spark, sf_dir)
+    assert uses_broadcast_join(pm)
+
+    scd = QUERIES["events_scd2_intervals"](spark, sf_dir)
+    plan = formatted_plan(scd)
+    assert "CartesianProduct" not in plan
+    # every Window node must carry the user_id partition key
+    import re
+
+    for m in re.finditer(r"Window \[.*?\]", plan):
+        assert "user_id" in m.group(0), m.group(0)
