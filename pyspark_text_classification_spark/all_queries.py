@@ -33,6 +33,7 @@ import pyspark_text_classification_spark.streaming.convert  # noqa: F401
 import pyspark_text_classification_spark.streaming.pq  # noqa: F401
 import pyspark_text_classification_spark.streaming.enrich  # noqa: F401
 import pyspark_text_classification_spark.streaming.sketch  # noqa: F401
+import pyspark_text_classification_spark.streaming.scd2  # noqa: F401
 import pyspark_text_classification_spark.operators.dedup  # noqa: F401
 import pyspark_text_classification_spark.operators.similarity  # noqa: F401
 import pyspark_text_classification_spark.operators.pq  # noqa: F401
@@ -163,6 +164,7 @@ _DRIVER_FIRST = [
     "sketch_kmv_intersection",
     "events_scd2_intervals",
     "retrieval_phrase_match",
+    "events_stream_scd2",
 ]
 
 

@@ -655,3 +655,71 @@ def test_stream_cms_sketch_merges_across_batches(spark, sf_dir, tmp_path):
         for r in cms_sketch_frame(docs).collect()
     }
     assert got == want
+
+
+def test_scd2_interval_closes_across_batch_split(spark, tmp_path):
+    """A state run OPENED in batch 1 and CLOSED in batch 2 must emit one
+    interval with the batch-1 valid_from; the final (open) state emits
+    nothing."""
+    from pyspark_text_classification_spark.streaming.scd2 import (
+        _OUT_SCHEMA as SCD_OUT,
+        _STATE_SCHEMA as SCD_STATE,
+        _scd2_group,
+    )
+
+    base = 1_000_000_000_000  # µs
+    rows = [
+        # user 1: view-run opens in batch 1, closes on click in batch 2
+        (101, base, 1, "view", 1.0, "{}"),
+        (102, base + 100_000_000, 1, "view", 1.0, "{}"),
+        (103, base + 300_000_000, 1, "click", 1.0, "{}"),
+        # click-run stays open -> no second interval
+        (104, base + 400_000_000, 1, "click", 1.0, "{}"),
+    ]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    pdf = pd.DataFrame(rows, columns=cols).sort_values("ts")
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="us").astype("datetime64[us]")
+    d = tmp_path / "scd2_src"
+    os.makedirs(d)
+    half = len(pdf) // 2  # split lands inside the view run
+    pdf.iloc[:half].to_parquet(str(d / "a_first.parquet"), index=False)
+    pdf.iloc[half:].to_parquet(str(d / "b_second.parquet"), index=False)
+    now = time.time()
+    os.utime(d / "a_first.parquet", (now - 100, now - 100))
+    os.utime(d / "b_second.parquet", (now, now))
+
+    src = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    iv = (
+        src.selectExpr(
+            "event_id", "user_id", "event_type",
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+            " ts) AS ts_us",
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _scd2_group,
+            outputStructType=SCD_OUT,
+            stateStructType=SCD_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = "scd2_split_sink"
+    q = (
+        iv.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [
+        (r.user_id, r.state, r.valid_from_us, r.valid_to_us)
+        for r in spark.table(sink).collect()
+    ]
+    assert got == [(1, "view", base, base + 300_000_000)]
