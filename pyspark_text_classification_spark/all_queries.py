@@ -41,6 +41,7 @@ import pyspark_text_classification_spark.operators.retrieval  # noqa: F401
 import pyspark_text_classification_spark.operators.graph  # noqa: F401
 import pyspark_text_classification_spark.operators.sketches  # noqa: F401
 import pyspark_text_classification_spark.operators.winnow  # noqa: F401
+import pyspark_text_classification_spark.sources.pygen  # noqa: F401
 from pyspark_text_classification_spark.registry import ORACLES, QUERIES  # noqa: F401
 
 # --- Driver-sweep ordering -------------------------------------------------
@@ -165,6 +166,7 @@ _DRIVER_FIRST = [
     "events_scd2_intervals",
     "retrieval_phrase_match",
     "events_stream_scd2",
+    "source_python_datasource",
 ]
 
 

@@ -377,3 +377,57 @@ def test_udtf_surface_word_chunker(spark):
         "SELECT c.chunk_id, c.chunk FROM LATERAL word_chunker('x y z', 2) c"
     ).collect()
     assert [(r.chunk_id, r.chunk) for r in rows] == [(0, "x y"), (1, "z")]
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing GUARANTEE (Schleimer et al. 2003): two documents
+    sharing a token run of length >= w + k - 1 select at least one
+    common fingerprint — even when everything around the run differs.
+    Conversely an empty doc still yields exactly one (degenerate)
+    fingerprint."""
+    from pyspark_text_classification_spark.operators.winnow import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowed_fingerprints,
+    )
+
+    run = "alpha beta gamma delta epsilon zeta"  # 6 = W + K - 1 tokens
+    assert len(run.split()) == WINNOW_W + WINNOW_K - 1
+    docs = spark.createDataFrame(
+        [
+            (1, f"completely unrelated prefix {run} and more tail words"),
+            (2, f"other document body {run} closing remarks here"),
+            (3, "nothing in common with either of the above documents"),
+        ],
+        schema="doc_id long, text string",
+    )
+    fps = winnowed_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared run selected no common fingerprint"
+    # doc 3 shares nothing with doc 1 (different vocab entirely)
+    assert not (by_doc[1] & by_doc[3])
+
+    empty = spark.createDataFrame(
+        [(9, "")], schema="doc_id long, text string"
+    )
+    got = winnowed_fingerprints(empty).collect()
+    assert [(r.doc_id, r.fp) for r in got] == [(9, 0)]
+
+
+def test_kmv_estimate_within_error_bound(spark, sf_dir):
+    """KMV's relative standard error is ~1/sqrt(k-1); assert the distinct
+    estimates land within 4 sigma of truth (deterministic here — the
+    hash permutation is fixed), and the estimator is EXACT whenever the
+    set is smaller than k."""
+    from pyspark_text_classification_spark.all_queries import QUERIES
+    from pyspark_text_classification_spark.operators.sketches import KMV_K
+
+    row = QUERIES["sketch_kmv_intersection"](spark, sf_dir).first()
+    sigma = 1.0 / (KMV_K - 1) ** 0.5
+    for exact, est in ((row.exact_a, row.est_a), (row.exact_b, row.est_b)):
+        if exact < KMV_K:
+            assert est == exact, "sub-k set must be exact"
+        else:
+            assert abs(est - exact) <= 4 * sigma * exact, (exact, est)
