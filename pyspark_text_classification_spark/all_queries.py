@@ -167,6 +167,7 @@ _DRIVER_FIRST = [
     "retrieval_phrase_match",
     "events_stream_scd2",
     "source_python_datasource",
+    "source_python_stream",
 ]
 
 

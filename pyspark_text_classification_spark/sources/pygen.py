@@ -30,6 +30,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 from pyspark_text_classification_spark.registry import query
@@ -125,3 +126,100 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_c").alias("sum_value_c"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+# --- streaming variant: the same generator as a micro-batch source ----------
+STREAM_BATCH_ROWS = 5_000
+STREAM_MAX_ROWS = GEN_ROWS  # stream ends (no new offsets) at the batch total
+
+
+class LCGRowsStreamReader(SimpleDataSourceStreamReader):
+    """Offset = next global row index; each micro-batch advances it by
+    STREAM_BATCH_ROWS until STREAM_MAX_ROWS.  Offsets are plain dicts
+    (JSON-checkpointable), rows are the SAME affine function of the row
+    index as the batch reader — so a drained stream equals the batch
+    scan row-for-row, and the registered aggregate below shares the
+    batch query's DuckDB range() oracle."""
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def read(self, start):
+        lo = start["i"]
+        hi = min(lo + STREAM_BATCH_ROWS, STREAM_MAX_ROWS)
+        rows = [
+            (i, x % 1000, GEN_TYPES[x % 5], x % 10_000)
+            for i in range(lo, hi)
+            for x in ((LCG_A * i + LCG_B) % LCG_M,)
+        ]
+        return (iter(rows), {"i": hi})
+
+    def readBetweenOffsets(self, start, end):
+        rows, _ = self.read(start)
+        return rows
+
+    def commit(self, end):
+        pass
+
+
+class LCGRowsStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "lcg_rows_stream"
+
+    def schema(self) -> str:
+        return "row_id long, user_id long, event_type string, value_c long"
+
+    def simpleStreamReader(self, schema) -> LCGRowsStreamReader:
+        return LCGRowsStreamReader()
+
+
+@query(
+    "source_python_stream",
+    oracle=f"""
+    WITH r AS (SELECT range AS i FROM range(0, {GEN_ROWS}))
+    SELECT {_SQL_TYPE} AS event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum({_SQL_X} % 10000) AS BIGINT) AS sum_value_c
+    FROM r GROUP BY 1
+    """,
+)
+def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the custom PYTHON STREAMING source -> complete-mode
+    per-type aggregate, drained until the generator's offset range is
+    exhausted ({GEN_ROWS} rows in {GEN_ROWS // STREAM_BATCH_ROWS}
+    micro-batches).  The drained state must equal the batch twin — same
+    oracle family as every streaming twin, but here the SOURCE itself is
+    the custom code under test.  (sf_dir unused: the source is the
+    table.)"""
+    import time as _time
+    import uuid as _uuid
+
+    spark.dataSource.register(LCGRowsStreamDataSource)
+    src = spark.readStream.format("lcg_rows_stream").load()
+    agg = src.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("value_c").alias("sum_value_c"),
+    )
+    sink_name = f"pygen_stream_{_uuid.uuid4().hex[:8]}"
+    # NOT availableNow: for a SimpleDataSourceStreamReader that trigger
+    # drains only the one prefetched batch.  Run the real micro-batch
+    # cadence and stop once the complete-mode state covers every
+    # generated row (the offset range is finite, so this converges).
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        got = spark.table(sink_name).agg(F.sum("n")).first()[0]
+        if got == GEN_ROWS:
+            break
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    assert spark.table(sink_name).agg(F.sum("n")).first()[0] == GEN_ROWS
+    return spark.table(sink_name)

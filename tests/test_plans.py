@@ -57,7 +57,7 @@ EAGER_QUERIES = {
     "events_stream_ohlc_hourly", "text_stream_kl_drift",
     "pipeline_stream_checksum", "events_stream_time_to_convert",
     "similarity_stream_pq_codes", "events_stream_enrich",
-    "sketch_stream_cms", "events_stream_scd2",
+    "sketch_stream_cms", "events_stream_scd2", "source_python_stream",
     "dedup_clusters", "dedup_clusters_twostar", "similarity_dedup_clusters",
     "dedup_incremental_ingest", "dedup_containment",
     "ml_tfidf_lr_metrics", "ml_topk_coefficients", "ml_infer_exported",
