@@ -160,6 +160,9 @@ HEADLINE = [
     "sketch_kmv_intersection",
     "events_scd2_intervals",
     "retrieval_phrase_match",
+    "pipeline_shard_manifest",
+    "events_watermark_audit",
+    "source_python_datasource",
 ]
 
 

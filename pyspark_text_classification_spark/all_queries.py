@@ -168,6 +168,8 @@ _DRIVER_FIRST = [
     "events_stream_scd2",
     "source_python_datasource",
     "source_python_stream",
+    "pipeline_shard_manifest",
+    "events_watermark_audit",
 ]
 
 

@@ -1205,3 +1205,71 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_current"),
     )
+
+
+# lateness histogram bucket edges (µs) — literals shared by both engines
+LATENESS_EDGES_US = (0, 60_000_000, 600_000_000, 3_600_000_000)
+
+
+@query(
+    "events_watermark_audit",
+    oracle=f"""
+    WITH arr AS (
+      SELECT user_id, event_id, {SQL_TS_US} AS ts_us,
+             max({SQL_TS_US}) OVER (PARTITION BY user_id
+                                    ORDER BY event_id) AS high_water
+      FROM events
+    ),
+    late AS (SELECT user_id, high_water - ts_us AS lateness_us FROM arr)
+    SELECT CASE
+             WHEN lateness_us <= {LATENESS_EDGES_US[0]} THEN 'in_order'
+             WHEN lateness_us <= {LATENESS_EDGES_US[1]} THEN 'lt_1m'
+             WHEN lateness_us <= {LATENESS_EDGES_US[2]} THEN 'lt_10m'
+             WHEN lateness_us <= {LATENESS_EDGES_US[3]} THEN 'lt_1h'
+             ELSE 'ge_1h'
+           END AS lateness_bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(lateness_us) AS BIGINT) AS max_lateness_us
+    FROM late GROUP BY 1
+    """,
+)
+def events_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit that SIZES a streaming watermark: per user
+    (per-key arrival order = event_id), how far behind the running
+    event-time high-water mark each event arrives, bucketed into the
+    delays a ``withWatermark`` would have to tolerate.  The answer to
+    "what watermark delay covers 99.9% of late data" BEFORE deploying
+    the streaming twins — pick the smallest bucket edge whose cumulative
+    count clears the SLO, and ge_1h rows are the candidates for a
+    dead-letter path.
+
+    One per-user-partitioned running max (no global ordering anywhere)
+    feeding a |buckets|-bounded aggregate; at 100 TB both shuffle keys
+    are user_id and the 5-row output is the report."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", ts_us().alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = ev.select(
+        (F.max("ts_us").over(w) - F.col("ts_us")).alias("lateness_us")
+    )
+    e0, e1, e2, e3 = LATENESS_EDGES_US
+    bucket = (
+        F.when(F.col("lateness_us") <= e0, "in_order")
+        .when(F.col("lateness_us") <= e1, "lt_1m")
+        .when(F.col("lateness_us") <= e2, "lt_10m")
+        .when(F.col("lateness_us") <= e3, "lt_1h")
+        .otherwise("ge_1h")
+    )
+    return (
+        late.select(bucket.alias("lateness_bucket"), "lateness_us")
+        .groupBy("lateness_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("lateness_us").alias("max_lateness_us"),
+        )
+    )

@@ -1275,3 +1275,61 @@ def pipeline_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_docs_at_risk"),
         F.min("grp_size").alias("min_group_size"),
     )
+
+
+# --- shard manifest ---------------------------------------------------------
+MANIFEST_SHARDS = 16
+_SHARD_A = 2_654_435_761  # Knuth multiplicative constant; literal both engines
+
+
+@query(
+    "pipeline_shard_manifest",
+    oracle=f"""
+    WITH rows_h AS (
+      SELECT (doc_id * {_SHARD_A}) % {MANIFEST_SHARDS} AS shard_id,
+             n_chars,
+             {_DOC_ROW_SQL} AS h
+      FROM documents
+    )
+    SELECT shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(bit_xor(h) AS BIGINT) AS checksum
+    FROM rows_h GROUP BY 1
+    """,
+)
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The publishing manifest of a sharded dataset export: per shard,
+    the document count, total characters, and an order-free XOR content
+    checksum — what a 100 TB dataset release ships next to its shards so
+    any consumer can verify a download (and any writer can verify a
+    re-layout) without re-reading the corpus twice.
+
+    Shard assignment is the same multiplicative hash a sharded WRITER
+    would use (deterministic, key-stable under appends); the manifest is
+    ONE map-side-combined aggregate whose output is |shards| rows, and
+    the checksum column reuses pipeline_table_checksum's Horner row hash
+    so manifest verification and table-level migration checks compose."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark_text_classification_spark.functions.hashing import (
+        _poly_hash_sql,
+    )
+
+    # _horner_sql nests plain arithmetic strings, so it serves both
+    # engines; only the char-hash leaf differs (Spark vs DuckDB HOF).
+    row_h = F.expr(_horner_sql(["doc_id", _poly_hash_sql("text")]))
+    return (
+        docs.select(
+            F.expr(f"(doc_id * {_SHARD_A}) % {MANIFEST_SHARDS}").alias(
+                "shard_id"
+            ),
+            "n_chars",
+            row_h.alias("h"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.expr("bit_xor(h)").cast("long").alias("checksum"),
+        )
+    )

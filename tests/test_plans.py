@@ -43,7 +43,6 @@ PANDAS_QUERIES = {
     "multimodal_frame_sample", "multimodal_resize", "multimodal_embed_topk",
     "pipeline_global_rank",  # declared Arrow enumerate-sorted-partitions stage
     "q41_customer_rfm",  # three total_order_rank enumerate stages (no window)
-    "source_python_datasource",  # custom Python DataSource scan (by design)
 }
 # run eagerly on call (streaming drains / iterative fits) — their plans
 # can't be inspected lazily here; streaming twins share their batch
