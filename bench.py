@@ -163,6 +163,7 @@ HEADLINE = [
     "pipeline_shard_manifest",
     "events_watermark_audit",
     "source_python_datasource",
+    "ml_pca_power_iter",
 ]
 
 

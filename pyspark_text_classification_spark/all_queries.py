@@ -42,6 +42,7 @@ import pyspark_text_classification_spark.operators.graph  # noqa: F401
 import pyspark_text_classification_spark.operators.sketches  # noqa: F401
 import pyspark_text_classification_spark.operators.winnow  # noqa: F401
 import pyspark_text_classification_spark.sources.pygen  # noqa: F401
+import pyspark_text_classification_spark.operators.linalg  # noqa: F401
 from pyspark_text_classification_spark.registry import ORACLES, QUERIES  # noqa: F401
 
 # --- Driver-sweep ordering -------------------------------------------------
@@ -170,6 +171,7 @@ _DRIVER_FIRST = [
     "source_python_stream",
     "pipeline_shard_manifest",
     "events_watermark_audit",
+    "ml_pca_power_iter",
 ]
 
 
