@@ -185,4 +185,65 @@ def _apply_driver_order() -> None:
     QUERIES.update(ordered)
 
 
+def coverage_priority(
+    names: list[str], artifacts: list[dict]
+) -> list[str]:
+    """Stable sort of ``names`` by driver-coverage need: queries whose
+    only artifact rows are RED (err or failed match) first — an error in
+    the permanent record is the most urgent thing to overwrite with a
+    green — then queries never driver-checked, then settled greens.
+    Relative order within each class is preserved, so the hand-tuned
+    _DRIVER_FIRST order remains the tiebreak."""
+    settled: dict[str, bool] = {}
+    for data in artifacts:
+        for name, rec in data.items():
+            if not isinstance(rec, dict):
+                continue
+            ok = (
+                rec.get("err") is None
+                and bool(rec.get("hash_match", rec.get("rows_match")))
+            ) or (
+                # no-oracle queries: the driver records err='no_oracle'
+                # with the row count — that IS their green.
+                rec.get("err") == "no_oracle"
+                and rec.get("spark_rows") is not None
+            )
+            settled[name] = settled.get(name, False) or ok
+    def cls(n: str) -> int:
+        if n not in settled:
+            return 1  # never driver-checked
+        return 2 if settled[n] else 0  # green settles; red re-queues FIRST
+    return sorted(names, key=lambda n: cls(n))
+
+
+def _apply_artifact_aware_order() -> None:
+    """Rotate the registry so each round's first-50 driver sweep lands on
+    maximum-new-information queries, using the rounds' own CORRECTNESS
+    artifacts (committed at the repo root) as the record of what has
+    already been checked.  With r1+r2 artifacts this reproduces round 3's
+    hand-built rotation exactly; every later round advances automatically
+    — no manual reorder, no wasted driver slots.  No artifacts (fresh
+    clone, pytest sandbox) -> the static order stands."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    artifacts = []
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(p) as fh:
+                artifacts.append(json.load(fh))
+        except (OSError, ValueError):  # unreadable artifact: skip, not fatal
+            continue
+    if not artifacts:
+        return
+    ordered = {
+        n: QUERIES[n] for n in coverage_priority(list(QUERIES), artifacts)
+    }
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
 _apply_driver_order()
+_apply_artifact_aware_order()

@@ -106,3 +106,27 @@ def test_run_glue_task_qnli_end_to_end(spark, tmp_path):
     # pipeline RUNS and emits sane artifacts, not model quality
     assert 0.0 <= metrics["accuracy"] <= 1.0
     assert os.path.isdir(os.path.join(out_dir, "model"))
+
+
+def test_coverage_priority_classes_and_stability():
+    """Artifact-aware driver ordering: reds re-queue first, never-checked
+    next (original order preserved), settled greens last; a later green
+    settles an earlier red; rows-only 'no_oracle' rows with a row count
+    count as green."""
+    from pyspark_text_classification_spark.all_queries import (
+        coverage_priority,
+    )
+
+    names = ["a", "b", "c", "d", "e"]
+    r1 = {
+        "a": {"err": "boom", "hash_match": None, "spark_rows": None},
+        "b": {"err": None, "hash_match": True, "rows_match": True},
+        "c": {"err": "no_oracle", "spark_rows": 7},
+    }
+    # d, e never checked; a red; b, c green
+    assert coverage_priority(names, [r1]) == ["a", "d", "e", "b", "c"]
+    # a later round greens 'a' -> it settles behind the never-checked
+    r2 = {"a": {"err": None, "hash_match": True, "rows_match": True}}
+    assert coverage_priority(names, [r1, r2]) == ["d", "e", "a", "b", "c"]
+    # no artifacts -> order unchanged
+    assert coverage_priority(names, []) == names
