@@ -164,6 +164,8 @@ HEADLINE = [
     "events_watermark_audit",
     "source_python_datasource",
     "ml_pca_power_iter",
+    "similarity_ivf_pq_rerank",
+    "similarity_rerank_recall",
 ]
 
 
@@ -236,6 +238,7 @@ def main() -> None:
     ann_recall = _recall_of("similarity_recall_eval")
     pq_recall = _recall_of("similarity_pq_recall")
     ivf_pq_recall = _recall_of("similarity_ivf_pq_recall")
+    rerank_recall = _recall_of("similarity_rerank_recall")
 
     # The grading driver keeps only the TAIL of stdout and front-truncates
     # long lines; round 2's single ~100-query JSON line lost its front
@@ -251,6 +254,7 @@ def main() -> None:
                 "ann_macro_recall": ann_recall,
                 "pq_macro_recall": pq_recall,
                 "ivf_pq_macro_recall": ivf_pq_recall,
+                "rerank_macro_recall": rerank_recall,
                 "sf": sf,
             }
         )

@@ -172,6 +172,8 @@ _DRIVER_FIRST = [
     "pipeline_shard_manifest",
     "events_watermark_audit",
     "ml_pca_power_iter",
+    "similarity_ivf_pq_rerank",
+    "similarity_rerank_recall",
 ]
 
 

@@ -527,24 +527,13 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query(
-    "similarity_ivf_pq",
-    oracle=None,  # assembled below from the PQ prelude + the IVF CTEs
-)
-def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN serving with BOTH index layers: assign every vector to its
-    nearest of 16 coarse cells (broadcast argmax, corpus never shuffles),
-    then answer each sampled query by ADC-scoring ONLY the PQ codes
-    inside its 4 probed cells — the candidate set shrinks by
-    ~nprobe/cells before any distance work, and the scored payload is
-    12-byte codes, not vectors.
-
-    At 100 TB this is the architecture that serves: the cell assignment
-    and code tables are both written once at index-build; a query fleet
-    broadcasts (probes, LUT) and touches a quarter of the code table.
-    Cost vs similarity_pq_adc_topk: the scored pair count drops ~4x for the
-    price of the coarse probe — recall loss is exactly the IVF pruning
-    (vectors whose true neighbors live outside the probed cells)."""
+def _ivf_pq_scored(spark: SparkSession, sf_dir: str):
+    """The composed system's ADC-scored candidate pairs (q_id,
+    neighbor_id, adc_d2).  Returns (scored, persisted) — the caller
+    ranks/limits, eagerly checkpoints its result, then unpersists each
+    frame in ``persisted`` (the dedup.py cache-release pattern).  Shared
+    by similarity_ivf_pq (top-k straight off ADC) and
+    similarity_ivf_pq_rerank (wider shortlist, exact rescore)."""
     from pyspark_text_classification_spark.operators.similarity import (
         IVF_CELLS,
         _fold_sum,
@@ -612,6 +601,28 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(cand.q_id, "neighbor_id")
         .agg(F.sum("d2").alias("adc_d2"))
     )
+    return scored, [ranked, n]
+
+
+@query(
+    "similarity_ivf_pq",
+    oracle=None,  # assembled below from the PQ prelude + the IVF CTEs
+)
+def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving with BOTH index layers: assign every vector to its
+    nearest of 16 coarse cells (broadcast argmax, corpus never shuffles),
+    then answer each sampled query by ADC-scoring ONLY the PQ codes
+    inside its 4 probed cells — the candidate set shrinks by
+    ~nprobe/cells before any distance work, and the scored payload is
+    12-byte codes, not vectors.
+
+    At 100 TB this is the architecture that serves: the cell assignment
+    and code tables are both written once at index-build; a query fleet
+    broadcasts (probes, LUT) and touches a quarter of the code table.
+    Cost vs similarity_pq_adc_topk: the scored pair count drops ~4x for the
+    price of the coarse probe — recall loss is exactly the IVF pruning
+    (vectors whose true neighbors live outside the probed cells)."""
+    scored, persisted = _ivf_pq_scored(spark, sf_dir)
     w = Window.partitionBy("q_id").orderBy("adc_d2", "neighbor_id")
     out = (
         scored.select(
@@ -621,8 +632,8 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= PQ_NN_K)
         .localCheckpoint(eager=True)
     )
-    ranked.unpersist()
-    n.unpersist()
+    for df in persisted:
+        df.unpersist()
     return out
 
 
@@ -732,3 +743,110 @@ def _sql_ivf_pq_recall() -> str:
 
 
 _PQ_ORACLES["similarity_ivf_pq_recall"] = _sql_ivf_pq_recall()
+
+
+# --------------------------------------------------------------------------
+# IVF + PQ + exact re-rank: the full two-stage serving stack.  ADC keeps a
+# wider shortlist, then the TRUE vectors rescore only those pairs — the
+# standard production recipe (FAISS refine / IndexRefineFlat) that buys
+# back most of the compression + pruning recall loss for a per-query cost
+# of RERANK_POOL exact distance evaluations.
+# --------------------------------------------------------------------------
+RERANK_POOL = 32  # ADC shortlist width fed to the exact re-ranker
+
+
+@query("similarity_ivf_pq_rerank", oracle=None)  # assembled below
+def similarity_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage serving: the composed IVF+PQ system keeps its ADC top-
+    {RERANK_POOL} per query (cheap, compressed), then the exact cosine
+    rescores ONLY that shortlist and the final top-{PQ_NN_K} ranks on
+    the true geometry.  The exact stage touches RERANK_POOL true vectors per
+    query — a bounded, broadcastable join — so the 100 TB cost profile
+    is still ADC's, while the ranking error of quantized-L2-vs-cosine
+    affects only candidates BELOW the shortlist boundary."""
+    from pyspark_text_classification_spark.operators.similarity import (
+        _rank_topk,
+        candidate_cosines,
+        with_norms,
+    )
+
+    scored, persisted = _ivf_pq_scored(spark, sf_dir)
+    w = Window.partitionBy("q_id").orderBy("adc_d2", "neighbor_id")
+    shortlist = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= RERANK_POOL)
+        .select(F.col("q_id").alias("vec_id"), "neighbor_id")
+        .localCheckpoint(eager=True)  # materialize before releasing caches
+    )
+    for df in persisted:
+        df.unpersist()
+    e = with_norms(load_table(spark, sf_dir, "embeddings"))
+    return _rank_topk(candidate_cosines(e, shortlist), PQ_NN_K)
+
+
+def _sql_rerank_ctes() -> str:
+    return f"""
+    {_sql_ivf_pq_ctes()},
+    shortlist AS (
+      SELECT q_id AS vec_id, neighbor_id FROM (
+        SELECT q_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q_id ORDER BY adc_d2, neighbor_id
+               ) AS rnk
+        FROM scored
+      ) WHERE rnk <= {RERANK_POOL}
+    ),
+    rcos AS (
+      SELECT s.vec_id, s.neighbor_id,
+             list_reduce(
+               list_prepend(0.0, list_transform(
+                 range(1, length(x.v) + 1), i -> x.v[i] * y.v[i])),
+               (acc, q) -> acc + q) / (x.nrm * y.nrm) AS cos
+      FROM shortlist s
+      JOIN nv x ON x.vec_id = s.vec_id
+      JOIN nv y ON y.vec_id = s.neighbor_id
+    )
+    """
+
+
+_PQ_ORACLES["similarity_ivf_pq_rerank"] = f"""
+    {_sql_rerank_ctes()}
+    SELECT vec_id, neighbor_id,
+           {sql_round_half_up('cos', 4)} AS cos_sim, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT vec_id, neighbor_id, cos,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY {sql_round_half_up('cos', 4)} DESC, neighbor_id
+             ) AS rnk
+      FROM rcos
+    ) WHERE rnk <= {PQ_NN_K}
+    """
+
+
+@query("similarity_rerank_recall", oracle=None)  # assembled below
+def similarity_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the FULL two-stage stack (IVF probe -> ADC shortlist
+    -> exact re-rank) against the exact top-k — the number that shows
+    what re-ranking buys back over similarity_ivf_pq_recall's raw
+    composition.  Tracked per round in the bench summary line."""
+    ann = similarity_ivf_pq_rerank(spark, sf_dir).select(
+        "vec_id", "neighbor_id"
+    )
+    return _recall_vs_exact(spark, sf_dir, ann)
+
+
+_PQ_ORACLES["similarity_rerank_recall"] = f"""
+    {_sql_rerank_ctes()},
+    annq AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT vec_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY {sql_round_half_up('cos', 4)} DESC, neighbor_id
+               ) AS rnk
+        FROM rcos
+      ) WHERE rnk <= {PQ_NN_K}
+    ),
+    {_SQL_RECALL_TAIL}
+    """

@@ -63,6 +63,7 @@ EAGER_QUERIES = {
     "ml_tfidf_lr_metrics", "ml_topk_coefficients", "ml_infer_exported",
     "similarity_ivf_pq",  # eagerly checkpoints its top-k at construction
     "similarity_ivf_pq_recall",
+    "similarity_ivf_pq_rerank", "similarity_rerank_recall",
 }
 
 
