@@ -34,6 +34,7 @@ import pyspark_text_classification_spark.streaming.pq  # noqa: F401
 import pyspark_text_classification_spark.streaming.enrich  # noqa: F401
 import pyspark_text_classification_spark.streaming.sketch  # noqa: F401
 import pyspark_text_classification_spark.streaming.scd2  # noqa: F401
+import pyspark_text_classification_spark.streaming.ingest  # noqa: F401
 import pyspark_text_classification_spark.operators.dedup  # noqa: F401
 import pyspark_text_classification_spark.operators.similarity  # noqa: F401
 import pyspark_text_classification_spark.operators.pq  # noqa: F401
@@ -174,6 +175,7 @@ _DRIVER_FIRST = [
     "ml_pca_power_iter",
     "similarity_ivf_pq_rerank",
     "similarity_rerank_recall",
+    "dedup_stream_ingest",
 ]
 
 

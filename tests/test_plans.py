@@ -57,6 +57,7 @@ EAGER_QUERIES = {
     "pipeline_stream_checksum", "events_stream_time_to_convert",
     "similarity_stream_pq_codes", "events_stream_enrich",
     "sketch_stream_cms", "events_stream_scd2", "source_python_stream",
+    "dedup_stream_ingest",
     "ml_pca_power_iter",  # driver-loop iterate with bounded 64-row collects
     "dedup_clusters", "dedup_clusters_twostar", "similarity_dedup_clusters",
     "dedup_incremental_ingest", "dedup_containment",
