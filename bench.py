@@ -166,6 +166,7 @@ HEADLINE = [
     "ml_pca_power_iter",
     "similarity_ivf_pq_rerank",
     "similarity_rerank_recall",
+    "events_abtest_ztest",
 ]
 
 

@@ -176,6 +176,7 @@ _DRIVER_FIRST = [
     "similarity_ivf_pq_rerank",
     "similarity_rerank_recall",
     "dedup_stream_ingest",
+    "events_abtest_ztest",
 ]
 
 

@@ -176,3 +176,115 @@ def q38_brand_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("price_c").alias("max_price_c"),
         )
     )
+
+
+@query(
+    "events_abtest_ztest",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS variant FROM events
+      GROUP BY 1, 2
+    ),
+    conv AS (
+      SELECT user_id, 1 AS converted FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+      HAVING count(*) >= 14
+    ),
+    per_v AS (
+      SELECT a.variant,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(COALESCE(c.converted, 0)) AS BIGINT) AS n_conv
+      FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id
+      GROUP BY 1
+    ),
+    wide AS (
+      SELECT
+        (SELECT n_users FROM per_v WHERE variant = 0) AS n_a,
+        (SELECT n_conv FROM per_v WHERE variant = 0) AS conv_a,
+        (SELECT n_users FROM per_v WHERE variant = 1) AS n_b,
+        (SELECT n_conv FROM per_v WHERE variant = 1) AS conv_b
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           CAST(floor((CAST(conv_a AS DOUBLE) / n_a) * 10000.0 + 0.5) AS BIGINT) AS rate_a_bp,
+           CAST(floor((CAST(conv_b AS DOUBLE) / n_b) * 10000.0 + 0.5) AS BIGINT) AS rate_b_bp,
+           CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+             THEN 0.0
+             ELSE floor(((CAST(conv_b AS DOUBLE) / n_b
+                          - CAST(conv_a AS DOUBLE) / n_a)
+               / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b))) * 10000.0 + 0.5)
+               / 10000.0 END AS z_score
+    FROM wide
+    """,
+)
+def events_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: hash-assigned variants (user_id parity
+    stands in for the assignment hash), per-variant conversion counts,
+    rates in basis points, and the two-proportion pooled z-score —
+    the statistical test every growth team runs on event logs.
+
+    Determinism without integer-only math: every float enters as a ratio
+    of exact int64 counts, and IEEE division/sqrt are correctly rounded,
+    so both engines compute bit-identical doubles from identical
+    integers; the export rounds half-up to 4 decimals as usual.  Shape:
+    one distinct-user aggregate, one conversion semi-aggregate, a 2-row
+    regroup — everything after the first shuffle is bounded by the
+    variant count, and the assignment hash keeps the experiment
+    join-free at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.select(
+        "user_id", (F.col("user_id") % 2).cast("int").alias("variant")
+    ).distinct()
+    # conversion = a heavy purchaser (>= 14 purchase events): the uniform
+    # synthetic data converts EVERY user on mere presence, which
+    # degenerates p_pool to 1 and the z denominator to 0
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("np"))
+        .filter(F.col("np") >= 14)
+        .select("user_id", F.lit(1).alias("converted"))
+    )
+    per_v = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.coalesce(F.col("converted"), F.lit(0))).alias("n_conv"),
+        )
+    )
+    va = per_v.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("n_a"), F.col("n_conv").alias("conv_a")
+    )
+    vb = per_v.filter(F.col("variant") == 1).select(
+        F.col("n_users").alias("n_b"), F.col("n_conv").alias("conv_b")
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    degen = (F.col("conv_a") + F.col("conv_b") == 0) | (
+        F.col("conv_a") + F.col("conv_b") == F.col("n_a") + F.col("n_b")
+    )
+    z = F.when(degen, F.lit(0.0)).otherwise(
+        round_half_up(
+            (p_b - p_a)
+            / F.sqrt(
+                p_pool
+                * (1.0 - p_pool)
+                * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+            ),
+            4,
+        )
+    )
+    return va.crossJoin(F.broadcast(vb)).select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.floor(p_a * 10000.0 + F.lit(0.5)).alias("rate_a_bp"),
+        F.floor(p_b * 10000.0 + F.lit(0.5)).alias("rate_b_bp"),
+        z.alias("z_score"),
+    )
