@@ -167,6 +167,7 @@ HEADLINE = [
     "similarity_ivf_pq_rerank",
     "similarity_rerank_recall",
     "events_abtest_ztest",
+    "events_pit_join",
 ]
 
 

@@ -177,6 +177,7 @@ _DRIVER_FIRST = [
     "similarity_rerank_recall",
     "dedup_stream_ingest",
     "events_abtest_ztest",
+    "events_pit_join",
 ]
 
 

@@ -1273,3 +1273,110 @@ def events_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("lateness_us").alias("max_lateness_us"),
         )
     )
+
+
+@query(
+    "events_pit_join",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type AS state, {SQL_TS_US} AS ts_us, event_id
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, state, ts_us,
+             lag(state) OVER (PARTITION BY user_id
+                              ORDER BY ts_us, event_id) AS prev_state
+      FROM ev
+    ),
+    changes AS (
+      SELECT user_id, state, ts_us AS valid_from_us
+      FROM runs WHERE prev_state IS NULL OR prev_state <> state
+    ),
+    iv AS (
+      SELECT user_id, state, valid_from_us,
+             COALESCE(lead(valid_from_us) OVER (PARTITION BY user_id
+                      ORDER BY valid_from_us), 9223372036854775807)
+               AS valid_to_us
+      FROM changes
+    ),
+    purchases AS (
+      SELECT event_id, user_id, {SQL_TS_US} AS ts_us,
+             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS value_micro
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.value_micro,
+           i.state AS state_at_purchase
+    FROM purchases p
+    JOIN iv i ON i.user_id = p.user_id
+            AND p.ts_us >= i.valid_from_us AND p.ts_us < i.valid_to_us
+    """,
+)
+def events_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join: each purchase event enriched with the user's
+    SCD2 state interval containing its timestamp — the feature-store
+    correctness join that guarantees a training example only sees
+    feature values that existed at label time (no leakage from the
+    future).  Composes events_scd2_intervals' dimension build with an
+    interval-containment join.
+
+    The join is an EQUI join on user_id with a residual range predicate
+    — Catalyst plans a hash/sort-merge join on the key and filters the
+    (bounded: one user's intervals) matches, never an unbounded range
+    scan.  Each event matches exactly one interval by construction
+    (intervals partition the user's timeline from their first event,
+    and every purchase lies inside it), so row count == purchase count
+    — an auditable invariant.  At 100 TB both sides hash-partition by
+    user; the open interval's NULL end is closed with +inf so the
+    containment predicate stays two comparisons."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        ts_us().alias("ts_us"),
+        "event_id",
+    )
+    w_run = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = (
+        ev.withColumn("prev_state", F.lag("state").over(w_run))
+        .filter(
+            F.col("prev_state").isNull()
+            | (F.col("prev_state") != F.col("state"))
+        )
+        .select("user_id", "state", F.col("ts_us").alias("valid_from_us"))
+    )
+    w_iv = Window.partitionBy("user_id").orderBy("valid_from_us")
+    iv = changes.select(
+        "user_id",
+        "state",
+        "valid_from_us",
+        F.coalesce(
+            F.lead("valid_from_us").over(w_iv),
+            F.lit(9223372036854775807),
+        ).alias("valid_to_us"),
+    )
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            ts_us().alias("ts_us"),
+            F.floor(F.col("value") * 1_000_000.0 + F.lit(0.5))
+            .cast("long")
+            .alias("value_micro"),
+        )
+    )
+    return (
+        purchases.alias("p")
+        .join(
+            iv.alias("i"),
+            (F.col("p.user_id") == F.col("i.user_id"))
+            & (F.col("p.ts_us") >= F.col("i.valid_from_us"))
+            & (F.col("p.ts_us") < F.col("i.valid_to_us")),
+        )
+        .select(
+            "event_id",
+            F.col("p.user_id").alias("user_id"),
+            "value_micro",
+            F.col("i.state").alias("state_at_purchase"),
+        )
+    )
