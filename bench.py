@@ -168,6 +168,7 @@ HEADLINE = [
     "similarity_rerank_recall",
     "events_abtest_ztest",
     "events_pit_join",
+    "events_attribution",
 ]
 
 

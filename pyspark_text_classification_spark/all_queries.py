@@ -178,6 +178,7 @@ _DRIVER_FIRST = [
     "dedup_stream_ingest",
     "events_abtest_ztest",
     "events_pit_join",
+    "events_attribution",
 ]
 
 

@@ -1380,3 +1380,97 @@ def events_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("i.state").alias("state_at_purchase"),
         )
     )
+
+
+ATTR_LOOKBACK_US = 24 * 3_600_000_000  # 24h credit window
+ATTR_CREDIT = 1_000_000  # one conversion = 1e6 micro-credits
+
+
+@query(
+    "events_attribution",
+    oracle=f"""
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id, {SQL_TS_US} AS conv_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT event_id AS touch_id, user_id, event_type,
+             {SQL_TS_US} AS touch_ts
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    tc AS (
+      SELECT c.conv_id, t.touch_id, t.event_type, t.touch_ts,
+             row_number() OVER (PARTITION BY c.conv_id
+                                ORDER BY t.touch_ts, t.touch_id) AS rn_f,
+             row_number() OVER (PARTITION BY c.conv_id
+                                ORDER BY t.touch_ts DESC, t.touch_id DESC)
+               AS rn_l,
+             count(*) OVER (PARTITION BY c.conv_id) AS n_t
+      FROM conv c JOIN touch t
+        ON t.user_id = c.user_id
+       AND t.touch_ts < c.conv_ts
+       AND c.conv_ts - t.touch_ts <= {ATTR_LOOKBACK_US}
+    )
+    SELECT event_type,
+           CAST(sum(CASE WHEN rn_f = 1 THEN {ATTR_CREDIT} ELSE 0 END)
+                AS BIGINT) AS first_touch_micro,
+           CAST(sum(CASE WHEN rn_l = 1 THEN {ATTR_CREDIT} ELSE 0 END)
+                AS BIGINT) AS last_touch_micro,
+           CAST(sum({ATTR_CREDIT} // n_t) AS BIGINT) AS linear_micro,
+           CAST(count(*) AS BIGINT) AS n_touches
+    FROM tc GROUP BY 1
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution under three standard credit
+    models at once: first-touch, last-touch, and linear, over a 24h
+    lookback — per touch channel (view/click), in integer micro-credits
+    so the fractional linear split stays engine-exact (truncating
+    division; the dust lost to flooring is deterministic and identical
+    on both engines).
+
+    Shape: one user-keyed equi join with a residual time-window
+    predicate attaches candidate touches to each conversion; three
+    window functions per conversion grain (bounded fan-in: a user's
+    touches within 24h) rank them; the final aggregate is
+    channel-bounded.  At 100 TB conversions and touches co-partition by
+    user, and no global ordering exists anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        ts_us().alias("conv_ts"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("t_user"),
+        "event_type",
+        ts_us().alias("touch_ts"),
+    )
+    tc = conv.join(
+        touch,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("touch_ts") < F.col("conv_ts"))
+        & (F.col("conv_ts") - F.col("touch_ts") <= ATTR_LOOKBACK_US),
+    )
+    w_f = Window.partitionBy("conv_id").orderBy("touch_ts", "touch_id")
+    w_l = Window.partitionBy("conv_id").orderBy(
+        F.col("touch_ts").desc(), F.col("touch_id").desc()
+    )
+    w_n = Window.partitionBy("conv_id")
+    ranked = tc.select(
+        "event_type",
+        F.row_number().over(w_f).alias("rn_f"),
+        F.row_number().over(w_l).alias("rn_l"),
+        F.count("*").over(w_n).alias("n_t"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("rn_f") == 1, ATTR_CREDIT).otherwise(0)
+        ).alias("first_touch_micro"),
+        F.sum(
+            F.when(F.col("rn_l") == 1, ATTR_CREDIT).otherwise(0)
+        ).alias("last_touch_micro"),
+        F.sum(F.expr(f"{ATTR_CREDIT} div n_t")).alias("linear_micro"),
+        F.count("*").alias("n_touches"),
+    )
