@@ -169,6 +169,7 @@ HEADLINE = [
     "events_abtest_ztest",
     "events_pit_join",
     "events_attribution",
+    "graph_kcore_peel",
 ]
 
 

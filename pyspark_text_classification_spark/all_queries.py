@@ -179,6 +179,7 @@ _DRIVER_FIRST = [
     "events_abtest_ztest",
     "events_pit_join",
     "events_attribution",
+    "graph_kcore_peel",
 ]
 
 

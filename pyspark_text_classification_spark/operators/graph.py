@@ -2,7 +2,7 @@
 
 The synthetic schema induces a natural bipartite graph: an edge
 (customer, supplier) whenever a customer's order contains a line item
-from that supplier.  Four operators cover the graph-analytics surface a
+from that supplier.  Six operators cover the graph-analytics surface a
 relational engine can express:
 
 - graph_degree_stats: per-side degree histogram (graph profiling);
@@ -13,7 +13,12 @@ relational engine can express:
   persist-and-loop discipline as dedup_clusters' label propagation),
   held to a CTE-chain oracle with the recurrence unrolled;
 - graph_adamic_adar: link-prediction scores between supplier pairs
-  sharing customers (Adamic & Adar 2003), hub-capped.
+  sharing customers (Adamic & Adar 2003), hub-capped;
+- graph_triangle_count: ordered-edge triangle census on the top-weight
+  co-purchase backbone (dense-projection guard);
+- graph_kcore_peel: bounded k-core peeling rounds on the same backbone
+  (degeneracy trajectory; flat on the complete small-sf projection,
+  1000 -> 880 nodes at sf0.1).
 
 Determinism: PageRank ranks are integer micro-units (initial rank =
 10^12 // N; per-edge contribution = 85 * rank // (100 * outdeg)) — all
@@ -471,3 +476,139 @@ def graph_pagerank_iter3(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.col("r").alias("rank_micro"))
+
+
+KCORE_K = 8       # degeneracy threshold
+KCORE_ROUNDS = 3  # bounded peeling rounds (fixed so the oracle unrolls)
+
+
+def _sql_peel(prev: str) -> str:
+    """One peeling round as a CTE body: drop nodes with degree < k in the
+    edge set induced by ``{prev}``'s surviving nodes."""
+    return f"""
+      SELECT e.u, e.v FROM {prev} e
+      JOIN (
+        SELECT node FROM (
+          SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
+          ) GROUP BY 1
+        ) WHERE d >= {KCORE_K}
+      ) su ON su.node = e.u
+      JOIN (
+        SELECT node FROM (
+          SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
+          ) GROUP BY 1
+        ) WHERE d >= {KCORE_K}
+      ) sv ON sv.node = e.v
+    """
+
+
+@query(
+    "graph_kcore_peel",
+    oracle=f"""
+    WITH e AS ({_SQL_EDGES}),
+    cdeg AS (SELECT c, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+    small AS (
+      SELECT e.c, e.s FROM e JOIN cdeg ON e.c = cdeg.c
+      WHERE cdeg.deg BETWEEN 2 AND {AA_HUB_CAP}
+    ),
+    se0 AS (
+      SELECT a.s AS u, b.s AS v, CAST(count(*) AS BIGINT) AS w
+      FROM small a JOIN small b ON a.c = b.c AND a.s < b.s
+      GROUP BY 1, 2
+      HAVING count(*) >= {TRI_MIN_COMMON}
+    ),
+    g0 AS (
+      SELECT u, v FROM (
+        SELECT u, v, row_number() OVER (ORDER BY w DESC, u, v) AS rnk
+        FROM se0
+      ) WHERE rnk <= {TRI_EDGE_TOPK}
+    ),
+    g1 AS ({_sql_peel('g0')}),
+    g2 AS ({_sql_peel('g1')}),
+    g3 AS ({_sql_peel('g2')})
+    SELECT 0 AS round,
+           (SELECT CAST(count(DISTINCT node) AS BIGINT) FROM
+             (SELECT u AS node FROM g0 UNION ALL SELECT v FROM g0)) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM g0) AS n_edges
+    UNION ALL SELECT 1,
+           (SELECT CAST(count(DISTINCT node) AS BIGINT) FROM
+             (SELECT u AS node FROM g1 UNION ALL SELECT v FROM g1)),
+           (SELECT CAST(count(*) AS BIGINT) FROM g1)
+    UNION ALL SELECT 2,
+           (SELECT CAST(count(DISTINCT node) AS BIGINT) FROM
+             (SELECT u AS node FROM g2 UNION ALL SELECT v FROM g2)),
+           (SELECT CAST(count(*) AS BIGINT) FROM g2)
+    UNION ALL SELECT 3,
+           (SELECT CAST(count(DISTINCT node) AS BIGINT) FROM
+             (SELECT u AS node FROM g3 UNION ALL SELECT v FROM g3)),
+           (SELECT CAST(count(*) AS BIGINT) FROM g3)
+    """,
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_ROUNDS} rounds of {KCORE_K}-core peeling on the co-purchase
+    backbone: repeatedly remove nodes of degree < k and report the
+    shrinking (round, n_nodes, n_edges) trajectory — the degeneracy
+    decomposition that locates the graph's dense kernel (community
+    seeds, influence cores) and, run before pair-generating algorithms,
+    bounds THEIR worst case.
+
+    The driver-side loop with per-round eager localCheckpoint is the
+    repo's standard iterative pattern (pagerank_iter3, dedup_clusters);
+    each round is one degree aggregate plus two semi-joins of the edge
+    list against the survivor set, all hash-partitioned on node ids.
+    Rounds are FIXED at {KCORE_ROUNDS} so the DuckDB oracle unrolls the
+    recurrence exactly; a production run loops to fixpoint with the
+    identical per-round dataflow."""
+    e = _bipartite_edges(spark, sf_dir)
+    cdeg = e.groupBy("c").agg(F.count("*").alias("deg"))
+    small = (
+        e.join(cdeg, "c")
+        .filter((F.col("deg") >= 2) & (F.col("deg") <= AA_HUB_CAP))
+        .select("c", "s")
+    )
+    a = small.alias("a")
+    b = small.select(F.col("c").alias("bc"), F.col("s").alias("v")).alias("b")
+    g = (
+        a.join(b, (F.col("a.c") == F.col("bc")) & (F.col("a.s") < F.col("v")))
+        .groupBy(F.col("a.s").alias("u"), "v")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= TRI_MIN_COMMON)
+        .orderBy(F.col("w").desc(), "u", "v")
+        .limit(TRI_EDGE_TOPK)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+
+    def census(edges: DataFrame, rnd: int) -> DataFrame:
+        nodes = edges.select(F.col("u").alias("node")).unionByName(
+            edges.select(F.col("v").alias("node"))
+        )
+        return nodes.agg(
+            F.lit(rnd).alias("round"),
+            F.count_distinct("node").alias("n_nodes"),
+            (F.count("*") / 2).cast("long").alias("n_edges"),
+        )
+
+    out = census(g, 0)
+    for rnd in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            g.select(F.col("u").alias("node"))
+            .unionByName(g.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        survivors = deg.filter(F.col("d") >= KCORE_K).select("node")
+        g = (
+            g.join(
+                survivors.withColumnRenamed("node", "u"), "u", "left_semi"
+            )
+            .join(
+                survivors.withColumnRenamed("node", "v"), "v", "left_semi"
+            )
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(census(g, rnd))
+    return out
