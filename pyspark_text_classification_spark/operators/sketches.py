@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_text_classification_spark.functions.hashing import (
@@ -368,8 +368,6 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_exact")
     )
     sk = ev.selectExpr("t", f"{_SQL_KMV_UH} AS uh").distinct()
-    from pyspark.sql import Window
-
     w1 = Window.partitionBy(
         "t", F.pmod(F.col("uh"), F.lit(KMV_SALTS))
     ).orderBy("uh")

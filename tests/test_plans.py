@@ -592,3 +592,32 @@ def test_round3_additions_plan_shapes(spark, sf_dir):
 
     for m in re.finditer(r"Window \[.*?\]", plan):
         assert "user_id" in m.group(0), m.group(0)
+
+
+# Queries whose plan DELIBERATELY contains a CartesianProduct: the capped
+# exact-baseline family (documented O(n^2) ground truth, input bounded by
+# EXACT_TOPK_MAX_VECTORS) — nothing else may cartesian.
+CARTESIAN_WHITELIST = {
+    "similarity_cosine_topk",
+}
+
+
+def test_no_cartesian_product_anywhere(spark, sf_dir, monkeypatch):
+    """Repo-wide scale contract: no lazily-plannable query's physical plan
+    may contain a CartesianProduct unless whitelisted above — an
+    accidental cartesian is THE classic 100 TB plan regression, and the
+    per-family contracts only watch known hot spots."""
+    from pyspark_text_classification_spark.operators import similarity
+    from pyspark_text_classification_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    monkeypatch.setattr(similarity, "EAGER_RELEASE", False)
+    offenders = []
+    for name in sorted(
+        set(QUERIES) - EAGER_QUERIES - CARTESIAN_WHITELIST
+    ):
+        plan = formatted_plan(QUERIES[name](spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"unexpected CartesianProduct in: {offenders}"
