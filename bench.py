@@ -170,6 +170,7 @@ HEADLINE = [
     "events_pit_join",
     "events_attribution",
     "graph_kcore_peel",
+    "q58_window_extras",
 ]
 
 

@@ -180,6 +180,7 @@ _DRIVER_FIRST = [
     "events_pit_join",
     "events_attribution",
     "graph_kcore_peel",
+    "q58_window_extras",
 ]
 
 

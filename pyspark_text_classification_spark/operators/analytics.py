@@ -288,3 +288,59 @@ def events_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(p_b * 10000.0 + F.lit(0.5)).alias("rate_b_bp"),
         z.alias("z_score"),
     )
+
+
+@query(
+    "q58_window_extras",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(percent_rank() OVER w * 10000.0 + 0.5) AS BIGINT)
+             AS pct_rank_bp,
+           CAST(floor(cume_dist() OVER w * 10000.0 + 0.5) AS BIGINT)
+             AS cume_dist_bp,
+           CAST(first_value(l_quantity) OVER w AS BIGINT) AS first_qty,
+           CAST(nth_value(l_quantity, 2) OVER w AS BIGINT) AS second_qty,
+           CAST(last_value(l_quantity) OVER (
+             PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey,
+               l_suppkey, l_quantity, l_extendedprice
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS BIGINT) AS last_qty
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey,
+                 l_suppkey, l_quantity, l_extendedprice)
+    """,
+)
+def q58_window_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-function tail the core queries don't exercise:
+    percent_rank / cume_dist (in integer basis points), first_value /
+    nth_value with the default running frame, and last_value with an
+    explicit UNBOUNDED FOLLOWING frame (the classic default-frame trap:
+    without it last_value is just the current row).
+
+    Partitioned by ORDER — bounded few-row partitions, so no reducer
+    ever sees more than one order's lines and the sort is per-partition;
+    the high-cardinality partition key is exactly what makes ranked
+    windows scale (contrast: an empty partitionBy would funnel the fact
+    table through one task, the anti-pattern q41's de-skew removed)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+    # (11k duplicate pairs at sf0.01), so the order key is widened to a
+    # verified-unique composite — under ties, first/nth/last_value are
+    # engine-arbitrary and the hash match would be luck
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice",
+    )
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    bp = lambda col: F.floor(col * 10000.0 + F.lit(0.5)).cast("long")  # noqa: E731
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        bp(F.percent_rank().over(w)).alias("pct_rank_bp"),
+        bp(F.cume_dist().over(w)).alias("cume_dist_bp"),
+        F.first("l_quantity").over(w).cast("long").alias("first_qty"),
+        F.nth_value("l_quantity", 2).over(w).cast("long").alias("second_qty"),
+        F.last("l_quantity").over(w_full).cast("long").alias("last_qty"),
+    )
