@@ -171,6 +171,7 @@ HEADLINE = [
     "events_attribution",
     "graph_kcore_peel",
     "q58_window_extras",
+    "ml_naive_bayes_confusion",
 ]
 
 

@@ -181,6 +181,7 @@ _DRIVER_FIRST = [
     "events_attribution",
     "graph_kcore_peel",
     "q58_window_extras",
+    "ml_naive_bayes_confusion",
 ]
 
 

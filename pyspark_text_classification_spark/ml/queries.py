@@ -17,7 +17,10 @@ from pyspark_text_classification_spark.functions.hashing import (
     char_poly_hash,
     sql_char_poly_hash,
 )
-from pyspark_text_classification_spark.functions.text import sql_round_half_up
+from pyspark_text_classification_spark.functions.text import (
+    sql_round_half_up,
+    tokenize,
+)
 from pyspark_text_classification_spark.ml.evaluate import (
     binary_metrics,
     confusion_matrix_df,
@@ -498,3 +501,165 @@ def ml_infer_exported(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.col("confidence") * 10000.0).cast("long"))
         .alias("conf_x4_sum"),
     )
+
+
+# --- fully on-engine Naive Bayes (closed-form, oracle-hashable) -------------
+NB_SCALE = 1_000_000  # micro-nat quantization of every log term
+
+
+@query(
+    "ml_naive_bayes_confusion",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT doc_id, text,
+             CAST(lang = 'en' AS INT) AS label
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, label, unnest({_SQL_TOKENS}) AS term FROM labeled
+    ),
+    tf AS (
+      SELECT doc_id, label, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2, 3
+    ),
+    class_term AS (
+      SELECT label, term, CAST(sum(tf) AS BIGINT) AS cnt
+      FROM tf GROUP BY 1, 2
+    ),
+    class_tot AS (
+      SELECT label, CAST(sum(cnt) AS BIGINT) AS tot
+      FROM class_term GROUP BY 1
+    ),
+    vocab AS (
+      SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM toks
+    ),
+    priors AS (
+      SELECT
+        CAST(floor(ln(CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*)) * {NB_SCALE} + 0.5) AS BIGINT) AS p0,
+        CAST(floor(ln(CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*)) * {NB_SCALE} + 0.5) AS BIGINT) AS p1
+      FROM labeled
+    ),
+    cond AS (
+      SELECT t.term,
+        CAST(floor(ln((COALESCE(c0.cnt, 0) + 1.0)
+             / ((SELECT tot FROM class_tot WHERE label = 0) + v.v))
+             * {NB_SCALE} + 0.5) AS BIGINT) AS lc0,
+        CAST(floor(ln((COALESCE(c1.cnt, 0) + 1.0)
+             / ((SELECT tot FROM class_tot WHERE label = 1) + v.v))
+             * {NB_SCALE} + 0.5) AS BIGINT) AS lc1
+      FROM (SELECT DISTINCT term FROM toks) t
+      LEFT JOIN class_term c0 ON c0.term = t.term AND c0.label = 0
+      LEFT JOIN class_term c1 ON c1.term = t.term AND c1.label = 1
+      CROSS JOIN vocab v
+    ),
+    scores AS (
+      SELECT f.doc_id, f.label,
+             sum(f.tf * cond.lc0) AS s0, sum(f.tf * cond.lc1) AS s1
+      FROM tf f JOIN cond ON cond.term = f.term
+      GROUP BY 1, 2
+    ),
+    preds AS (
+      SELECT label,
+             CASE WHEN s1 + pr.p1 > s0 + pr.p0 THEN 1 ELSE 0 END AS pred
+      FROM scores CROSS JOIN priors pr
+    )
+    SELECT CAST(label AS INT) AS label, CAST(pred AS INT) AS pred,
+           CAST(count(*) AS BIGINT) AS n
+    FROM preds GROUP BY 1, 2
+    """,
+)
+def ml_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A COMPLETE trained classifier whose training AND evaluation are
+    hash-verified cross-engine: multinomial Naive Bayes with Laplace
+    smoothing over the token counts, labels = (lang = 'en'), scored on
+    the training corpus, reported as the confusion matrix.
+
+    NB's fit is closed-form counting — class priors, per-(class, term)
+    smoothed conditionals — so unlike the L-BFGS LR recipes (rows-only
+    by necessity) every model parameter is a ratio of exact int64
+    counts, quantized to micro-nats (the text_lm_logprob ln pattern),
+    and the per-doc argmax is an integer comparison.  Relational shape:
+    one corpus explode feeds tf / class-conditional / vocab aggregates;
+    the conditional table is vocab-bounded and joins tf on term
+    (hash-partitioned); scoring is one map-side-combined sum per
+    (doc, class); the confusion output is 4 rows.  The same dataflow at
+    100 TB is exactly how large-scale NB / language-ID models are
+    actually trained."""
+    labeled = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    toks = labeled.select(
+        "doc_id", "label", F.explode(tokenize("text", 2)).alias("term")
+    ).localCheckpoint(eager=True)  # feeds tf, conditionals, and vocab
+    tf = toks.groupBy("doc_id", "label", "term").agg(
+        F.count("*").alias("tf")
+    )
+    class_term = tf.groupBy("label", "term").agg(F.sum("tf").alias("cnt"))
+    class_tot = class_term.groupBy("label").agg(F.sum("cnt").alias("tot"))
+    vocab = toks.agg(F.count_distinct("term").alias("v"))
+
+    def micronat(x):
+        return F.floor(F.log(x) * NB_SCALE + F.lit(0.5)).cast("long")
+
+    priors = labeled.agg(
+        micronat(
+            F.sum((F.col("label") == 0).cast("long"))
+            / F.count("*").cast("double")
+        ).alias("p0"),
+        micronat(
+            F.sum((F.col("label") == 1).cast("long"))
+            / F.count("*").cast("double")
+        ).alias("p1"),
+    )
+    terms = toks.select("term").distinct()
+    c0 = class_term.filter(F.col("label") == 0).select(
+        "term", F.col("cnt").alias("cnt0")
+    )
+    c1 = class_term.filter(F.col("label") == 1).select(
+        "term", F.col("cnt").alias("cnt1")
+    )
+    t0 = class_tot.filter(F.col("label") == 0).select(
+        F.col("tot").alias("tot0")
+    )
+    t1 = class_tot.filter(F.col("label") == 1).select(
+        F.col("tot").alias("tot1")
+    )
+    cond = (
+        terms.join(c0, "term", "left")
+        .join(c1, "term", "left")
+        .crossJoin(F.broadcast(t0))
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "term",
+            micronat(
+                (F.coalesce(F.col("cnt0"), F.lit(0)) + F.lit(1.0))
+                / (F.col("tot0") + F.col("v"))
+            ).alias("lc0"),
+            micronat(
+                (F.coalesce(F.col("cnt1"), F.lit(0)) + F.lit(1.0))
+                / (F.col("tot1") + F.col("v"))
+            ).alias("lc1"),
+        )
+    )
+    scores = (
+        tf.join(cond, "term")
+        .groupBy("doc_id", "label")
+        .agg(
+            F.sum(F.col("tf") * F.col("lc0")).alias("s0"),
+            F.sum(F.col("tf") * F.col("lc1")).alias("s1"),
+        )
+    )
+    preds = scores.crossJoin(F.broadcast(priors)).select(
+        "label",
+        F.when(
+            F.col("s1") + F.col("p1") > F.col("s0") + F.col("p0"), 1
+        )
+        .otherwise(0)
+        .alias("pred"),
+    )
+    return preds.groupBy("label", "pred").agg(F.count("*").alias("n"))
