@@ -172,6 +172,7 @@ HEADLINE = [
     "graph_kcore_peel",
     "q58_window_extras",
     "ml_naive_bayes_confusion",
+    "ml_nb_langid_confusion",
 ]
 
 

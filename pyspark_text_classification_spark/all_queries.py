@@ -182,6 +182,7 @@ _DRIVER_FIRST = [
     "graph_kcore_peel",
     "q58_window_extras",
     "ml_naive_bayes_confusion",
+    "ml_nb_langid_confusion",
 ]
 
 

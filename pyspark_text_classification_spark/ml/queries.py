@@ -9,7 +9,7 @@ tests instead (SURVEY §5 / §7.4.1).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_text_classification_spark.functions.hashing import (
@@ -458,8 +458,6 @@ def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions on doc_id — the matrix is already (doc, token)-keyed, so
     no new data-sized shuffle shape appears."""
     m = ml_tfidf_matrix(spark, sf_dir)
-    from pyspark.sql import Window
-
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
     return (
         m.select("doc_id", "token", "tfidf")
@@ -663,3 +661,135 @@ def ml_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pred"),
     )
     return preds.groupBy("label", "pred").agg(F.count("*").alias("n"))
+
+
+@query(
+    "ml_nb_langid_confusion",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2, 3
+    ),
+    langs AS (SELECT DISTINCT lang AS cl FROM documents),
+    class_term AS (
+      SELECT lang AS cl, term, CAST(sum(tf) AS BIGINT) AS cnt
+      FROM tf GROUP BY 1, 2
+    ),
+    class_tot AS (
+      SELECT cl, CAST(sum(cnt) AS BIGINT) AS tot FROM class_term GROUP BY 1
+    ),
+    vocab AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM toks),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    priors AS (
+      SELECT lang AS cl,
+             CAST(floor(ln(CAST(count(*) AS DOUBLE) / nd.n)
+                  * {NB_SCALE} + 0.5) AS BIGINT) AS prior
+      FROM documents CROSS JOIN nd GROUP BY 1, nd.n
+    ),
+    cond AS (
+      SELECT l.cl, t.term,
+        CAST(floor(ln((COALESCE(ct.cnt, 0) + 1.0) / (tt.tot + v.v))
+             * {NB_SCALE} + 0.5) AS BIGINT) AS lc
+      FROM (SELECT DISTINCT term FROM toks) t
+      CROSS JOIN langs l
+      LEFT JOIN class_term ct ON ct.term = t.term AND ct.cl = l.cl
+      JOIN class_tot tt ON tt.cl = l.cl
+      CROSS JOIN vocab v
+    ),
+    scores AS (
+      SELECT f.doc_id, f.lang, c.cl,
+             sum(f.tf * c.lc) AS s
+      FROM tf f JOIN cond c ON c.term = f.term
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT scores.lang, scores.cl AS pred,
+             row_number() OVER (PARTITION BY scores.doc_id
+                                ORDER BY scores.s + p.prior DESC,
+                                         scores.cl) AS rn
+      FROM scores JOIN priors p ON p.cl = scores.cl
+    )
+    SELECT lang AS true_lang, pred AS pred_lang,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ranked WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def ml_nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass Naive Bayes LANGUAGE IDENTIFICATION — the classic
+    large-corpus NB application — trained and evaluated entirely
+    on-engine with every parameter hash-verified (the
+    ml_naive_bayes_confusion machinery generalized over the language
+    dimension instead of two hardcoded classes).
+
+    The conditional table is (vocab x |langs|) rows — built by a CROSS
+    JOIN of the term dimension with the language dimension then a LEFT
+    JOIN of observed counts, so unseen (term, lang) cells get the
+    smoothed floor — and joins tf on term; per-doc argmax is a 5-row
+    window with the (score desc, lang) deterministic tie-break.  The
+    25-cell confusion matrix is the output.  At 100 TB this IS how
+    corpus-scale language-ID models (e.g. fastText-style baselines'
+    count layer) get trained: token-count aggregates + a bounded model
+    table, no iterative fit."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokenize("text", 2)).alias("term")
+    ).localCheckpoint(eager=True)
+    tf = toks.groupBy("doc_id", "lang", "term").agg(
+        F.count("*").alias("tf")
+    )
+    langs = docs.select(F.col("lang").alias("cl")).distinct()
+    class_term = tf.groupBy(F.col("lang").alias("cl"), "term").agg(
+        F.sum("tf").alias("cnt")
+    )
+    class_tot = class_term.groupBy("cl").agg(F.sum("cnt").alias("tot"))
+    vocab = toks.agg(F.count_distinct("term").alias("v"))
+    nd = docs.agg(F.count("*").alias("n"))
+
+    def micronat(x):
+        return F.floor(F.log(x) * NB_SCALE + F.lit(0.5)).cast("long")
+
+    priors = (
+        docs.groupBy(F.col("lang").alias("cl"))
+        .agg(F.count("*").alias("nc"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "cl",
+            micronat(F.col("nc").cast("double") / F.col("n")).alias(
+                "prior"
+            ),
+        )
+    )
+    terms = toks.select("term").distinct()
+    cond = (
+        terms.crossJoin(F.broadcast(langs))
+        .join(class_term, ["term", "cl"], "left")
+        .join(F.broadcast(class_tot), "cl")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "cl",
+            "term",
+            micronat(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0))
+                / (F.col("tot") + F.col("v"))
+            ).alias("lc"),
+        )
+    )
+    scores = (
+        tf.join(cond, "term")
+        .groupBy("doc_id", "lang", "cl")
+        .agg(F.sum(F.col("tf") * F.col("lc")).alias("s"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("s") + F.col("prior")).desc(), "cl"
+    )
+    ranked = (
+        scores.join(F.broadcast(priors), "cl")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return ranked.groupBy(
+        F.col("lang").alias("true_lang"), F.col("cl").alias("pred_lang")
+    ).agg(F.count("*").alias("n"))
