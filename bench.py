@@ -173,6 +173,7 @@ HEADLINE = [
     "q58_window_extras",
     "ml_naive_bayes_confusion",
     "ml_nb_langid_confusion",
+    "pipeline_chunk_overlap",
 ]
 
 

@@ -183,6 +183,7 @@ _DRIVER_FIRST = [
     "q58_window_extras",
     "ml_naive_bayes_confusion",
     "ml_nb_langid_confusion",
+    "pipeline_chunk_overlap",
 ]
 
 

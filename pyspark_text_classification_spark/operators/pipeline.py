@@ -1333,3 +1333,73 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(h)").cast("long").alias("checksum"),
         )
     )
+
+
+# --- RAG chunking: overlapping token windows --------------------------------
+RAG_CHUNK_TOKENS = 64
+RAG_CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@query(
+    "pipeline_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(str_split_regex(lower(text), '\\W+'),
+                                 t -> length(t) >= 2) AS toks
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(i AS BIGINT) AS chunk_idx,
+             list_slice(toks, i * {RAG_CHUNK_STRIDE} + 1,
+                        i * {RAG_CHUNK_STRIDE} + {RAG_CHUNK_TOKENS}) AS ctoks
+      FROM toks,
+           LATERAL unnest(range(0, CAST(greatest(1,
+             ceil((length(toks) - {RAG_CHUNK_TOKENS})
+                  / {RAG_CHUNK_STRIDE}.0) + 1) AS BIGINT))) AS u(i)
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(length(ctoks) AS BIGINT) AS n_tokens,
+           {sql_char_poly_hash("array_to_string(ctoks, ' ')")} AS chunk_hash
+    FROM chunks WHERE length(ctoks) > 0
+    """,
+)
+def pipeline_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-index chunking: split every document into overlapping
+    {RAG_CHUNK_TOKENS}-token windows with stride {RAG_CHUNK_STRIDE}
+    (16-token overlap, the retrieval-chunking default shape), emitting
+    stable (doc_id, chunk_idx) keys, token counts, and a content hash
+    per chunk — the table an embedding indexer consumes.
+
+    Chunking is entirely IN-ROW (a sequence of slices over the token
+    array; the explode happens after the window arithmetic), so the only
+    shuffle anything downstream sees is whatever IT does — the chunker
+    itself is map-local at any scale.  Chunk count per doc is
+    ceil((len - size) / stride) + 1, floored at 1 so short documents
+    still emit their single partial chunk; trailing windows shorter than
+    the chunk size are kept (standard: the tail must be indexed too).
+    The content hash is the cross-engine polynomial family, so chunk
+    identity survives engine swaps (and feeds dedup_chunks-style
+    downstream dedup directly)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks_expr = r"filter(split(lower(text), '\\W+'), t -> length(t) >= 2)"
+    n_chunks = (
+        f"CAST(greatest(1, ceil((size(toks) - {RAG_CHUNK_TOKENS})"
+        f" / {RAG_CHUNK_STRIDE}D) + 1) AS BIGINT)"
+    )
+    return (
+        docs.selectExpr("doc_id", f"{toks_expr} AS toks")
+        .selectExpr(
+            "doc_id",
+            f"posexplode(transform(sequence(0, {n_chunks} - 1), "
+            f"i -> slice(toks, i * {RAG_CHUNK_STRIDE} + 1, "
+            f"{RAG_CHUNK_TOKENS}))) AS (chunk_idx, ctoks)",
+        )
+        .filter(F.size("ctoks") > 0)
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("ctoks").cast("long").alias("n_tokens"),
+            char_poly_hash(F.array_join("ctoks", " ")).alias("chunk_hash"),
+        )
+    )
