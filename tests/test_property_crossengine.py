@@ -400,3 +400,62 @@ def test_floored_integer_mean_three_way(spark, pairs):
         ).fetchall()
     ]
     assert got_duck == want
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=32, max_codepoint=0x2FF
+            ),
+            max_size=200,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_rowwise_minhash_bands_equal_batch_path(spark, texts):
+    """The streaming admission gate computes minhash band signatures
+    IN-ROW (array_min folds over the in-row shingle set) while the batch
+    index computes them as hash aggregates over the exploded shingle
+    stream. The two paths must agree on ARBITRARY text, or the
+    stream-static band join silently loses candidates."""
+    from pyspark_text_classification_spark.operators.dedup import (
+        minhash_band_signatures,
+        shingle_hashes,
+    )
+    from pyspark_text_classification_spark.streaming.ingest import (
+        _rowwise_bands_sql,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        schema="doc_id long, text string",
+    )
+    batch = {
+        (r.doc_id, r.band): r.sig
+        for r in minhash_band_signatures(shingle_hashes(docs, 2)).collect()
+    }
+    from pyspark_text_classification_spark.functions.hashing import (
+        MINHASH_PERMS,
+    )
+
+    sh_set, bands = _rowwise_bands_sql()
+    mins = ", ".join(
+        f"array_min(transform(sh, h -> ({a}L * h + {b}L) % {HASH_MOD}L))"
+        for _p, a, b in MINHASH_PERMS
+    )
+    rowwise = {
+        (r.doc_id, r.band): r.sig
+        for r in docs.selectExpr("doc_id", f"{sh_set} AS sh")
+        .selectExpr("doc_id", "sh", f"array({mins}) AS mins")
+        .selectExpr("doc_id", f"{bands} AS bandsigs")
+        .selectExpr("doc_id", "posexplode(bandsigs) AS (band, sig)")
+        .collect()
+    }
+    assert rowwise == batch
