@@ -174,6 +174,7 @@ HEADLINE = [
     "ml_naive_bayes_confusion",
     "ml_nb_langid_confusion",
     "pipeline_chunk_overlap",
+    "dedup_threshold_sweep",
 ]
 
 

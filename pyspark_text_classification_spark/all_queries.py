@@ -184,6 +184,7 @@ _DRIVER_FIRST = [
     "ml_naive_bayes_confusion",
     "ml_nb_langid_confusion",
     "pipeline_chunk_overlap",
+    "dedup_threshold_sweep",
 ]
 
 

@@ -1313,3 +1313,83 @@ def pipeline_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["pipeline_diverse_sample"] = _ORACLES["pipeline_diverse_sample"].format(
     sh=_sql_shingle_hashes(2)
 )
+
+
+# threshold bands for the dedup-tuning sweep (half-open, plus exact-1 band)
+SWEEP_EDGES = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH sh AS ({_sql_shingle_hashes(2)}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT {sql_round_half_up(
+          'n_inter / (sa.n_sh + sb.n_sh - n_inter)', 4)} AS j
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_inter * 2 >= sa.n_sh + sb.n_sh - n_inter
+    )
+    SELECT CASE
+             WHEN j = 1.0 THEN 'exact'
+             WHEN j >= 0.9 THEN 'ge_0.9'
+             WHEN j >= 0.8 THEN 'ge_0.8'
+             WHEN j >= 0.7 THEN 'ge_0.7'
+             WHEN j >= 0.6 THEN 'ge_0.6'
+             ELSE 'ge_0.5'
+           END AS band,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM jac GROUP BY 1
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-tuning table: how many near-dup pairs each Jaccard
+    threshold would remove, in one pass — the measurement that picks a
+    production threshold (too low deletes distinct documents, too high
+    leaves templated spam).  Pairs with resemblance >= 0.5 (the integer
+    predicate 2*|A∩B| >= |A∪B| — applied BEFORE any float math, so the
+    candidate set is pruned exactly) are banded into half-open threshold
+    ranges plus an 'exact' band; counts per band are the report.
+
+    Shares dedup_ngram_jaccard's shared-shingle equi-join (zero-overlap
+    pairs never materialize); output is |bands| rows.  At 100 TB the
+    sweep runs on the LSH candidate set instead (identical banding);
+    here the exact pair space doubles as ground truth."""
+    sh = shingle_hashes(load_table(spark, sf_dir, "documents"), 2)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.h") == F.col("b.h"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    union_sz = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    j = round_half_up(F.col("n_inter") / union_sz, 4)
+    banded = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(F.col("n_inter") * 2 >= union_sz)
+        .select(
+            F.when(j == 1.0, "exact")
+            .when(j >= 0.9, "ge_0.9")
+            .when(j >= 0.8, "ge_0.8")
+            .when(j >= 0.7, "ge_0.7")
+            .when(j >= 0.6, "ge_0.6")
+            .otherwise("ge_0.5")
+            .alias("band")
+        )
+    )
+    return banded.groupBy("band").agg(F.count("*").alias("n_pairs"))
