@@ -175,6 +175,7 @@ HEADLINE = [
     "ml_nb_langid_confusion",
     "pipeline_chunk_overlap",
     "dedup_threshold_sweep",
+    "events_markov_stationary",
 ]
 
 

@@ -185,6 +185,7 @@ _DRIVER_FIRST = [
     "ml_nb_langid_confusion",
     "pipeline_chunk_overlap",
     "dedup_threshold_sweep",
+    "events_markov_stationary",
 ]
 
 

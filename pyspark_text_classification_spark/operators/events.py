@@ -1474,3 +1474,109 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(f"{ATTR_CREDIT} div n_t")).alias("linear_micro"),
         F.count("*").alias("n_touches"),
     )
+
+
+MARKOV_SCALE = 1_000_000  # probabilities and the iterate in micro-units
+MARKOV_ITERS = 3
+
+
+def _sql_markov_step(prev: str) -> str:
+    return f"""
+      SELECT p.to_type AS state,
+             CAST(sum({prev}.pi * p.p_micro // {MARKOV_SCALE}) AS BIGINT)
+               AS pi
+      FROM {prev} JOIN p ON p.from_type = {prev}.state
+      GROUP BY 1
+    """
+
+
+@query(
+    "events_markov_stationary",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    rowtot AS (
+      SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1
+    ),
+    p AS (
+      SELECT c.from_type, c.to_type,
+             c.n * {MARKOV_SCALE} // r.tot AS p_micro
+      FROM c JOIN rowtot r ON r.from_type = c.from_type
+    ),
+    states AS (SELECT DISTINCT from_type AS state FROM c),
+    pi0 AS (
+      SELECT state,
+             CAST({MARKOV_SCALE} // (SELECT count(*) FROM states)
+                  AS BIGINT) AS pi
+      FROM states
+    ),
+    pi1 AS ({_sql_markov_step('pi0')}),
+    pi2 AS ({_sql_markov_step('pi1')}),
+    pi3 AS ({_sql_markov_step('pi2')})
+    SELECT state, pi AS pi_micro FROM pi3
+    """,
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{MARKOV_ITERS} power-iteration steps toward the stationary
+    distribution of the user-behavior Markov chain — "where do users
+    spend their time in the long run" — built on
+    events_transition_matrix's empirical transition counts.
+
+    Transition probabilities are integer micro-units (n_ij * 1e6 //
+    n_i), the iterate starts uniform, and each step is one 5-row
+    broadcast join + aggregate — the pagerank_iter3 loop pattern at
+    state-vocabulary grain, so the only corpus-scale work is the one
+    lead() pass that counts transitions; everything after is bounded by
+    |states|^2.  Truncating division loses < 1 micro-unit per term,
+    identically on both engines (all operands positive)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", ts_us().alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    c = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    rowtot = c.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    p = (
+        c.join(rowtot, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.expr(f"n * {MARKOV_SCALE} div tot").alias("p_micro"),
+        )
+        .localCheckpoint(eager=True)  # the chain: built once, iterated on
+    )
+    states = p.select(F.col("from_type").alias("state")).distinct()
+    n_states = states.count()  # |event types|: bounded driver scalar
+    pi = states.select(
+        "state", F.lit(MARKOV_SCALE // n_states).cast("long").alias("pi")
+    ).localCheckpoint(eager=True)
+    for _ in range(MARKOV_ITERS):
+        pi = (
+            F.broadcast(pi)
+            .join(p, pi.state == p.from_type)
+            .groupBy(F.col("to_type").alias("state"))
+            .agg(
+                F.sum(
+                    F.expr(f"pi * p_micro div {MARKOV_SCALE}")
+                ).alias("pi")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pi.select("state", F.col("pi").alias("pi_micro"))

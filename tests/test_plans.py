@@ -60,6 +60,7 @@ EAGER_QUERIES = {
     "dedup_stream_ingest",
     "ml_pca_power_iter",  # driver-loop iterate with bounded 64-row collects
     "graph_kcore_peel",  # driver-loop peeling with per-round checkpoints
+    "events_markov_stationary",  # driver-loop chain iteration (5-row state)
     "dedup_clusters", "dedup_clusters_twostar", "similarity_dedup_clusters",
     "dedup_incremental_ingest", "dedup_containment",
     "ml_tfidf_lr_metrics", "ml_topk_coefficients", "ml_infer_exported",
