@@ -1317,91 +1317,53 @@ _ORACLES["pipeline_diverse_sample"] = _ORACLES["pipeline_diverse_sample"].format
 
 # threshold bands for the dedup-tuning sweep (half-open, plus exact-1 band)
 SWEEP_EDGES = (0.5, 0.6, 0.7, 0.8, 0.9)
-SWEEP_DF_CAP = 64  # drop shingles shared by more docs before the pair join
 
 
 @query(
     "dedup_threshold_sweep",
     oracle=f"""
-    WITH sh AS ({_sql_shingle_hashes(2)}),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    rare AS (
-      SELECT s.doc_id, s.h FROM sh s
-      JOIN (SELECT h, count(*) AS df FROM sh GROUP BY 1) d ON d.h = s.h
-      WHERE d.df <= {SWEEP_DF_CAP}
-    ),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-      FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    jac AS (
-      SELECT {sql_round_half_up(
-          'n_inter / (sa.n_sh + sb.n_sh - n_inter)', 4)} AS j
-      FROM inter
-      JOIN sizes sa ON sa.doc_id = doc_a
-      JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE n_inter * 2 >= sa.n_sh + sb.n_sh - n_inter
-    )
+    WITH pairs AS ({_sql_minhash(2, 0.5)})
     SELECT CASE
-             WHEN j = 1.0 THEN 'exact'
-             WHEN j >= 0.9 THEN 'ge_0.9'
-             WHEN j >= 0.8 THEN 'ge_0.8'
-             WHEN j >= 0.7 THEN 'ge_0.7'
-             WHEN j >= 0.6 THEN 'ge_0.6'
+             WHEN jaccard = 1.0 THEN 'exact'
+             WHEN jaccard >= 0.9 THEN 'ge_0.9'
+             WHEN jaccard >= 0.8 THEN 'ge_0.8'
+             WHEN jaccard >= 0.7 THEN 'ge_0.7'
+             WHEN jaccard >= 0.6 THEN 'ge_0.6'
              ELSE 'ge_0.5'
            END AS band,
            CAST(count(*) AS BIGINT) AS n_pairs
-    FROM jac GROUP BY 1
+    FROM pairs GROUP BY 1
     """,
 )
 def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup-tuning table: how many near-dup pairs each Jaccard
-    threshold would remove, in one pass — the measurement that picks a
-    production threshold (too low deletes distinct documents, too high
-    leaves templated spam).  Pairs with resemblance >= 0.5 (the integer
-    predicate 2*|A∩B| >= |A∪B| — applied BEFORE any float math, so the
-    candidate set is pruned exactly) are banded into half-open threshold
-    ranges plus an 'exact' band; counts per band are the report.
+    threshold would remove — the measurement that picks a production
+    threshold (too low deletes distinct documents, too high leaves
+    templated spam).  Candidate pairs come from the SAME MinHash-LSH
+    index the production dedup uses (32 perms, 8 bands x 4 rows —
+    ``_minhash_lsh_dedup_parts`` at threshold 0.5); exact Jaccard is
+    computed only on those candidates and banded into half-open
+    threshold ranges plus an 'exact' band.  Counts per band are the
+    report (<= 6 rows).
 
-    Shares dedup_ngram_jaccard's shared-shingle equi-join (zero-overlap
-    pairs never materialize) with a document-frequency cap: shingles in
-    more than {SWEEP_DF_CAP} documents are dropped before the pair join
-    (the boilerplate guard — uncapped, hot shingles fan the join out
-    quadratically: 21.7s at sf0.1, ~2s capped).  A pair that only
-    shares boilerplate can shift down a band; for threshold TUNING that
-    bias is conservative and the cap is what any production sweep
-    applies.  Output is |bands| rows; at 100 TB the identical banding
-    runs on the LSH candidate set."""
-    sh = shingle_hashes(
-        load_table(spark, sf_dir, "documents"), 2
-    ).localCheckpoint(eager=True)  # feeds sizes, the DF cap, and the join
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    df_tbl = sh.groupBy("h").agg(F.count("*").alias("df"))
-    rare = (
-        sh.join(df_tbl, "h")
-        .filter(F.col("df") <= SWEEP_DF_CAP)
-        .select("doc_id", "h")
-    )
-    a, b = rare.alias("a"), rare.alias("b")
-    inter = (
-        a.join(b, F.col("a.h") == F.col("b.h"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    union_sz = F.col("n_a") + F.col("n_b") - F.col("n_inter")
-    j = round_half_up(F.col("n_inter") / union_sz, 4)
-    banded = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .filter(F.col("n_inter") * 2 >= union_sz)
-        .select(
+    The sweep is therefore the tuning view OF the deployed LSH dedup:
+    band counts are what that pipeline would actually delete at each
+    threshold.  Near the 0.5 floor LSH recall is ~40% (1-(1-j^4)^8), so
+    the low bands under-count the all-pairs truth; at the thresholds a
+    production dedup ships (>= 0.8) recall is >= 97%.  The earlier
+    all-pairs formulation (shared-shingle equi-join) is quadratic in
+    shingle document frequency — this corpus has a tiny shingle
+    vocabulary (~870 distinct 2-shingles at EVERY sf), so df grows
+    linearly with corpus size and the pair join fanned out to 21.7s at
+    sf0.1 and unboundedly at 100 TB; a fixed df cap is no fix because
+    every shingle eventually crosses it (an earlier cap=64 emptied the
+    sweep at sf0.1).  Candidate-restriction is deterministic, so the
+    DuckDB oracle replicates it bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    jac, cleanup = _minhash_lsh_dedup_parts(docs, 2, 0.5)
+    j = F.col("jaccard")
+    out = (
+        jac.select(
             F.when(j == 1.0, "exact")
             .when(j >= 0.9, "ge_0.9")
             .when(j >= 0.8, "ge_0.8")
@@ -1410,5 +1372,11 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("ge_0.5")
             .alias("band")
         )
+        .groupBy("band")
+        .agg(F.count("*").alias("n_pairs"))
+        # <=6 rows: eager-materialize so the shingle/minhash caches can be
+        # released before returning (long multi-query driver sessions).
+        .localCheckpoint(eager=True)
     )
-    return banded.groupBy("band").agg(F.count("*").alias("n_pairs"))
+    cleanup()
+    return out
