@@ -203,11 +203,14 @@ def coverage_priority(
     names: list[str], artifacts: list[dict]
 ) -> list[str]:
     """Stable sort of ``names`` by driver-coverage need: queries whose
-    only artifact rows are RED (err or failed match) first — an error in
+    LATEST artifact row is RED (err or failed match) first — an error in
     the permanent record is the most urgent thing to overwrite with a
     green — then queries never driver-checked, then settled greens.
-    Relative order within each class is preserved, so the hand-tuned
-    _DRIVER_FIRST order remains the tiebreak."""
+    ``artifacts`` must be in round order (oldest first): the most recent
+    record wins, so a regression (green in r1, red later) re-queues first
+    rather than settling on the stale green.  Relative order within each
+    class is preserved, so the hand-tuned _DRIVER_FIRST order remains the
+    tiebreak."""
     settled: dict[str, bool] = {}
     for data in artifacts:
         for name, rec in data.items():
@@ -222,7 +225,7 @@ def coverage_priority(
                 rec.get("err") == "no_oracle"
                 and rec.get("spark_rows") is not None
             )
-            settled[name] = settled.get(name, False) or ok
+            settled[name] = ok  # latest round wins
     def cls(n: str) -> int:
         if n not in settled:
             return 1  # never driver-checked

@@ -254,11 +254,15 @@ def events_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("converted"), F.lit(0))).alias("n_conv"),
         )
     )
-    va = per_v.filter(F.col("variant") == 0).select(
-        F.col("n_users").alias("n_a"), F.col("n_conv").alias("conv_a")
-    )
-    vb = per_v.filter(F.col("variant") == 1).select(
-        F.col("n_users").alias("n_b"), F.col("n_conv").alias("conv_b")
+    # One conditional global aggregate instead of filter+crossJoin: a
+    # global agg always yields exactly 1 row (NULL side-columns when a
+    # variant is empty), matching the oracle's scalar-subquery CTE — the
+    # crossJoin form would yield 0 rows if either side were empty.
+    wide = per_v.agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("n_conv"))).alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n_conv"))).alias("conv_b"),
     )
     p_a = F.col("conv_a").cast("double") / F.col("n_a")
     p_b = F.col("conv_b").cast("double") / F.col("n_b")
@@ -279,7 +283,7 @@ def events_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         )
     )
-    return va.crossJoin(F.broadcast(vb)).select(
+    return wide.select(
         "n_a",
         "conv_a",
         "n_b",

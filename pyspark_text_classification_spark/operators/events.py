@@ -1158,9 +1158,10 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, state, valid_from_us,
            lead(valid_from_us) OVER (PARTITION BY user_id
-                                     ORDER BY valid_from_us) AS valid_to_us,
+                                     ORDER BY valid_from_us, state)
+             AS valid_to_us,
            CAST(lead(valid_from_us) OVER (PARTITION BY user_id
-                ORDER BY valid_from_us) IS NULL AS INT) AS is_current
+                ORDER BY valid_from_us, state) IS NULL AS INT) AS is_current
     FROM changes
     """,
 )
@@ -1193,7 +1194,10 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "state", F.col("ts_us").alias("valid_from_us"))
     )
-    w_iv = Window.partitionBy("user_id").orderBy("valid_from_us")
+    # state tiebreak: two state changes at one timestamp would otherwise
+    # make lead()/valid_to pairing engine-arbitrary (unique (user_id, ts)
+    # in the generator today, but determinism shouldn't rely on that).
+    w_iv = Window.partitionBy("user_id").orderBy("valid_from_us", "state")
     return changes.select(
         "user_id",
         "state",
@@ -1295,7 +1299,7 @@ def events_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv AS (
       SELECT user_id, state, valid_from_us,
              COALESCE(lead(valid_from_us) OVER (PARTITION BY user_id
-                      ORDER BY valid_from_us), 9223372036854775807)
+                      ORDER BY valid_from_us, state), 9223372036854775807)
                AS valid_to_us
       FROM changes
     ),
@@ -1343,7 +1347,8 @@ def events_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "state", F.col("ts_us").alias("valid_from_us"))
     )
-    w_iv = Window.partitionBy("user_id").orderBy("valid_from_us")
+    # state tiebreak mirrors events_scd2_intervals (same determinism trap)
+    w_iv = Window.partitionBy("user_id").orderBy("valid_from_us", "state")
     iv = changes.select(
         "user_id",
         "state",

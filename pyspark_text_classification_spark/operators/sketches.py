@@ -414,15 +414,21 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("inter_at_k"))
     )
     xn = xk.agg(F.count("*").alias("union_k"))
-    sa = stats.filter(F.col("t") == KMV_SET_A).select(
-        F.col("n_exact").alias("exact_a"), F.col("est").alias("est_a")
-    )
-    sb = stats.filter(F.col("t") == KMV_SET_B).select(
-        F.col("n_exact").alias("exact_b"), F.col("est").alias("est_b")
+    # Conditional global aggregate instead of filter+crossJoin: always
+    # exactly 1 row with NULLs for an empty set, matching the oracle's
+    # scalar subqueries (the crossJoin form yields 0 rows on empty side).
+    wide = stats.agg(
+        F.sum(F.when(F.col("t") == KMV_SET_A, F.col("n_exact"))).alias(
+            "exact_a"
+        ),
+        F.sum(F.when(F.col("t") == KMV_SET_B, F.col("n_exact"))).alias(
+            "exact_b"
+        ),
+        F.sum(F.when(F.col("t") == KMV_SET_A, F.col("est"))).alias("est_a"),
+        F.sum(F.when(F.col("t") == KMV_SET_B, F.col("est"))).alias("est_b"),
     )
     return (
-        sa.crossJoin(F.broadcast(sb))
-        .crossJoin(F.broadcast(xn))
+        wide.crossJoin(F.broadcast(xn))
         .crossJoin(F.broadcast(inter))
         .select(
             "exact_a",

@@ -155,8 +155,15 @@ class LCGRowsStreamReader(SimpleDataSourceStreamReader):
         return (iter(rows), {"i": hi})
 
     def readBetweenOffsets(self, start, end):
-        rows, _ = self.read(start)
-        return rows
+        # Replay honors the RECORDED offsets, not the fixed batch size:
+        # regenerate exactly range(start, end) so a checkpoint replay of
+        # a batch whose span differs from STREAM_BATCH_ROWS is faithful.
+        lo, hi = start["i"], end["i"]
+        return iter(
+            (i, x % 1000, GEN_TYPES[x % 5], x % 10_000)
+            for i in range(lo, hi)
+            for x in ((LCG_A * i + LCG_B) % LCG_M,)
+        )
 
     def commit(self, end):
         pass

@@ -128,7 +128,8 @@ query(
     iv AS (
       SELECT user_id, state, valid_from_us,
              lead(valid_from_us) OVER (PARTITION BY user_id
-                                       ORDER BY valid_from_us) AS valid_to_us
+                                       ORDER BY valid_from_us, state)
+               AS valid_to_us
       FROM changes
     )
     SELECT user_id, state, valid_from_us, valid_to_us
