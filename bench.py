@@ -176,6 +176,13 @@ HEADLINE = [
     "pipeline_chunk_overlap",
     "dedup_threshold_sweep",
     "events_markov_stationary",
+    "events_funnel_steps",
+    "ml_auc_rank",
+    "ml_linreg_normal_eq",
+    "q59_pareto_frontier",
+    "multimodal_phash_near_dup",
+    "retrieval_query_expansion",
+    "text_udtf_chunks",
 ]
 
 

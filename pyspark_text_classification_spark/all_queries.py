@@ -44,6 +44,10 @@ import pyspark_text_classification_spark.operators.sketches  # noqa: F401
 import pyspark_text_classification_spark.operators.winnow  # noqa: F401
 import pyspark_text_classification_spark.sources.pygen  # noqa: F401
 import pyspark_text_classification_spark.operators.linalg  # noqa: F401
+import pyspark_text_classification_spark.operators.funnel  # noqa: F401
+import pyspark_text_classification_spark.operators.skyline  # noqa: F401
+import pyspark_text_classification_spark.ml.metrics  # noqa: F401
+import pyspark_text_classification_spark.operators.udtfs  # noqa: F401
 from pyspark_text_classification_spark.registry import ORACLES, QUERIES  # noqa: F401
 
 # --- Driver-sweep ordering -------------------------------------------------

@@ -1,0 +1,207 @@
+"""Distributed, exactly-reproducible model metrics on the engine.
+
+Two metric operators the reference computes driver-side with sklearn
+(reference: model_evaluation in the GLUE scripts) re-expressed as
+distributed relational programs with integer-exact cross-engine twins:
+
+- ``ml_auc_rank``: exact ROC-AUC via the Mann-Whitney U statistic —
+  concordant / tied pair counts from per-score-value positive/negative
+  histograms.  The scale trap in rank-based AUC is the global sort; this
+  implementation never ranks rows.  It aggregates to the DISTINCT-SCORE
+  grain first (bounded by score resolution, here the 2^20 quantizer),
+  then computes the strictly-below negative prefix with a two-level
+  bucketed prefix sum: a bounded window over ~64 fixed-width score
+  buckets plus a per-bucket window — the same range-partitioned prefix
+  pattern as pipeline_global_rank, no single-reducer sort of the data.
+
+- ``ml_linreg_normal_eq``: closed-form simple linear regression from
+  sufficient statistics (n, Σx, Σy, Σxx, Σxy) — ONE map-side-combined
+  aggregate over the fact table, then a driverless 1-row solve.  The
+  cross products n·Σxy and Σx·Σy overflow int64 at bench scale, so the
+  solve runs in DECIMAL(38,0) (exact integer arithmetic both engines).
+
+Determinism: scores quantize floats to integers before any comparison
+(floor(v * 2^20), the similarity-module quantizer); every division is
+integer ``div``, which truncates toward zero in BOTH Spark and DuckDB
+(verified: -7 div 2 = -3 = -7 // 2), so no float ever crosses engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_text_classification_spark.registry import query
+from pyspark_text_classification_spark.sources.parquet import load_table
+
+AUC_QUANT = 1 << 20  # score quantizer (matches similarity.QUANT_SCALE)
+AUC_SHIFT = 1 << 20  # unit-norm components are in [-1, 1]: shift >= 0
+AUC_BUCKET_W = 1 << 15  # ~64 prefix buckets over the shifted score range
+AUC_POS_MAX_LABEL = 4  # labels 0-4 are the positive class (balanced)
+
+
+@query(
+    "ml_auc_rank",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * {AUC_QUANT})
+                  AS BIGINT) + {AUC_SHIFT} AS q,
+             CASE WHEN label <= {AUC_POS_MAX_LABEL} THEN 1 ELSE 0 END AS pos
+      FROM embeddings
+    ),
+    g AS (
+      SELECT q,
+             CAST(sum(pos) AS BIGINT) AS npos,
+             CAST(sum(1 - pos) AS BIGINT) AS nneg
+      FROM s GROUP BY 1
+    ),
+    c AS (
+      SELECT npos, nneg,
+             COALESCE(sum(nneg) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND 1 PRECEDING), 0) AS cumneg
+      FROM g
+    ),
+    t AS (
+      SELECT sum(npos) AS np, sum(nneg) AS nn,
+             sum(npos * cumneg) AS conc, sum(npos * nneg) AS tied
+      FROM c
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           CAST(conc AS BIGINT) AS concordant,
+           CAST(tied AS BIGINT) AS tied,
+           CAST((2 * conc + tied) * 500000 // (np * nn) AS BIGINT)
+             AS auc_micro
+    FROM t
+    """,
+)
+def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the first embedding component as a score for the
+    label<={AUC_POS_MAX_LABEL} class, via Mann-Whitney pair counting:
+    AUC = (concordant + ties/2) / (n_pos * n_neg), reported in integer
+    micro-units ((2C + T) * 500000 div (P*N)).
+
+    Plan: one aggregate to the distinct-quantized-score grain, then the
+    strictly-below negative count as bucket-prefix + in-bucket prefix
+    (both windows bounded: ~64 buckets, and per-bucket partitions), then
+    one global conditional aggregate.  No global row sort anywhere —
+    at 100 TB this is the difference between AUC-in-one-shuffle and a
+    single-reducer rank."""
+    e = load_table(spark, sf_dir, "embeddings")
+    s = e.select(
+        (
+            F.floor(F.col("embedding")[0].cast("double") * AUC_QUANT).cast(
+                "long"
+            )
+            + AUC_SHIFT
+        ).alias("q"),
+        F.when(F.col("label") <= AUC_POS_MAX_LABEL, 1).otherwise(0).alias(
+            "pos"
+        ),
+    )
+    g = s.groupBy("q").agg(
+        F.sum("pos").alias("npos"),
+        F.sum(1 - F.col("pos")).alias("nneg"),
+    ).withColumn("bucket", F.expr(f"q div {AUC_BUCKET_W}"))
+    # negatives in strictly-lower BUCKETS (window over ~64 bucket rows)
+    b = g.groupBy("bucket").agg(F.sum("nneg").alias("bneg"))
+    w_b = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pre = b.select(
+        "bucket", F.coalesce(F.sum("bneg").over(w_b), F.lit(0)).alias("pre_neg")
+    )
+    # negatives in strictly-lower scores WITHIN the bucket (partitioned)
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = (
+        g.join(F.broadcast(pre), "bucket")
+        .withColumn(
+            "cumneg",
+            F.col("pre_neg")
+            + F.coalesce(F.sum("nneg").over(w_in), F.lit(0)),
+        )
+    )
+    t = c.agg(
+        F.sum("npos").alias("np"),
+        F.sum("nneg").alias("nn"),
+        F.sum(F.col("npos") * F.col("cumneg")).alias("conc"),
+        F.sum(F.col("npos") * F.col("nneg")).alias("tied"),
+    )
+    return t.selectExpr(
+        "CAST(np AS BIGINT) AS n_pos",
+        "CAST(nn AS BIGINT) AS n_neg",
+        "CAST(conc AS BIGINT) AS concordant",
+        "CAST(tied AS BIGINT) AS tied",
+        "(2 * conc + tied) * 500000L div (np * nn) AS auc_micro",
+    )
+
+
+@query(
+    "ml_linreg_normal_eq",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(x * y) AS HUGEINT) AS sxy
+      FROM pts
+    ),
+    solve AS (
+      SELECT n, sx, sy,
+             (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+               AS slope_micro
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(slope_micro AS BIGINT) AS slope_micro,
+           CAST((sy * 1000000 - slope_micro * sx) // n AS BIGINT)
+             AS intercept_micro
+    FROM solve
+    """,
+)
+def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple linear regression (extended price in cents vs quantity)
+    solved in closed form from sufficient statistics — the normal
+    equations for one feature: slope = (nΣxy - ΣxΣy)/(nΣxx - (Σx)²).
+
+    The whole fit is ONE map-side-combined aggregate over the fact table
+    (5 integer sums) and a 1-row solve; no iteration, no driver math, no
+    collect.  The cross terms exceed int64 at scale, so the solve runs
+    in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact integers, and
+    integer ``div`` truncates identically in both engines, so slope and
+    intercept (micro-cent units) are bit-reproducible."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    solve = s.selectExpr(
+        "n",
+        "sx",
+        "sy",
+        "(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)"
+        " AS slope_micro",
+    )
+    return solve.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "CAST(slope_micro AS BIGINT) AS slope_micro",
+        "CAST((sy * 1000000 - slope_micro * sx) div n AS BIGINT)"
+        " AS intercept_micro",
+    )

@@ -431,3 +431,157 @@ def multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# --- perceptual-hash near-duplicate detection --------------------------------
+PHASH_BLOCKS = 64   # aHash grid: 64 positional blocks -> 64 hash bits
+PHASH_BANDS = 8     # 8 bands x 8 bits: LOSSLESS for hamming <= 7 (pigeonhole)
+PHASH_HAM_MAX = 4   # near-dup threshold (bits)
+
+PHASH_SCHEMA = "doc_id LONG, lo LONG, hi LONG"
+
+# DuckDB twin of the block-sum hash: per block b, the codepoint sum of
+# text[(b*n) div 64, ((b+1)*n) div 64) (1-based substr), bit set iff the
+# block sum strictly exceeds the mean block sum (sum*64 > total).  ASCII
+# corpus => codepoint == byte, the same equivalence byte_checksum uses.
+_SQL_PHASH = f"""
+    SELECT d.doc_id, t.blk,
+           COALESCE(list_sum(list_transform(
+             list_filter(string_split(substr(d.text,
+               CAST((t.blk * length(d.text)) // {PHASH_BLOCKS} + 1 AS INT),
+               CAST(((t.blk + 1) * length(d.text)) // {PHASH_BLOCKS}
+                    - (t.blk * length(d.text)) // {PHASH_BLOCKS} AS INT)),
+               ''), c -> c <> ''),
+             c -> CAST(unicode(c) AS BIGINT))), 0) AS s
+    FROM documents d, (SELECT CAST(range AS BIGINT) AS blk
+                       FROM range({PHASH_BLOCKS})) t
+"""
+
+_SQL_PHASH_BITS = f"""
+    WITH blocks AS ({_SQL_PHASH}),
+    tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS st
+            FROM blocks GROUP BY 1),
+    bits AS (
+      SELECT b.doc_id,
+             CAST(sum(CASE WHEN b.blk < 32 AND b.s * {PHASH_BLOCKS} > t.st
+                  THEN (CAST(1 AS BIGINT) << b.blk) ELSE 0 END)
+                  AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN b.blk >= 32 AND b.s * {PHASH_BLOCKS} > t.st
+                  THEN (CAST(1 AS BIGINT) << (b.blk - 32)) ELSE 0 END)
+                  AS BIGINT) AS hi
+      FROM blocks b JOIN tot t USING (doc_id) GROUP BY 1
+    )
+"""
+
+
+def compute_phash(payloads: DataFrame) -> DataFrame:
+    """64-bit positional block hash of each binary payload via
+    mapInPandas — the average-hash (aHash) construction: split the
+    payload into {PHASH_BLOCKS} equal byte ranges (the "8x8 resize"),
+    threshold each block's byte sum at the payload mean.  Emitted as two
+    positive 32-bit halves (lo = bits 0-31, hi = bits 32-63) so no
+    sign-bit arithmetic ever happens.  A real image pHash drops its DCT
+    coefficients into the same threshold loop via decode_media()."""
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(buf)
+                n = len(b)
+                total = sum(b)
+                lo = hi = 0
+                for blk in range(PHASH_BLOCKS):
+                    s = sum(
+                        b[(blk * n) // PHASH_BLOCKS:
+                          ((blk + 1) * n) // PHASH_BLOCKS]
+                    )
+                    if s * PHASH_BLOCKS > total:
+                        if blk < 32:
+                            lo |= 1 << blk
+                        else:
+                            hi |= 1 << (blk - 32)
+                rows.append((doc_id, lo, hi))
+            yield pd.DataFrame(rows, columns=["doc_id", "lo", "hi"])
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        hashes, schema=PHASH_SCHEMA
+    )
+
+
+@query(
+    "multimodal_phash_near_dup",
+    oracle=f"""
+    {_SQL_PHASH_BITS}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.lo, b.lo))
+                + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+    FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+          <= {PHASH_HAM_MAX}
+    """,
+)
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over binary payloads:
+    aHash-style 64-bit block hashes (compute_phash), Hamming-LSH banding
+    ({PHASH_BANDS} bands x 8 bits) for candidates, exact popcount verify
+    at hamming <= {PHASH_HAM_MAX}.
+
+    The banding is EXACT here, not approximate: a pair within hamming h
+    differs in at most h bands, so with h <= {PHASH_BANDS}-1 at least one
+    band matches (pigeonhole) — the engine provably equals the oracle's
+    O(n^2) brute force while doing bounded equi-joins.  At 100 TB the
+    hash pass is partition-local mapInPandas (shuffle carries 24 B/doc),
+    candidates are one band equi-join, and the verify join touches only
+    candidate pairs — the same candidate-restriction discipline as
+    dedup_minhash_lsh."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    hashes = compute_phash(attach_binary_payload(docs)).localCheckpoint(
+        eager=True
+    )
+    # explode the 8 bands JVM-side: band j of lo for j=0..3, of hi for 4..7
+    band_cols = []
+    for j in range(PHASH_BANDS):
+        half = "lo" if j < 4 else "hi"
+        shift = 8 * (j % 4)
+        band_cols.append(
+            F.struct(
+                F.lit(j).alias("band"),
+                F.expr(f"shiftright({half}, {shift}) & 255").alias("val"),
+            )
+        )
+    bands = hashes.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.select(
+                F.col("doc_id").alias("doc_b"), "band", "val"
+            ).alias("y"),
+            ["band", "val"],
+        )
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lo").alias("lo_a"),
+        F.col("hi").alias("hi_a"),
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lo").alias("lo_b"),
+        F.col("hi").alias("hi_b"),
+    )
+    ham = F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    ) + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= PHASH_HAM_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -61,10 +61,11 @@ _SQL_TOKS = (
 )
 
 
-@query(
-    "retrieval_bm25_topk",
-    oracle=f"""
-    WITH q(query_id, term) AS (VALUES {_SQL_Q_VALUES}),
+# Shared BM25 CTE chain (query VALUES -> per-query-per-doc score), reused
+# verbatim by the top-k and the pseudo-relevance-feedback oracles so both
+# rank against the identical scoring definition.
+_SQL_BM25_CTES = f"""
+    q(query_id, term) AS (VALUES {_SQL_Q_VALUES}),
     toks AS (
       SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
     ),
@@ -97,14 +98,25 @@ _SQL_TOKS = (
       CROSS JOIN tot
     ),
     per_doc AS (SELECT query_id, doc_id, sum(contrib) AS score_micro
-                FROM scored GROUP BY 1, 2)
+                FROM scored GROUP BY 1, 2),
+    topk AS (
+      SELECT query_id, doc_id, score_micro, rnk
+      FROM (
+        SELECT query_id, doc_id, score_micro,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score_micro DESC, doc_id) AS rnk
+        FROM per_doc
+      ) WHERE rnk <= {BM25_TOPK}
+    )
+"""
+
+
+@query(
+    "retrieval_bm25_topk",
+    oracle=f"""
+    WITH {_SQL_BM25_CTES}
     SELECT query_id, doc_id, score_micro, CAST(rnk AS INT) AS rank
-    FROM (
-      SELECT query_id, doc_id, score_micro,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY score_micro DESC, doc_id) AS rnk
-      FROM per_doc
-    ) WHERE rnk <= {BM25_TOPK}
+    FROM topk
     """,
 )
 def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,6 +126,18 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     See the module docstring for the rational-arithmetic derivation and
     the 100 TB plan shape (broadcast query probe into postings; salted
     two-level top-k)."""
+    postings, qterms, tot, per_doc = _bm25_scored(spark, sf_dir)
+    return _bm25_topk(per_doc).select(
+        "query_id",
+        "doc_id",
+        "score_micro",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str):
+    """Shared BM25 build: (postings, qterms, tot, per_doc) — the Spark
+    twin of the _SQL_BM25_CTES chain up to ``per_doc``."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.explode(tokenize("text", 2)).alias("term")
@@ -157,6 +181,12 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = scored.groupBy("query_id", "doc_id").agg(
         F.sum("contrib").alias("score_micro")
     )
+    return postings, qterms, tot, per_doc
+
+
+def _bm25_topk(per_doc: DataFrame) -> DataFrame:
+    """Salted two-level top-{BM25_TOPK} per query over per-doc scores:
+    (query_id, doc_id, score_micro, rank)."""
     w1 = Window.partitionBy(
         "query_id", F.pmod(F.col("doc_id"), F.lit(BM25_SALTS))
     ).orderBy(F.col("score_micro").desc(), "doc_id")
@@ -171,12 +201,6 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         survivors.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= BM25_TOPK)
-        .select(
-            "query_id",
-            "doc_id",
-            "score_micro",
-            F.col("rank").cast("int").alias("rank"),
-        )
     )
 
 
@@ -277,6 +301,101 @@ def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "doc_id",
             "n_matches",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+# --- pseudo-relevance-feedback query expansion --------------------------------
+EXP_TOPK = 8  # expansion terms per query
+
+
+@query(
+    "retrieval_query_expansion",
+    oracle=f"""
+    WITH {_SQL_BM25_CTES},
+    fb AS (SELECT query_id, doc_id FROM topk),
+    cand AS (
+      SELECT f.query_id, p.term, CAST(count(*) AS BIGINT) AS df_fb
+      FROM fb f
+      JOIN postings p ON p.doc_id = f.doc_id
+      LEFT JOIN q qx ON qx.query_id = f.query_id AND qx.term = p.term
+      WHERE qx.term IS NULL
+      GROUP BY 1, 2
+    ),
+    cdf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df
+      FROM postings WHERE term IN (SELECT DISTINCT term FROM cand)
+      GROUP BY 1
+    ),
+    exp AS (
+      SELECT c.query_id, c.term, c.df_fb,
+             c.df_fb
+               * CAST(floor(ln((tot.n_docs - cdf.df + 0.5) / (cdf.df + 0.5)
+                              + 1.0) * 1000000.0 + 0.5) AS BIGINT)
+               AS score_micro
+      FROM cand c JOIN cdf ON cdf.term = c.term CROSS JOIN tot
+    )
+    SELECT query_id, term, df_fb, score_micro, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT query_id, term, df_fb, score_micro,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_micro DESC, term) AS rnk
+      FROM exp
+    ) WHERE rnk <= {EXP_TOPK}
+    """,
+)
+def retrieval_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback (RM1-style) query expansion: run BM25,
+    take each query's top-{BM25_TOPK} feedback documents, and propose the
+    {EXP_TOPK} terms that best characterize that feedback set — scored
+    df_in_feedback x corpus idf (integer micro-nats), original query
+    terms excluded.  The classic automatic-query-reformulation loop
+    (Rocchio/RM models) as three relational stages on the SAME postings
+    DataFrame the BM25 stage built.
+
+    Scale shape: the feedback set is queries x {BM25_TOPK} rows (tiny,
+    broadcast into the postings probe); candidate terms are bounded by
+    feedback-doc lengths, so the idf lookup is a broadcast semi-probe of
+    postings and the final per-query ranking window sees a bounded
+    candidate set."""
+    postings, qterms, tot, per_doc = _bm25_scored(spark, sf_dir)
+    fb = _bm25_topk(per_doc).select("query_id", "doc_id")
+    cand = (
+        postings.join(F.broadcast(fb), "doc_id")
+        .join(F.broadcast(qterms), ["query_id", "term"], "left_anti")
+        .groupBy("query_id", "term")
+        .agg(F.count("*").alias("df_fb"))
+    )
+    cterms = cand.select("term").distinct()
+    cdf = postings.join(F.broadcast(cterms), "term").groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    idf_micro = F.floor(
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        * 1_000_000.0
+        + F.lit(0.5)
+    ).cast("long")
+    exp = (
+        cand.join(F.broadcast(cdf), "term")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("score_micro", F.col("df_fb") * idf_micro)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), "term"
+    )
+    return (
+        exp.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= EXP_TOPK)
+        .select(
+            "query_id",
+            "term",
+            "df_fb",
+            "score_micro",
             F.col("rank").cast("int").alias("rank"),
         )
     )
