@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_text_classification_spark.registry import query
-from pyspark_text_classification_spark.sources.parquet import load_table
+from pyspark_text_classification_spark.sources.parquet import fan_out, load_table
 
 PR_DAMP_NUM = 85  # d = 0.85 as the rational 85/100
 PR_DAMP_DEN = 100
@@ -86,6 +86,41 @@ def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
+    )
+
+
+# Supplier-pair packing for the co-purchase projection: one int64 key
+# u * 2^31 + v (suppkeys < 2^31) so the pair aggregate hashes a single
+# long instead of a struct; k's order == (u, v) lexicographic, so sorts
+# on k are sorts on (u, v).
+_PAIR_BASE = 1 << 31
+# In-row ordered-pair generation over the hub-capped, SORTED supplier
+# set: x at index i pairs with every later y, giving u < v for free.
+# Bounded at C(AA_HUB_CAP, 2) = 2016 pairs per customer by the cap.
+_PAIR_EXPLODE = (
+    "flatten(transform(ss, (x, i) -> "
+    f"transform(slice(ss, i + 2, size(ss)), y -> x * {_PAIR_BASE}L + y)))"
+)
+
+
+def _pair_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer hub-capped sorted supplier sets (c, ss), fanned out.
+
+    This replaces the classic ``small a JOIN small b ON a.c = b.c AND
+    a.s < b.s`` self-join: ONE aggregate on c builds the set (its size IS
+    the degree, so the hub-cap filter needs no separate degree join), and
+    the C(deg, 2) pairs are generated IN-ROW by codegen'd array lambdas.
+    The explicit repartition matters: the list table is tiny (one row per
+    customer) so AQE coalesces it to a couple of partitions, and the
+    ~750x row multiplication of the pair explode would then run on two
+    cores — fan the rows out BEFORE exploding (measured 3x on the
+    backbone build at sf0.1)."""
+    e = _bipartite_edges(spark, sf_dir)
+    return fan_out(
+        e.groupBy("c")
+        .agg(F.sort_array(F.collect_set("s")).alias("ss"))
+        .filter((F.size("ss") >= 2) & (F.size("ss") <= AA_HUB_CAP)),
+        2,
     )
 
 
@@ -234,34 +269,33 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cap — the standard guard that bounds the common-neighbor
     self-join's fan-out at C({AA_HUB_CAP}, 2) rows per customer instead
     of letting one hot customer emit |suppliers|^2 pairs.  The self-join
-    is an equi-join on customer (bucket-local at scale), the pair
-    aggregate is map-side-combined int64, and top-k is TakeOrdered on
-    (score, s1, s2) — a deterministic total order."""
-    e = _bipartite_edges(spark, sf_dir).localCheckpoint(eager=True)
-    cdeg = e.groupBy("c").agg(F.count("*").alias("deg"))
-    wdf = F.broadcast(
-        spark.createDataFrame(AA_WEIGHTS, "deg LONG, w_micro LONG")
+    is generated IN-ROW from the per-customer sorted supplier set
+    (_pair_lists — the set's size IS the degree, so the weight is an
+    array-literal lookup, join-free), the pair aggregate is map-side-
+    combined int64 on a packed long key, and top-k is TakeOrdered on
+    (score, k) — k's order is (s1, s2) lexicographic, a deterministic
+    total order."""
+    warr = F.array(*[F.lit(w) for _, w in AA_WEIGHTS])
+    lists = _pair_lists(spark, sf_dir).withColumn(
+        "w_micro", F.element_at(warr, F.size("ss") - 1)
     )
-    small = (
-        e.join(cdeg, "c")
-        .join(wdf, "deg")
-        .select("c", "s", "w_micro")
+    pairs = lists.select(
+        F.explode(F.expr(_PAIR_EXPLODE)).alias("k"), "w_micro"
     )
-    a = small.alias("a")
-    b = small.select(
-        F.col("c").alias("bc"), F.col("s").alias("s2")
-    ).alias("b")
-    pairs = (
-        a.join(b, (F.col("a.c") == F.col("bc")) & (F.col("a.s") < F.col("s2")))
-        .groupBy(F.col("a.s").alias("s1"), "s2")
-        .agg(
-            F.sum("w_micro").alias("aa_micro"),
-            F.count("*").alias("common_customers"),
+    agg = pairs.groupBy("k").agg(
+        F.sum("w_micro").alias("aa_micro"),
+        F.count("*").alias("common_customers"),
+    )
+    return (
+        agg.orderBy(F.col("aa_micro").desc(), "k")
+        .limit(AA_TOPK)
+        .select(
+            F.expr(f"k div {_PAIR_BASE}L").alias("s1"),
+            F.expr(f"k % {_PAIR_BASE}L").alias("s2"),
+            "aa_micro",
+            "common_customers",
         )
     )
-    return pairs.orderBy(
-        F.col("aa_micro").desc(), "s1", "s2"
-    ).limit(AA_TOPK)
 
 
 TRI_MIN_COMMON = 2  # supplier-graph edge: pairs sharing >= this many customers
@@ -274,6 +308,29 @@ TRI_MIN_COMMON = 2  # supplier-graph edge: pairs sharing >= this many customers
 # with a rank cap instead of a significance test). Bounds the wedge join
 # at O(K^1.5) regardless of projection density.
 TRI_EDGE_TOPK = 10_000
+
+
+def _copurchase_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TRI_EDGE_TOPK} heaviest co-purchase edges (u, v), u < v, among
+    hub-capped supplier pairs sharing >= {TRI_MIN_COMMON} customers —
+    the shared input of the triangle census and the k-core peel.  Pairs
+    come from the in-row explode (_pair_lists) keyed as one packed long;
+    the top-k is TakeOrderedAndProject on (w desc, k), never a global
+    sort, and k's order makes the tiebreak (u, v) lexicographic."""
+    pairs = _pair_lists(spark, sf_dir).select(
+        F.explode(F.expr(_PAIR_EXPLODE)).alias("k")
+    )
+    return (
+        pairs.groupBy("k")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= TRI_MIN_COMMON)
+        .orderBy(F.col("w").desc(), "k")
+        .limit(TRI_EDGE_TOPK)
+        .select(
+            F.expr(f"k div {_PAIR_BASE}L").alias("u"),
+            F.expr(f"k % {_PAIR_BASE}L").alias("v"),
+        )
+    )
 
 
 @query(
@@ -335,27 +392,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     single window suffices because se0 is already an aggregate output).
     At 100 TB the joins are hash-partitioned on their keys and AQE
     handles residual skew; the final census is a single-row aggregate."""
-    e = _bipartite_edges(spark, sf_dir)
-    cdeg = e.groupBy("c").agg(F.count("*").alias("deg"))
-    small = (
-        e.join(cdeg, "c")
-        .filter((F.col("deg") >= 2) & (F.col("deg") <= AA_HUB_CAP))
-        .select("c", "s")
-    )
-    a = small.alias("a")
-    b = small.select(F.col("c").alias("bc"), F.col("s").alias("v")).alias("b")
-    se0 = (
-        a.join(b, (F.col("a.c") == F.col("bc")) & (F.col("a.s") < F.col("v")))
-        .groupBy(F.col("a.s").alias("u"), "v")
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= TRI_MIN_COMMON)
-    )
-    se = (
-        se0.orderBy(F.col("w").desc(), "u", "v")
-        .limit(TRI_EDGE_TOPK)  # TakeOrderedAndProject, never a global sort
-        .select("u", "v")
-        .localCheckpoint(eager=True)  # feeds deg + the 3-way triangle join
-    )
+    se = _copurchase_backbone(spark, sf_dir).localCheckpoint(
+        eager=True
+    )  # feeds deg + the 3-way triangle join
     deg = (
         se.select(F.col("u").alias("node"))
         .unionByName(se.select(F.col("v").alias("node")))
@@ -561,25 +600,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rounds are FIXED at {KCORE_ROUNDS} so the DuckDB oracle unrolls the
     recurrence exactly; a production run loops to fixpoint with the
     identical per-round dataflow."""
-    e = _bipartite_edges(spark, sf_dir)
-    cdeg = e.groupBy("c").agg(F.count("*").alias("deg"))
-    small = (
-        e.join(cdeg, "c")
-        .filter((F.col("deg") >= 2) & (F.col("deg") <= AA_HUB_CAP))
-        .select("c", "s")
-    )
-    a = small.alias("a")
-    b = small.select(F.col("c").alias("bc"), F.col("s").alias("v")).alias("b")
-    g = (
-        a.join(b, (F.col("a.c") == F.col("bc")) & (F.col("a.s") < F.col("v")))
-        .groupBy(F.col("a.s").alias("u"), "v")
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= TRI_MIN_COMMON)
-        .orderBy(F.col("w").desc(), "u", "v")
-        .limit(TRI_EDGE_TOPK)
-        .select("u", "v")
-        .localCheckpoint(eager=True)
-    )
+    g = _copurchase_backbone(spark, sf_dir).localCheckpoint(eager=True)
 
     def census(edges: DataFrame, rnd: int) -> DataFrame:
         nodes = edges.select(F.col("u").alias("node")).unionByName(

@@ -44,6 +44,10 @@ PANDAS_QUERIES = {
     "pipeline_global_rank",  # declared Arrow enumerate-sorted-partitions stage
     "q41_customer_rfm",  # three total_order_rank enumerate stages (no window)
 }
+# Declared Python-eval exceptions that are NOT MapInPandas stages: the
+# UDTF surface demo plans as BatchEvalPython by design (asserted
+# positively in test_udtf_plans_as_python_eval below).
+PYTHON_EVAL_DECLARED = {"text_udtf_chunks"}
 # run eagerly on call (streaming drains / iterative fits) — their plans
 # can't be inspected lazily here; streaming twins share their batch
 # implementation, and the ML fits are covered by their own tests
@@ -78,9 +82,19 @@ def test_relational_core_has_no_python_workers(spark, sf_dir, monkeypatch):
     # keep the similarity queries lazy so their real plans are inspectable
     # (in production they eagerly checkpoint + release their pair caches)
     monkeypatch.setattr(similarity, "EAGER_RELEASE", False)
-    for name in sorted(set(QUERIES) - PANDAS_QUERIES - EAGER_QUERIES):
+    for name in sorted(
+        set(QUERIES) - PANDAS_QUERIES - EAGER_QUERIES - PYTHON_EVAL_DECLARED
+    ):
         nodes = python_eval_nodes(QUERIES[name](spark, sf_dir))
         assert not nodes, f"{name} drops into Python: {nodes}"
+
+
+def test_udtf_plans_as_python_eval(spark, sf_dir):
+    """The UDTF demo must actually exercise the Python UDTF execution
+    path (BatchEvalPython/UDTF eval node) — if Catalyst ever rewrote it
+    away, the query would no longer cover the declared API surface."""
+    nodes = python_eval_nodes(QUERIES["text_udtf_chunks"](spark, sf_dir))
+    assert nodes, "text_udtf_chunks no longer plans a Python eval node"
 
 
 def test_near_dup_family_has_no_cartesian_product(spark, sf_dir, monkeypatch):
