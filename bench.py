@@ -183,6 +183,8 @@ HEADLINE = [
     "multimodal_phash_near_dup",
     "retrieval_query_expansion",
     "text_udtf_chunks",
+    "q60_cube_grouping",
+    "pipeline_observed_metrics",
 ]
 
 

@@ -895,3 +895,33 @@ def q41_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.sum("monetary_c").alias("segment_monetary_c"),
     )
+
+
+@query(
+    "q60_cube_grouping",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+             AS sum_qty_fl,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q60_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 grouping sets, CUBE variant: all 2^2 grouping combinations in
+    one pass — the missing sibling of q22's ROLLUP (prefixes) and q29's
+    explicit GROUPING SETS.  grouping() flags disambiguate subtotal NULLs
+    from real NULL keys.  Catalyst plans ONE Expand (4x row replication)
+    feeding a single hash aggregate — at 100 TB the Expand multiplies
+    map-side rows but every replica partial-aggregates before the one
+    shuffle, so the cube costs one pass, not 2^dims scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.floor("l_quantity").cast("long")).alias("sum_qty_fl"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    )

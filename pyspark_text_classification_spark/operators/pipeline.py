@@ -1403,3 +1403,75 @@ def pipeline_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             char_poly_hash(F.array_join("ctoks", " ")).alias("chunk_hash"),
         )
     )
+
+
+# --- observed metrics: df.observe() piggyback ---------------------------------
+OBS_MIN_QTY = 5  # quality-gate threshold
+
+
+@query(
+    "pipeline_observed_metrics",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_seen,
+           CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+             AS sum_qty_fl,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned,
+           CAST(sum(CASE WHEN l_quantity >= {OBS_MIN_QTY} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN l_quantity >= {OBS_MIN_QTY}
+                    THEN CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS pass_price_c
+    FROM lineitem
+    """,
+)
+def pipeline_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-quality metrics PIGGYBACKED on a gate pass with
+    ``df.observe()`` (the Observation API): the scan-side metrics
+    (rows seen, floored quantity sum, returned-flag count) ride the SAME
+    job that computes the downstream gate aggregate — no second scan.
+    At 100 TB this halves the IO of every "validate then process"
+    pipeline stage: observe() attaches CollectMetrics accumulators to
+    the plan instead of re-reading the input, which is why it, and not a
+    separate validation query, is the right shape for inline data-quality
+    counters.  Eager by necessity (Observation.get blocks on the action);
+    the returned one-row frame carries both the observed and the computed
+    halves, all exact integers."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("gate_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_seen"),
+        F.sum(F.floor("l_quantity").cast("long")).alias("sum_qty_fl"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "n_returned"
+        ),
+    )
+    gate = (
+        observed.filter(F.col("l_quantity") >= OBS_MIN_QTY)
+        .agg(
+            F.count("*").alias("n_pass"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("pass_price_c"),
+        )
+        .collect()[0]  # the action that also materializes the metrics
+    )
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_seen"],
+                m["sum_qty_fl"],
+                m["n_returned"],
+                gate["n_pass"],
+                gate["pass_price_c"],
+            )
+        ],
+        "n_seen LONG, sum_qty_fl LONG, n_returned LONG, n_pass LONG,"
+        " pass_price_c LONG",
+    )

@@ -63,6 +63,7 @@ EAGER_QUERIES = {
     "sketch_stream_cms", "events_stream_scd2", "source_python_stream",
     "dedup_stream_ingest",
     "ml_pca_power_iter",  # driver-loop iterate with bounded 64-row collects
+    "pipeline_observed_metrics",  # Observation.get blocks on its action
     "graph_kcore_peel",  # driver-loop peeling with per-round checkpoints
     "events_markov_stationary",  # driver-loop chain iteration (5-row state)
     "dedup_clusters", "dedup_clusters_twostar", "similarity_dedup_clusters",
