@@ -61,7 +61,7 @@ EAGER_QUERIES = {
     "pipeline_stream_checksum", "events_stream_time_to_convert",
     "similarity_stream_pq_codes", "events_stream_enrich",
     "sketch_stream_cms", "events_stream_scd2", "source_python_stream",
-    "dedup_stream_ingest",
+    "dedup_stream_ingest", "events_stream_funnel",
     "ml_pca_power_iter",  # driver-loop iterate with bounded 64-row collects
     "pipeline_observed_metrics",  # Observation.get blocks on its action
     "graph_kcore_peel",  # driver-loop peeling with per-round checkpoints

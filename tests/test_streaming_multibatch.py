@@ -723,3 +723,76 @@ def test_scd2_interval_closes_across_batch_split(spark, tmp_path):
         for r in spark.table(sink).collect()
     ]
     assert got == [(1, "view", base, base + 300_000_000)]
+
+
+def test_funnel_state_survives_batch_split(spark, tmp_path):
+    """A user whose funnel steps land in THREE different micro-batches
+    must still complete — exactly once, with the step timestamps the
+    batch CTE chain would produce; out-of-order steps (click before any
+    view, purchase before any click) never complete."""
+    from pyspark_text_classification_spark.streaming.funnel import (
+        _funnel_group,  # exercised through the real stream below
+    )
+
+    base = 1_000_000_000_000  # µs
+    rows = [
+        # user 1: view (b1), click (b2), purchase (b3) -> completes once
+        (101, base, 1, "view", 1.0, "{}"),
+        (102, base + 100_000_000, 1, "click", 1.0, "{}"),
+        (103, base + 300_000_000, 1, "purchase", 1.0, "{}"),
+        # a second purchase must NOT re-emit
+        (104, base + 400_000_000, 1, "purchase", 1.0, "{}"),
+        # user 2: click then purchase, no view -> never completes
+        (201, base + 50_000_000, 2, "click", 1.0, "{}"),
+        (202, base + 150_000_000, 2, "purchase", 1.0, "{}"),
+    ]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    pdf = pd.DataFrame(rows, columns=cols).sort_values("ts")
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="us").astype("datetime64[us]")
+    d = tmp_path / "funnel_src"
+    os.makedirs(d)
+    # three files -> three micro-batches, one funnel step per batch
+    splits = [(0, 2, "a"), (2, 4, "b"), (4, 6, "c")]
+    now = time.time()
+    for i, (lo, hi, tag) in enumerate(splits):
+        p = d / f"{tag}_part.parquet"
+        pdf.iloc[lo:hi].to_parquet(str(p), index=False)
+        os.utime(p, (now - 100 + i, now - 100 + i))
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    fun = (
+        src.selectExpr(
+            "event_id", "user_id", "event_type",
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+            " ts) AS ts_us",
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_group,
+            outputStructType="user_id LONG, t1_us LONG, t2_us LONG, t3_us LONG",
+            stateStructType="t1 LONG, t2 LONG, emitted INT",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = "funnel_split_sink"
+    q = (
+        fun.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [
+        (r.user_id, r.t1_us, r.t2_us, r.t3_us)
+        for r in spark.table(sink).collect()
+    ]
+    assert got == [(1, base, base + 100_000_000, base + 300_000_000)]
