@@ -185,6 +185,8 @@ HEADLINE = [
     "text_udtf_chunks",
     "q60_cube_grouping",
     "pipeline_observed_metrics",
+    "events_variant_extract",
+    "q61_parameterized_sql",
 ]
 
 

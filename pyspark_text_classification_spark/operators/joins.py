@@ -925,3 +925,42 @@ def q60_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),
     )
+
+
+PARAM_MIN_QTY = 45  # the bind value the parameterized frontend query uses
+
+
+@query(
+    "q61_parameterized_sql",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+             AS sum_qty_fl
+    FROM lineitem
+    WHERE l_quantity >= {PARAM_MIN_QTY}
+    GROUP BY 1
+    """,
+)
+def q61_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parameterized-SQL frontend (Spark 4 named-parameter markers):
+    the bind value travels as a PARAMETER (:min_qty + args dict), never
+    string-interpolated — the injection-safe form every SQL-frontend
+    service should use.  Catalyst substitutes the literal before
+    optimization, so the predicate still reaches the parquet scan as a
+    PushedFilter exactly like q36's verbatim-SQL twin."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "v_li_param"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+                 AS sum_qty_fl
+        FROM v_li_param
+        WHERE l_quantity >= :min_qty
+        GROUP BY 1
+        """,
+        args={"min_qty": PARAM_MIN_QTY},
+    )
