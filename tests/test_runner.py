@@ -128,5 +128,9 @@ def test_coverage_priority_classes_and_stability():
     # a later round greens 'a' -> it settles behind the never-checked
     r2 = {"a": {"err": None, "hash_match": True, "rows_match": True}}
     assert coverage_priority(names, [r1, r2]) == ["d", "e", "a", "b", "c"]
+    # LATEST round wins: a REGRESSION (green in r1, red later) re-queues
+    # first instead of settling on the stale green
+    r3 = {"b": {"err": "boom", "hash_match": None, "spark_rows": None}}
+    assert coverage_priority(names, [r1, r2, r3]) == ["b", "d", "e", "a", "c"]
     # no artifacts -> order unchanged
     assert coverage_priority(names, []) == names
