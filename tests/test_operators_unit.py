@@ -431,3 +431,51 @@ def test_kmv_estimate_within_error_bound(spark, sf_dir):
             assert est == exact, "sub-k set must be exact"
         else:
             assert abs(est - exact) <= 4 * sigma * exact, (exact, est)
+
+
+def test_inrow_pair_generation_equals_self_join(spark, sf_dir):
+    """The graph backbone's in-row pair explode (sorted collect_set +
+    array-lambda combinations on a packed long key) must produce the
+    exact weighted-pair multiset of the classic hub-capped self-join
+    (small a JOIN small b ON a.c = b.c AND a.s < b.s) it replaced."""
+    from pyspark.sql import functions as F
+
+    from pyspark_text_classification_spark.operators.graph import (
+        _PAIR_BASE,
+        _PAIR_EXPLODE,
+        _bipartite_edges,
+        _pair_lists,
+        AA_HUB_CAP,
+    )
+
+    inrow = (
+        _pair_lists(spark, sf_dir)
+        .select(F.explode(F.expr(_PAIR_EXPLODE)).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("w"))
+        .select(
+            F.expr(f"k div {_PAIR_BASE}L").alias("u"),
+            F.expr(f"k % {_PAIR_BASE}L").alias("v"),
+            "w",
+        )
+    )
+    e = _bipartite_edges(spark, sf_dir)
+    cdeg = e.groupBy("c").agg(F.count("*").alias("deg"))
+    small = (
+        e.join(cdeg, "c")
+        .filter((F.col("deg") >= 2) & (F.col("deg") <= AA_HUB_CAP))
+        .select("c", "s")
+    )
+    joined = (
+        small.alias("a")
+        .join(
+            small.select(
+                F.col("c").alias("bc"), F.col("s").alias("v")
+            ).alias("b"),
+            (F.col("a.c") == F.col("bc")) & (F.col("a.s") < F.col("v")),
+        )
+        .groupBy(F.col("a.s").alias("u"), "v")
+        .agg(F.count("*").alias("w"))
+    )
+    assert inrow.exceptAll(joined).count() == 0
+    assert joined.exceptAll(inrow).count() == 0
