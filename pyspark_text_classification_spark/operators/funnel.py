@@ -66,13 +66,13 @@ FUNNEL_STEPS = ("view", "click", "purchase")
     FROM wide
     UNION ALL
     SELECT 2, '{FUNNEL_STEPS[1]}', CAST(n2 AS BIGINT),
-           CAST(n2 * 10000 // n1 AS BIGINT),
-           CAST(n2 * 10000 // n1 AS BIGINT)
+           CAST(n2 * 10000 // nullif(n1, 0) AS BIGINT),
+           CAST(n2 * 10000 // nullif(n1, 0) AS BIGINT)
     FROM wide
     UNION ALL
     SELECT 3, '{FUNNEL_STEPS[2]}', CAST(n3 AS BIGINT),
-           CAST(n3 * 10000 // n2 AS BIGINT),
-           CAST(n3 * 10000 // n1 AS BIGINT)
+           CAST(n3 * 10000 // nullif(n2, 0) AS BIGINT),
+           CAST(n3 * 10000 // nullif(n1, 0) AS BIGINT)
     FROM wide
     """,
 )
@@ -85,7 +85,10 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each step is min(ts) per user over events at-or-after the previous
     step's per-user time; the three user-keyed joins share one hash
     partitioning.  The 3-row readout comes from one global conditional
-    aggregate unpivoted with stack() — no window, no collect."""
+    aggregate unpivoted with stack() — no window, no collect.  nullif
+    guards the conversion divisions so an empty previous step degrades
+    to NULL identically in both engines instead of erroring (ANSI
+    div-by-zero)."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", ts_us().alias("ts_us")
     )
@@ -123,8 +126,8 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
           1, '{FUNNEL_STEPS[0]}', CAST(n1 AS BIGINT),
              CAST(10000 AS BIGINT), CAST(10000 AS BIGINT),
           2, '{FUNNEL_STEPS[1]}', CAST(n2 AS BIGINT),
-             n2 * 10000L div n1, n2 * 10000L div n1,
+             n2 * 10000L div nullif(n1, 0), n2 * 10000L div nullif(n1, 0),
           3, '{FUNNEL_STEPS[2]}', CAST(n3 AS BIGINT),
-             n3 * 10000L div n2, n3 * 10000L div n1
+             n3 * 10000L div nullif(n2, 0), n3 * 10000L div nullif(n1, 0)
         ) AS (step, event_type, n_users, conv_prev_bp, conv_first_bp)"""
     )
