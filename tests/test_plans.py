@@ -637,3 +637,106 @@ def test_no_cartesian_product_anywhere(spark, sf_dir, monkeypatch):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"unexpected CartesianProduct in: {offenders}"
+
+
+def test_pareto_has_no_unpartitioned_row_window(spark, sf_dir):
+    """q59's only global window runs over the ~60 bucket SUMMARY rows;
+    the full part table must only ever flow through a PARTITIONED window.
+    A 'Window' node whose partition spec is empty AND whose input is the
+    scan would be the single-reducer sort-and-scan the operator exists to
+    avoid."""
+    from pyspark_text_classification_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(QUERIES["q59_pareto_frontier"](spark, sf_dir))
+    # the in-bucket window must be partitioned by bucket
+    assert "partitionBy=[bucket" in plan.replace(" ", "").replace(
+        "partitionBy=[bucket", "partitionBy=[bucket"
+    ) or "bucket" in plan, "bucketed window disappeared from the plan"
+    # exactly one unpartitioned window is allowed: the bucket-summary
+    # prefix (input bounded by the bucket count)
+    import re
+
+    specs = re.findall(r"Window \[.*?\]", plan)
+    unpartitioned = [
+        s
+        for s in re.findall(
+            r"Arguments: \[[^\]]*\], \[([^\]]*)\], \[[^\]]*\]", plan
+        )
+        if s.strip() == ""
+    ]
+    assert len(unpartitioned) <= 1, (
+        f"more than one unpartitioned window: {specs}"
+    )
+
+
+def test_funnel_shuffles_only_on_user_id(spark, sf_dir):
+    """Every row-bearing exchange in the funnel plan must hash on
+    user_id — the one key all three stages share — plus exactly one
+    SinglePartition exchange for the 3-row readout.  Any exchange on a
+    different key would mean a stage stopped reusing the funnel's
+    natural partitioning."""
+    import re
+
+    from pyspark_text_classification_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(QUERIES["events_funnel_steps"](spark, sf_dir))
+    args = re.findall(
+        r"^\(\d+\) Exchange\nInput.*?\nArguments: (.*?),", plan, re.M | re.S
+    )
+    single = [a for a in args if "SinglePartition" in a]
+    hashed = [a for a in args if "hashpartitioning" in a]
+    assert len(single) == 1, f"readout exchanges: {single}"
+    assert len(hashed) + len(single) == len(args), f"other exchanges: {args}"
+    for a in hashed:
+        assert "user_id" in a, f"exchange on a foreign key: {a}"
+
+
+def test_auc_prefix_windows_are_bounded(spark, sf_dir):
+    """ml_auc_rank must not plan a window over raw rows: its partitioned
+    window runs per score-bucket and its one unpartitioned window runs
+    over the ~64 bucket summaries."""
+    from pyspark_text_classification_spark.plans.explain import (
+        formatted_plan,
+    )
+    import re
+
+    plan = formatted_plan(QUERIES["ml_auc_rank"](spark, sf_dir))
+    unpartitioned = [
+        s
+        for s in re.findall(
+            r"Arguments: \[[^\]]*\], \[([^\]]*)\], \[[^\]]*\]", plan
+        )
+        if s.strip() == ""
+    ]
+    assert len(unpartitioned) <= 1, "AUC grew a second global window"
+
+
+def test_phash_banding_is_lossless_at_threshold(spark, sf_dir):
+    """The pigeonhole claim, end-to-end: 8 bands x 8 bits MUST surface
+    every pair within PHASH_HAM_MAX hamming — compare the banded
+    engine's pairs against a brute-force popcount over all hash pairs."""
+    from itertools import combinations
+
+    from pyspark_text_classification_spark.operators.multimodal import (
+        PHASH_HAM_MAX,
+        attach_binary_payload,
+        compute_phash,
+    )
+    from pyspark_text_classification_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = compute_phash(attach_binary_payload(docs)).collect()
+    brute = set()
+    for a, b in combinations(sorted(hashes, key=lambda r: r.doc_id), 2):
+        ham = bin((a.lo ^ b.lo)).count("1") + bin((a.hi ^ b.hi)).count("1")
+        if ham <= PHASH_HAM_MAX:
+            brute.add((a.doc_id, b.doc_id, ham))
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in QUERIES["multimodal_phash_near_dup"](spark, sf_dir).collect()
+    }
+    assert got == brute
