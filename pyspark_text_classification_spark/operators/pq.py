@@ -93,56 +93,72 @@ def _d2(a: str, b: str) -> F.Column:
     )
 
 
-def pq_codebook_refined(e: DataFrame) -> DataFrame:
-    """(m, code_id, cq): the seed codebook after ONE Lloyd step.
+# Lloyd step count — a measured quality/cost knob, deliberately 1.
+# At sf0.01 the 1/32-sample recall climbs 0.50 -> 0.575 over steps 1 -> 3,
+# but at sf0.1 (the tracked bench metric) extra steps DON'T transfer
+# (pq 0.4222 -> 0.4127, rerank flat) while every PQ query's training cost
+# roughly doubles — the seed-codebook geometry, not the update count, is
+# the binding constraint at larger n.  The loop below supports any count;
+# the oracle unrolls the identical recurrence via _sql_lloyd_step.
+PQ_LLOYD_STEPS = 1
 
-    Assign every subvector to its nearest seed codeword (the same
-    integer-key argmin as pq_assign), then replace each codeword with the
-    floored integer mean of its assigned subvectors; codewords that
-    attracted nothing keep their seed.  The floored mean is computed with
-    an explicit positive modulus — ``(s - ((s % n) + n) % n) div n`` —
-    which makes Spark's truncating ``div`` equal DuckDB's flooring ``//``
-    even for negative component sums (the remainder sign convention IS
-    shared, dividend-signed, in both engines).
+
+def pq_codebook_refined(e: DataFrame) -> DataFrame:
+    """(m, code_id, cq): the seed codebook after {PQ_LLOYD_STEPS} Lloyd
+    steps.
+
+    Each step assigns every subvector to its nearest codeword (the same
+    integer-key argmin as pq_assign), then replaces each codeword with
+    the floored integer mean of its assigned subvectors; codewords that
+    attracted nothing keep their previous value.  The floored mean is
+    computed with an explicit positive modulus — ``(s - ((s % n) + n)
+    % n) div n`` — which makes Spark's truncating ``div`` equal DuckDB's
+    flooring ``//`` even for negative component sums (the remainder sign
+    convention IS shared, dividend-signed, in both engines).
 
     Scale shape: assignment is the broadcast-join argmin (corpus never
     shuffles for it); the centroid update aggregates at (m, code) grain —
-    M x K output rows — and the refined codebook broadcasts like the
-    seed one.  More steps = the same two jobs repeated; one step is the
-    registered, oracle-checked configuration."""
-    cb0 = pq_codebook(e)
-    sub = _subspaces(e)
-    key = _d2("sq", "cq") * PQ_K + F.col("code_id")
-    assigned = (
-        sub.join(F.broadcast(cb0), "m")
-        .groupBy("vec_id", "m")
-        .agg(F.min(key).alias("key"))
-        .select("vec_id", "m", (F.col("key") % PQ_K).alias("code"))
-    )
+    M x K output rows — and each step's codebook checkpoint is 1024
+    rows.  The exploded subvector table is checkpointed ONCE and reused
+    by every step's two jobs.  Step count is a measured quality knob —
+    see the PQ_LLOYD_STEPS comment for why it stays at 1; the oracle
+    unrolls the identical recurrence."""
+    cb = pq_codebook(e)
+    sub = _subspaces(e).localCheckpoint(eager=True)
     aggs = [
         F.sum(F.element_at("sq", i + 1)).alias(f"s{i}") for i in range(PQ_SUB)
     ] + [F.count("*").alias("cnt")]
-    means = (
-        sub.join(assigned, ["vec_id", "m"])
-        .groupBy("m", F.col("code").alias("code_id"))
-        .agg(*aggs)
-    )
     comp = [
         F.expr(f"(s{i} - ((s{i} % cnt) + cnt) % cnt) div cnt")
         for i in range(PQ_SUB)
     ]
-    refined = cb0.join(F.broadcast(means), ["m", "code_id"], "left").select(
-        "m",
-        "code_id",
-        F.when(F.col("cnt").isNull(), F.col("cq"))
-        .otherwise(F.array(*comp))
-        .alias("cq"),
-    )
-    # the codebook is M x K = 1024 rows but its lineage is ~3 corpus
-    # passes (seed sort-limit + assignment + means); materialize it once
-    # so every downstream broadcast (codes, LUT, recall) reuses the rows
-    # instead of re-running the training scans
-    return refined.localCheckpoint(eager=True)
+    for _ in range(PQ_LLOYD_STEPS):
+        key = _d2("sq", "cq") * PQ_K + F.col("code_id")
+        assigned = (
+            sub.join(F.broadcast(cb), "m")
+            .groupBy("vec_id", "m")
+            .agg(F.min(key).alias("key"))
+            .select("vec_id", "m", (F.col("key") % PQ_K).alias("code"))
+        )
+        means = (
+            sub.join(assigned, ["vec_id", "m"])
+            .groupBy("m", F.col("code").alias("code_id"))
+            .agg(*aggs)
+        )
+        # 1024 rows; checkpoint so each step's broadcast reuses rows
+        # instead of re-running all previous steps' training scans
+        cb = (
+            cb.join(F.broadcast(means), ["m", "code_id"], "left")
+            .select(
+                "m",
+                "code_id",
+                F.when(F.col("cnt").isNull(), F.col("cq"))
+                .otherwise(F.array(*comp))
+                .alias("cq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cb
 
 
 def pq_assign(e: DataFrame, cb: DataFrame) -> DataFrame:
@@ -185,6 +201,40 @@ _SQL_D2 = (
 
 _SQL_FLOOR_MEAN = "({s} - (({s} % cnt) + cnt) % cnt) // cnt"
 
+def _sql_lloyd_step(i: int) -> str:
+    """CTEs for Lloyd step ``i``: assign against cb{i}, mean into
+    cb{i+1} — the oracle unroll of one pq_codebook_refined iteration."""
+    prev = f"cb{i}"
+    return f"""
+    assigned{i} AS (
+      SELECT sub.vec_id, sub.m,
+             min({_SQL_D2.format(n=PQ_SUB, a='sub.sq', b=f'{prev}.cq')}
+                 * {PQ_K} + {prev}.code_id) AS key
+      FROM sub JOIN {prev} ON sub.m = {prev}.m
+      GROUP BY 1, 2
+    ),
+    means{i} AS (
+      SELECT sub.m, assigned{i}.key % {PQ_K} AS code_id,
+             {', '.join(
+                 f'CAST(sum(sub.sq[{j + 1}]) AS BIGINT) AS s{j}'
+                 for j in range(PQ_SUB))},
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM sub JOIN assigned{i}
+        ON sub.vec_id = assigned{i}.vec_id AND sub.m = assigned{i}.m
+      GROUP BY 1, 2
+    ),
+    cb{i + 1} AS (
+      SELECT {prev}.m, {prev}.code_id,
+             CASE WHEN means{i}.cnt IS NULL THEN {prev}.cq ELSE
+               [{', '.join(
+                   _SQL_FLOOR_MEAN.format(s=f's{j}')
+                   for j in range(PQ_SUB))}]
+             END AS cq
+      FROM {prev} LEFT JOIN means{i}
+        ON {prev}.m = means{i}.m AND {prev}.code_id = means{i}.code_id
+    )"""
+
+
 _SQL_PQ_PRELUDE = f"""
     WITH q AS ({_SQL_QUANT}),
     ms AS (SELECT CAST(unnest(range({PQ_M})) AS BIGINT) AS m),
@@ -205,33 +255,8 @@ _SQL_PQ_PRELUDE = f"""
                         ms.m * {PQ_SUB} + {PQ_SUB}) AS sq
       FROM q CROSS JOIN ms
     ),
-    assigned0 AS (
-      SELECT sub.vec_id, sub.m,
-             min({_SQL_D2.format(n=PQ_SUB, a='sub.sq', b='cb0.cq')}
-                 * {PQ_K} + cb0.code_id) AS key
-      FROM sub JOIN cb0 ON sub.m = cb0.m
-      GROUP BY 1, 2
-    ),
-    means AS (
-      SELECT sub.m, assigned0.key % {PQ_K} AS code_id,
-             {', '.join(
-                 f'CAST(sum(sub.sq[{i + 1}]) AS BIGINT) AS s{i}'
-                 for i in range(PQ_SUB))},
-             CAST(count(*) AS BIGINT) AS cnt
-      FROM sub JOIN assigned0
-        ON sub.vec_id = assigned0.vec_id AND sub.m = assigned0.m
-      GROUP BY 1, 2
-    ),
-    cb AS (
-      SELECT cb0.m, cb0.code_id,
-             CASE WHEN means.cnt IS NULL THEN cb0.cq ELSE
-               [{', '.join(
-                   _SQL_FLOOR_MEAN.format(s=f's{i}')
-                   for i in range(PQ_SUB))}]
-             END AS cq
-      FROM cb0 LEFT JOIN means
-        ON cb0.m = means.m AND cb0.code_id = means.code_id
-    ),
+    {','.join(_sql_lloyd_step(i) for i in range(PQ_LLOYD_STEPS))},
+    cb AS (SELECT * FROM cb{PQ_LLOYD_STEPS}),
     assigned AS (
       SELECT sub.vec_id, sub.m,
              min({_SQL_D2.format(n=PQ_SUB, a='sub.sq', b='cb.cq')}
