@@ -46,30 +46,31 @@ def binary_metrics(
     qqp_test.py:118-133, qnli_test.py:161-174); AUC uses rawPrediction
     (NOT qnli's probability-column inconsistency, SURVEY §2.8 defect #3).
     """
-    # project to the three evaluated columns and persist so the three
-    # evaluator jobs share ONE pipeline transform instead of re-running
-    # the featurize+score chain each — smaller, faster, and robust in
-    # long multi-query sessions (the full-width re-execution was the
-    # one operator observed to fall over after ~200 queries in one JVM)
+    # Project to the three evaluated columns and eagerly localCheckpoint:
+    # the three evaluator jobs then share one tiny materialized table
+    # instead of re-running the featurize+score chain each, AND the
+    # evaluators' internal RDD operations (BinaryClassificationMetrics
+    # sorts by score RDD-side) serialize trivial closures over a
+    # checkpointed scan rather than the whole codegen'd pipeline lineage
+    # — re-serializing that full lineage was the failure observed after
+    # ~200 sequential queries in one JVM (closure-cleaner serialization
+    # error inside CachedRDDBuilder/evaluate).
     pruned = predictions.select(
         label_col, prediction_col, raw_prediction_col
-    ).persist()
-    try:
-        acc = MulticlassClassificationEvaluator(
-            labelCol=label_col,
-            predictionCol=prediction_col,
-            metricName="accuracy",
-        ).evaluate(pruned)
-        f1 = MulticlassClassificationEvaluator(
-            labelCol=label_col, predictionCol=prediction_col, metricName="f1"
-        ).evaluate(pruned)
-        auc = BinaryClassificationEvaluator(
-            labelCol=label_col,
-            rawPredictionCol=raw_prediction_col,
-            metricName="areaUnderROC",
-        ).evaluate(pruned)
-    finally:
-        pruned.unpersist()
+    ).localCheckpoint(eager=True)
+    acc = MulticlassClassificationEvaluator(
+        labelCol=label_col,
+        predictionCol=prediction_col,
+        metricName="accuracy",
+    ).evaluate(pruned)
+    f1 = MulticlassClassificationEvaluator(
+        labelCol=label_col, predictionCol=prediction_col, metricName="f1"
+    ).evaluate(pruned)
+    auc = BinaryClassificationEvaluator(
+        labelCol=label_col,
+        rawPredictionCol=raw_prediction_col,
+        metricName="areaUnderROC",
+    ).evaluate(pruned)
     return {"accuracy": acc, "f1": f1, "auc": auc}
 
 

@@ -1436,10 +1436,21 @@ def pipeline_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     separate validation query, is the right shape for inline data-quality
     counters.  Eager by necessity (Observation.get blocks on the action);
     the returned one-row frame carries both the observed and the computed
-    halves, all exact integers."""
+    halves, all exact integers.
+
+    The observe pass runs in an ISOLATED spark.newSession() (same
+    SparkContext, separate session state): a used Observation stays
+    registered in the session's ObservationManager, and MLlib model
+    training summaries capture their SparkSession into executor closures
+    — any LATER LogisticRegressionModel.transform in the same session
+    then dies with NotSerializableException(ObservationManager).
+    Session-scoping the observation keeps the caller's session's manager
+    empty, so monitoring a pass can never poison unrelated ML queries
+    (root-caused in a 221-query sequential drive)."""
     from pyspark.sql import Observation
 
-    li = load_table(spark, sf_dir, "lineitem")
+    obs_session = spark.newSession()
+    li = load_table(obs_session, sf_dir, "lineitem")
     obs = Observation("gate_metrics")
     observed = li.observe(
         obs,
