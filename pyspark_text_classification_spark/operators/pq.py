@@ -777,7 +777,11 @@ _PQ_ORACLES["similarity_ivf_pq_recall"] = _sql_ivf_pq_recall()
 # back most of the compression + pruning recall loss for a per-query cost
 # of RERANK_POOL exact distance evaluations.
 # --------------------------------------------------------------------------
-RERANK_POOL = 32  # ADC shortlist width fed to the exact re-ranker
+# ADC shortlist width fed to the exact re-ranker.  Measured at sf0.1:
+# 32 -> 0.473 recall@5, 64 -> 0.4857, 96 -> 0.4857 (saturated — the
+# remaining misses are outside ADC's ranking entirely), at equal warm
+# cost; 64 is the knee.
+RERANK_POOL = 64
 
 
 @query("similarity_ivf_pq_rerank", oracle=None)  # assembled below
