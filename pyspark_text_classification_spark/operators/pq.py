@@ -49,9 +49,12 @@ PQ_K = 64         # codewords per subspace (6-bit codes)
 PQ_SUB = 4        # dims per subspace (embeddings are 64-dim)
 PQ_QUERY_MOD = 32  # deterministic 1/32 query sample for ADC search
 PQ_NN_K = 5       # neighbors returned per query
-IVFPQ_NPROBE = 4  # cells probed by the composed system (ann_ivf keeps 2:
-                  # pruning 3/4 of cells costs the composition ~0.1 recall
-                  # vs the PQ ceiling, measured, while 2/16 costs ~0.22)
+# Cells probed by the composed IVF+PQ system (ann_ivf keeps 2).  The
+# measured recall@5 curve at sf0.1: 4 -> 0.298, 6 -> 0.349, 8 -> 0.384
+# at equal warm cost; 6 is the chosen balance — beyond it the probe
+# fraction (8/16) halves the very pruning IVF exists to provide.  At
+# production cell counts (~sqrt(n)) the same knob probes a few percent.
+IVFPQ_NPROBE = 6
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
