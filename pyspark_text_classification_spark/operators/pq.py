@@ -15,11 +15,15 @@ engines), every distance is an int64 sum, and argmins are taken over the
 single integer key ``d2 * K + code_id`` so ties break identically on both
 engines with no float comparison anywhere.  Codebooks start from the
 deterministic seed sample (the K lowest vec_ids, the similarity_ann_ivf
-convention) and are then refined by ONE Lloyd step whose centroid update
-is pure 64-bit integer arithmetic (floored mean via explicit positive
-modulus — ``(s - ((s % n) + n) % n) / n`` — because Spark's ``div``
-truncates toward zero while DuckDB's ``//`` floors, and the two disagree
-on negative sums), so the whole trained index stays DuckDB-oracle-
+convention) and are then refined by PQ_LLOYD_STEPS Lloyd steps (a
+measured knob, kept at 1 — see its comment) whose centroid update is
+pure 64-bit integer arithmetic: the floored mean via explicit positive
+modulus — ``(s - ((s % n) + n) % n) / n`` — written out identically on
+both engines.  (Spark's ``div`` and DuckDB's ``//`` in fact BOTH
+truncate toward zero — verified -7/2 -> -3 on each — so the explicit
+formula is belt-and-braces determinism, pinning flooring semantics
+rather than relying on either engine's operator.)  The whole trained
+index stays DuckDB-oracle-
 checkable end to end.  Measured macro-recall@5 of the deployed index at
 sf0.01: 0.06 with the M=4/K=16 untrained layout this module shipped
 first, 0.50 with the current M=16/K=64 one-step-trained one
