@@ -187,6 +187,7 @@ HEADLINE = [
     "pipeline_observed_metrics",
     "events_variant_extract",
     "q61_parameterized_sql",
+    "events_funnel_windowed",
 ]
 
 
