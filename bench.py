@@ -188,6 +188,7 @@ HEADLINE = [
     "events_variant_extract",
     "q61_parameterized_sql",
     "events_funnel_windowed",
+    "events_ewma_smooth",
 ]
 
 

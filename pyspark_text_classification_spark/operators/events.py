@@ -1621,3 +1621,56 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k_val").alias("sum_k"),
         F.max("k_val").alias("max_k"),
     )
+
+
+EWMA_LAGS = 8  # dyadic EWMA depth: weight of lag j is 2^-j (alpha = 1/2)
+
+
+@query(
+    "events_ewma_smooth",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, {SQL_TS_US} AS ts_us,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_c
+      FROM events
+    )
+    SELECT event_id, user_id, value_c,
+           {' + '.join(
+               f"COALESCE(lag(value_c, {j}) OVER w, 0) // {1 << j}"
+               for j in range(EWMA_LAGS))} AS ewma8_c
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    """,
+)
+def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted smoothing with DYADIC weights (alpha = 1/2,
+    truncated at {EWMA_LAGS} lags): ewma = sum_j value[t-j] div 2^j —
+    every term an integer shift, so the smoothed series is bit-identical
+    cross-engine with no float accumulation drift (the recursive EWMA
+    form s_t = a*x + (1-a)*s_(t-1) is sequential and float-fragile; the
+    truncated convolution is windowable, and 8 dyadic lags bound the
+    tail error below one cent unit).
+
+    One per-user window feeds all {EWMA_LAGS} lag() calls — a single
+    sort/shuffle on user_id; at 100 TB this is the standard sensor/
+    metric smoothing pass, partitioned by series key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        ts_us().alias("ts_us"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("value_c"),
+    )
+    # all lags share one window spec, so Catalyst plans ONE WindowExec
+    terms = [
+        F.expr(f"coalesce(lag(value_c, {j}) OVER (PARTITION BY user_id"
+               f" ORDER BY ts_us, event_id), 0) div {1 << j}")
+        for j in range(EWMA_LAGS)
+    ]
+    ewma = terms[0]
+    for t in terms[1:]:
+        ewma = ewma + t
+    return ev.select(
+        "event_id", "user_id", "value_c", ewma.alias("ewma8_c")
+    )
