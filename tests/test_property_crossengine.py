@@ -459,3 +459,130 @@ def test_rowwise_minhash_bands_equal_batch_path(spark, texts):
         .collect()
     }
     assert rowwise == batch
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 50)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_pareto_bucketed_prefix_equals_brute_force(spark, pts):
+    """The skyline's bucketed-prefix-max plan must equal the NOT EXISTS
+    definition on ARBITRARY (price, size) point sets — including price
+    ties, duplicate points, and single-bucket degenerate ranges."""
+    from pyspark.sql import Window
+
+    from pyspark_text_classification_spark.operators.skyline import (
+        SKY_BUCKET_W,
+    )
+
+    rows = [(i, p, s) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(
+        rows, "p_partkey LONG, price_c LONG, size LONG"
+    ).withColumn("bucket", F.expr(f"price_c div {SKY_BUCKET_W}"))
+    b = df.groupBy("bucket").agg(F.max("size").alias("bmax"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    pre = b.select(
+        "bucket", F.coalesce(F.max("bmax").over(w_b), F.lit(-1)).alias("pre_max")
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    got = {
+        (r.p_partkey, r.price_c, r.size)
+        for r in (
+            df.join(F.broadcast(pre), "bucket")
+            .withColumn(
+                "dom_max",
+                F.greatest(
+                    F.col("pre_max"),
+                    F.coalesce(F.max("size").over(w_in), F.lit(-1)),
+                ),
+            )
+            .filter(F.col("size") >= F.col("dom_max"))
+            .select("p_partkey", "price_c", "size")
+            .collect()
+        )
+    }
+    brute = {
+        (i, p, s)
+        for i, p, s in rows
+        if not any(q < p and t > s for _, q, t in rows)
+    }
+    assert got == brute
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 6),              # user
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.integers(0, 1_000),          # ts (µs)
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_funnel_counts_match_reference_and_are_monotone(spark, evs):
+    """events_funnel_steps' sequenced per-user min logic vs a pure-Python
+    reference on arbitrary event soups (duplicate timestamps, missing
+    steps, out-of-order users); funnel counts must also be monotone
+    n1 >= n2 >= n3 by construction."""
+    rows = [
+        (i, u, t, ts) for i, (u, t, ts) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, event_type STRING, ts_us LONG"
+    )
+    s1 = (
+        df.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    s2 = (
+        df.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts_us") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    s3 = (
+        df.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts_us") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    n1, n2, n3 = s1.count(), s2.count(), s3.count()
+
+    # pure-Python reference
+    import collections
+
+    by_user = collections.defaultdict(list)
+    for _, u, t, ts in rows:
+        by_user[u].append((t, ts))
+    r1 = r2 = r3 = 0
+    for u, es in by_user.items():
+        views = [ts for t, ts in es if t == "view"]
+        if not views:
+            continue
+        r1 += 1
+        t1 = min(views)
+        clicks = [ts for t, ts in es if t == "click" and ts >= t1]
+        if not clicks:
+            continue
+        r2 += 1
+        t2 = min(clicks)
+        purchases = [ts for t, ts in es if t == "purchase" and ts >= t2]
+        if purchases:
+            r3 += 1
+    assert (n1, n2, n3) == (r1, r2, r3)
+    assert n1 >= n2 >= n3
