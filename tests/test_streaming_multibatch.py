@@ -796,3 +796,78 @@ def test_funnel_state_survives_batch_split(spark, tmp_path):
         for r in spark.table(sink).collect()
     ]
     assert got == [(1, base, base + 100_000_000, base + 300_000_000)]
+
+
+def test_windowed_funnel_expires_out_of_window_steps(spark, tmp_path):
+    """A click arriving after the first view's conversion window must
+    kill the funnel (done-marker state), even when the expiry only
+    becomes observable in a LATER micro-batch; an in-window user
+    completes normally."""
+    from pyspark_text_classification_spark.operators.funnel import (
+        FUNNEL_WINDOW_US,
+    )
+    from pyspark_text_classification_spark.streaming.funnel import (
+        _funnel_windowed_group,
+    )
+
+    base = 1_000_000_000_000  # µs
+    late = base + FUNNEL_WINDOW_US + 1
+    rows = [
+        # user 1: in-window funnel across batches -> completes
+        (101, base, 1, "view", 1.0, "{}"),
+        (102, base + 100_000_000, 1, "click", 1.0, "{}"),
+        (103, base + 200_000_000, 1, "purchase", 1.0, "{}"),
+        # user 2: click lands AFTER the view's window -> dead, never
+        # completes even though a purchase follows promptly
+        (201, base, 2, "view", 1.0, "{}"),
+        (202, late, 2, "click", 1.0, "{}"),
+        (203, late + 100, 2, "purchase", 1.0, "{}"),
+    ]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    pdf = pd.DataFrame(rows, columns=cols).sort_values("ts")
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="us").astype("datetime64[us]")
+    d = tmp_path / "wfunnel_src"
+    os.makedirs(d)
+    now = time.time()
+    for i, (lo, hi, tag) in enumerate([(0, 4, "a"), (4, 6, "b")]):
+        p = d / f"{tag}_part.parquet"
+        pdf.iloc[lo:hi].to_parquet(str(p), index=False)
+        os.utime(p, (now - 100 + i, now - 100 + i))
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    fun = (
+        src.selectExpr(
+            "event_id", "user_id", "event_type",
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+            " ts) AS ts_us",
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_windowed_group,
+            outputStructType="user_id LONG, t1_us LONG, t2_us LONG, t3_us LONG",
+            stateStructType="t1 LONG, t2 LONG, done INT",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = "wfunnel_split_sink"
+    q = (
+        fun.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.user_id, r.t1_us, r.t2_us, r.t3_us)
+        for r in spark.table(sink).collect()
+    )
+    assert got == [(1, base, base + 100_000_000, base + 200_000_000)]
