@@ -47,6 +47,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark_text_classification_spark.plans.shared import shared_intermediate
 from pyspark_text_classification_spark.registry import query
 from pyspark_text_classification_spark.sources.parquet import fan_out, load_table
 
@@ -75,18 +76,27 @@ _SQL_EDGES = """
 
 
 def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (customer, supplier) pairs observed in the fact tables."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"
-    )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    return (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    """Distinct (customer, supplier) pairs observed in the fact tables.
+
+    Session-cached (plans.shared): six graph operators consume the same
+    edge list, and its row count is bounded by |customers| x hub degree
+    — the persist-the-graph step every iterative engine does first."""
+    def build() -> DataFrame:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"
+        )
+        return (
+            orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .select(
+                F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+            )
+            .distinct()
+        )
+
+    return shared_intermediate(spark, sf_dir, "graph_edges", build)
 
 
 # Supplier-pair packing for the co-purchase projection: one int64 key
@@ -114,14 +124,50 @@ def _pair_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer) so AQE coalesces it to a couple of partitions, and the
     ~750x row multiplication of the pair explode would then run on two
     cores — fan the rows out BEFORE exploding (measured 3x on the
-    backbone build at sf0.1)."""
-    e = _bipartite_edges(spark, sf_dir)
-    return fan_out(
-        e.groupBy("c")
-        .agg(F.sort_array(F.collect_set("s")).alias("ss"))
-        .filter((F.size("ss") >= 2) & (F.size("ss") <= AA_HUB_CAP)),
-        2,
-    )
+    backbone build at sf0.1).
+
+    Session-cached (plans.shared): one row per hub-capped customer with
+    a <= AA_HUB_CAP-element set; the triangle census, Adamic-Adar and
+    the k-core backbone all start here."""
+    def build() -> DataFrame:
+        e = _bipartite_edges(spark, sf_dir)
+        return fan_out(
+            e.groupBy("c")
+            .agg(F.sort_array(F.collect_set("s")).alias("ss"))
+            .filter((F.size("ss") >= 2) & (F.size("ss") <= AA_HUB_CAP)),
+            2,
+        )
+
+    return shared_intermediate(spark, sf_dir, "graph_pair_lists", build)
+
+
+def _pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence projection (k, w, aa_micro): for every supplier pair
+    (packed as one long k), the shared-customer count w AND the
+    Adamic-Adar weight sum — ONE explode + ONE map-side-combined int64
+    aggregate feeding Adamic-Adar, the triangle/k-core backbone, and any
+    other co-purchase consumer in the session.
+
+    Session-cached (plans.shared): the projection's grain is distinct
+    co-occurring supplier PAIRS — bounded by C(|suppliers|, 2) rows of
+    three longs (dimension-squared, NOT fact-scale; ~500k rows at
+    sf0.1).  On a corpus whose supplier dimension itself is huge, this
+    slot is the one to demote back to per-query aggregation — the
+    queries only ever take bounded top-k slices of it."""
+    def build() -> DataFrame:
+        warr = F.array(*[F.lit(w) for _, w in AA_WEIGHTS])
+        lists = _pair_lists(spark, sf_dir).withColumn(
+            "w_micro", F.element_at(warr, F.size("ss") - 1)
+        )
+        pairs = lists.select(
+            F.explode(F.expr(_PAIR_EXPLODE)).alias("k"), "w_micro"
+        )
+        return pairs.groupBy("k").agg(
+            F.count("*").alias("w"),
+            F.sum("w_micro").alias("aa_micro"),
+        )
+
+    return shared_intermediate(spark, sf_dir, "graph_pair_stats", build)
 
 
 @query(
@@ -275,16 +321,8 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined int64 on a packed long key, and top-k is TakeOrdered on
     (score, k) — k's order is (s1, s2) lexicographic, a deterministic
     total order."""
-    warr = F.array(*[F.lit(w) for _, w in AA_WEIGHTS])
-    lists = _pair_lists(spark, sf_dir).withColumn(
-        "w_micro", F.element_at(warr, F.size("ss") - 1)
-    )
-    pairs = lists.select(
-        F.explode(F.expr(_PAIR_EXPLODE)).alias("k"), "w_micro"
-    )
-    agg = pairs.groupBy("k").agg(
-        F.sum("w_micro").alias("aa_micro"),
-        F.count("*").alias("common_customers"),
+    agg = _pair_stats(spark, sf_dir).withColumnRenamed(
+        "w", "common_customers"
     )
     return (
         agg.orderBy(F.col("aa_micro").desc(), "k")
@@ -316,21 +354,23 @@ def _copurchase_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared input of the triangle census and the k-core peel.  Pairs
     come from the in-row explode (_pair_lists) keyed as one packed long;
     the top-k is TakeOrderedAndProject on (w desc, k), never a global
-    sort, and k's order makes the tiebreak (u, v) lexicographic."""
-    pairs = _pair_lists(spark, sf_dir).select(
-        F.explode(F.expr(_PAIR_EXPLODE)).alias("k")
-    )
-    return (
-        pairs.groupBy("k")
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= TRI_MIN_COMMON)
-        .orderBy(F.col("w").desc(), "k")
-        .limit(TRI_EDGE_TOPK)
-        .select(
-            F.expr(f"k div {_PAIR_BASE}L").alias("u"),
-            F.expr(f"k % {_PAIR_BASE}L").alias("v"),
+    sort, and k's order makes the tiebreak (u, v) lexicographic.
+
+    Session-cached (plans.shared): <= TRI_EDGE_TOPK rows by definition,
+    shared by the triangle census and the k-core peel."""
+    def build() -> DataFrame:
+        return (
+            _pair_stats(spark, sf_dir)
+            .filter(F.col("w") >= TRI_MIN_COMMON)
+            .orderBy(F.col("w").desc(), "k")
+            .limit(TRI_EDGE_TOPK)
+            .select(
+                F.expr(f"k div {_PAIR_BASE}L").alias("u"),
+                F.expr(f"k % {_PAIR_BASE}L").alias("v"),
+            )
         )
-    )
+
+    return shared_intermediate(spark, sf_dir, "graph_backbone", build)
 
 
 @query(
@@ -600,7 +640,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rounds are FIXED at {KCORE_ROUNDS} so the DuckDB oracle unrolls the
     recurrence exactly; a production run loops to fixpoint with the
     identical per-round dataflow."""
-    g = _copurchase_backbone(spark, sf_dir).localCheckpoint(eager=True)
+    g = _copurchase_backbone(spark, sf_dir)  # session-cached checkpoint
 
     def census(edges: DataFrame, rnd: int) -> DataFrame:
         nodes = edges.select(F.col("u").alias("node")).unionByName(
@@ -621,12 +661,19 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("d"))
         )
         survivors = deg.filter(F.col("d") >= KCORE_K).select("node")
+        # the survivor set is <= the backbone's node count (bounded by
+        # TRI_EDGE_TOPK edges) — broadcast both semi-joins so a round
+        # shuffles nothing but the degree aggregate
         g = (
             g.join(
-                survivors.withColumnRenamed("node", "u"), "u", "left_semi"
+                F.broadcast(survivors.withColumnRenamed("node", "u")),
+                "u",
+                "left_semi",
             )
             .join(
-                survivors.withColumnRenamed("node", "v"), "v", "left_semi"
+                F.broadcast(survivors.withColumnRenamed("node", "v")),
+                "v",
+                "left_semi",
             )
             .select("u", "v")
             .localCheckpoint(eager=True)

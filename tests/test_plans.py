@@ -533,13 +533,25 @@ def test_bm25_probe_broadcasts_and_salts(spark, sf_dir):
 
 
 def test_graph_family_plan_shapes(spark, sf_dir):
-    """graph_*: no CartesianProduct anywhere; adamic_adar's weight table
-    is a broadcast lookup and its top-k is TakeOrdered, not a global
-    Sort+Limit over all pairs; pagerank's scalar N broadcasts."""
+    """graph_*: no CartesianProduct anywhere; adamic_adar's top-k is
+    TakeOrdered over the session-cached pair-stats checkpoint, not a
+    global Sort+Limit over all pairs; the pair-stats COLD build is
+    cartesian-free (its weight lookup is an in-row array literal, not a
+    join); pagerank's scalar N broadcasts."""
+    from pyspark_text_classification_spark.operators.graph import _pair_stats
     from pyspark_text_classification_spark.plans.explain import (
         formatted_plan,
         uses_broadcast_join,
     )
+    from pyspark_text_classification_spark.plans.shared import (
+        clear_shared_intermediates,
+        raw_intermediate,
+    )
+
+    clear_shared_intermediates()  # measure the cold builder plans too
+    _pair_stats(spark, sf_dir)
+    cold = formatted_plan(raw_intermediate(spark, sf_dir, "graph_pair_stats"))
+    assert "CartesianProduct" not in cold
 
     for name in (
         "graph_degree_stats",
@@ -550,8 +562,11 @@ def test_graph_family_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
 
     aa = QUERIES["graph_adamic_adar"](spark, sf_dir)
-    assert uses_broadcast_join(aa)
-    assert "TakeOrderedAndProject" in formatted_plan(aa)
+    aa_plan = formatted_plan(aa)
+    assert "TakeOrderedAndProject" in aa_plan
+    # the checkpoint cut: adamic-adar re-reads the cached pair stats
+    # instead of re-deriving the fact-scale join
+    assert "ExistingRDD" in aa_plan
     assert uses_broadcast_join(QUERIES["graph_pagerank_step"](spark, sf_dir))
 
 
