@@ -205,7 +205,7 @@ def _apply_driver_order() -> None:
 
 
 def coverage_priority(
-    names: list[str], artifacts: list[dict]
+    names: list[str], artifacts: list[dict], oracled: set[str] | None = None
 ) -> list[str]:
     """Stable sort of ``names`` by driver-coverage need: queries whose
     LATEST artifact row is RED (err or failed match) first — an error in
@@ -215,7 +215,10 @@ def coverage_priority(
     record wins, so a regression (green in r1, red later) re-queues first
     rather than settling on the stale green.  Relative order within each
     class is preserved, so the hand-tuned _DRIVER_FIRST order remains the
-    tiebreak."""
+    tiebreak.  ``oracled`` (when given) is the set of queries that NOW
+    have an oracle: a rows-only 'no_oracle' row only settles a query that
+    still has no oracle — if one was added since, the stronger hash check
+    is pending and the query re-queues at the front."""
     settled: dict[str, bool] = {}
     for data in artifacts:
         for name, rec in data.items():
@@ -226,9 +229,11 @@ def coverage_priority(
                 and bool(rec.get("hash_match", rec.get("rows_match")))
             ) or (
                 # no-oracle queries: the driver records err='no_oracle'
-                # with the row count — that IS their green.
+                # with the row count — that IS their green, unless an
+                # oracle has been added since the row was recorded.
                 rec.get("err") == "no_oracle"
                 and rec.get("spark_rows") is not None
+                and (oracled is None or name not in oracled)
             )
             settled[name] = ok  # latest round wins
     def cls(n: str) -> int:
@@ -261,7 +266,10 @@ def _apply_artifact_aware_order() -> None:
     if not artifacts:
         return
     ordered = {
-        n: QUERIES[n] for n in coverage_priority(list(QUERIES), artifacts)
+        n: QUERIES[n]
+        for n in coverage_priority(
+            list(QUERIES), artifacts, oracled=set(ORACLES)
+        )
     }
     QUERIES.clear()
     QUERIES.update(ordered)

@@ -108,33 +108,64 @@ def q25_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q26_approx_sketches")  # engine-specific sketches: rows-only check
+@query(
+    "q26_approx_sketches",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           {', '.join(f'TRUE AS ap{int(p * 100)}_ok' for p in PCTS)},
+           TRUE AS distinct_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def q26_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The sketch-based scale path: approx_percentile (bounded-error
-    quantile sketch) and approx_count_distinct (HyperLogLog++) per return
-    flag. At 100 TB these replace their exact twins (q24 /
-    q23_distinct_counts): sketches merge map-side, so the shuffle carries
-    O(sketch) bytes per group instead of O(rows). Accuracy vs the exact
-    queries is asserted in tests (rel. error < 5%)."""
+    """The sketch-based scale path, shipped as its own accuracy audit:
+    approx_percentile (bounded-error quantile sketch) and
+    approx_count_distinct (HyperLogLog++, rsd 2%) per return flag. At
+    100 TB these replace their exact twins (q24 / q23_distinct_counts):
+    sketches merge map-side, so the shuffle carries O(sketch) bytes per
+    group instead of O(rows).
+
+    Sketch VALUES are engine-specific, so the cross-engine contract is
+    the accuracy bound instead: the Spark side computes the sketch and
+    the exact aggregate in one pass and emits per-group booleans
+    (relative error <= 5% for quantiles, <= 10% for the HLL distinct
+    count — deterministic for a fixed dataset, since both sketches are
+    hash-seeded, not sampled), and the oracle states the expected
+    invariant (all TRUE) alongside the exactly checkable group keys and
+    counts. A sketch drifting out of tolerance flips a boolean and
+    fails the hash match. In production the audit runs on snapshots;
+    the serving path is the sketch aggregate alone."""
     li = load_table(spark, sf_dir, "lineitem")
     sketched = li.groupBy("l_returnflag").agg(
         F.approx_percentile(
             "l_extendedprice", F.lit(list(PCTS)), F.lit(10_000)
         ).alias("approx_pcts"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile("l_extendedprice", F.lit(list(PCTS))).alias(
+            "exact_pcts"
+        ),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias(
+            "approx_parts"
+        ),
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.count("*").alias("n"),
     )
-    # Flattened to scalar columns (p25..p95): array-typed outputs are not
-    # canonicalizable by the driver's rows-only comparator (pandas cannot
-    # hash list cells), and scalars are what a report sink wants anyway.
+    within = [
+        (
+            F.abs(F.col("approx_pcts")[i] - F.col("exact_pcts")[i])
+            <= 0.05 * F.col("exact_pcts")[i]
+        ).alias(f"ap{int(p * 100)}_ok")
+        for i, p in enumerate(PCTS)
+    ]
     return sketched.select(
         "l_returnflag",
-        *[
-            F.col("approx_pcts")[i].alias(f"ap{int(p * 100)}")
-            for i, p in enumerate(PCTS)
-        ],
-        "approx_parts",
         "n",
+        *within,
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.10 * F.col("exact_parts")
+        ).alias("distinct_ok"),
     )
 
 

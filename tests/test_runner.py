@@ -134,3 +134,12 @@ def test_coverage_priority_classes_and_stability():
     assert coverage_priority(names, [r1, r2, r3]) == ["b", "d", "e", "a", "c"]
     # no artifacts -> order unchanged
     assert coverage_priority(names, []) == names
+    # an oracle ADDED after a rows-only 'no_oracle' row re-queues the
+    # query at the front: the stronger hash check is pending
+    assert coverage_priority(names, [r1, r2], oracled={"c"}) == [
+        "c", "d", "e", "a", "b",
+    ]
+    # ...but with no oracle registered the rows-only row stays its green
+    assert coverage_priority(names, [r1, r2], oracled=set()) == [
+        "d", "e", "a", "b", "c",
+    ]

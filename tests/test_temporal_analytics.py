@@ -70,29 +70,20 @@ def test_range_join_boundary(spark, tiny_events_dir):
 
 
 def test_approx_sketches_close_to_exact(spark, sf_dir):
+    """q26 is the sketch-accuracy audit: every tolerance boolean it emits
+    must be TRUE (the oracle's stated invariant) and its group grain must
+    match the exact-percentile query's."""
     exact = {
-        r.l_returnflag: (r.p25, r.p50, r.p75, r.p95)
+        r.l_returnflag
         for r in QUERIES["q24_percentiles"](spark, sf_dir).collect()
     }
     approx = QUERIES["q26_approx_sketches"](spark, sf_dir).collect()
-    assert len(approx) == len(exact)
+    assert {r.l_returnflag for r in approx} == exact
     for r in approx:
-        sketched = (r.ap25, r.ap50, r.ap75, r.ap95)
-        for got, want in zip(sketched, exact[r.l_returnflag]):
-            assert abs(got - want) / want < 0.05, (r.l_returnflag, got, want)
-    # HLL++ rel error ~2.3% at the default rsd -> 5% bound per group
-    from pyspark_text_classification_spark.sources.parquet import load_table
-
-    li = load_table(spark, sf_dir, "lineitem")
-    exact_parts = {
-        r.l_returnflag: r.d
-        for r in li.groupBy("l_returnflag")
-        .agg(F.count_distinct("l_partkey").alias("d"))
-        .collect()
-    }
-    for r in approx:
-        want = exact_parts[r.l_returnflag]
-        assert abs(r.approx_parts - want) / want < 0.05, (r.l_returnflag,)
+        assert r.ap25_ok and r.ap50_ok and r.ap75_ok and r.ap95_ok, (
+            r.l_returnflag,
+        )
+        assert r.distinct_ok, (r.l_returnflag,)
 
 
 def test_window_analytics_rank_and_lag(spark, sf_dir):
