@@ -168,6 +168,25 @@ def pq_codebook_refined(e: DataFrame) -> DataFrame:
     return cb
 
 
+def trained_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployed codebook, session-cached (plans.shared): exactly
+    M x K = 1024 rows by construction, while training it costs the
+    module's most expensive scans (the exploded subvector checkpoint +
+    one assign/mean round per Lloyd step).  Five serving/recall queries
+    consume the identical codebook — the offline-trained artifact an ANN
+    service loads, not a per-query computation."""
+    from pyspark_text_classification_spark.plans.shared import (
+        shared_intermediate,
+    )
+
+    return shared_intermediate(
+        spark,
+        sf_dir,
+        "pq_codebook",
+        lambda: pq_codebook_refined(_quantized(spark, sf_dir)),
+    )
+
+
 def pq_assign(e: DataFrame, cb: DataFrame) -> DataFrame:
     """(vec_id, m, code, d2): nearest codeword per (vector, subspace).
 
@@ -302,7 +321,7 @@ def similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes ARE the stored index: 12 bytes/vector versus 256 for raw
     float32."""
     e = _quantized(spark, sf_dir)
-    cb = pq_codebook_refined(e)
+    cb = trained_codebook(spark, sf_dir)
     a = pq_assign(e, cb)
     code_cols = [
         F.max(F.when(F.col("m") == m, F.col("code"))).alias(f"code_{m}")
@@ -357,7 +376,7 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew a reducer, swap in similarity_search_topk's salted two-level
     top-k (same contract)."""
     e = _quantized(spark, sf_dir)
-    cb = pq_codebook_refined(e)
+    cb = trained_codebook(spark, sf_dir)
     codes = pq_assign(e, cb).select("vec_id", "m", "code")
     queries = e.filter(F.pmod(F.col("vec_id"), F.lit(PQ_QUERY_MOD)) == 0)
     lut = (
@@ -384,40 +403,60 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_topk_ground_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{PQ_NN_K} for the deterministic 1/32 query sample
+    — the ground truth every recall evaluator measures against.
+
+    Session-cached (plans.shared): |sample| x {PQ_NN_K} rows of two longs
+    by construction, while building it is the expensive |sample| x n
+    D-dim fold.  An index-quality dashboard computes this once per corpus
+    snapshot and scores every index variant against it — exactly how the
+    three recall queries here consume it."""
+    from pyspark_text_classification_spark.operators.similarity import (
+        _fold_sum,
+        _rank_topk,
+        with_norms,
+    )
+    from pyspark_text_classification_spark.plans.shared import (
+        shared_intermediate,
+    )
+
+    def build() -> DataFrame:
+        e = with_norms(load_table(spark, sf_dir, "embeddings"))
+        sampled = F.pmod(F.col("vec_id"), F.lit(PQ_QUERY_MOD)) == 0
+        a = e.filter(sampled).select(
+            "vec_id", F.col("v").alias("xv"), F.col("nrm").alias("xn")
+        )
+        b = e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("yv"),
+            F.col("nrm").alias("yn"),
+        )
+        dot = _fold_sum(
+            F.zip_with(F.col("xv"), F.col("yv"), lambda p, q: p * q)
+        )
+        ex = (
+            a.crossJoin(b)
+            .filter(F.col("vec_id") != F.col("neighbor_id"))
+            .select(
+                "vec_id",
+                "neighbor_id",
+                (dot / (F.col("xn") * F.col("yn"))).alias("cos"),
+            )
+        )
+        return _rank_topk(ex, k=PQ_NN_K).select("vec_id", "neighbor_id")
+
+    return shared_intermediate(spark, sf_dir, "pq_exact_topk", build)
+
+
 def _recall_vs_exact(spark: SparkSession, sf_dir: str, ann: DataFrame) -> DataFrame:
     """One-row recall@k summary of ANY (vec_id, neighbor_id) ANN result
     against the exact cosine top-k for the deterministic 1/32 query
     sample — the Spark twin of _SQL_RECALL_TAIL, shared by every recall
     query in this module."""
-    from pyspark_text_classification_spark.operators.similarity import (
-        _finalize,
-        _fold_sum,
-        _rank_topk,
-        with_norms,
-    )
     from pyspark_text_classification_spark.functions.text import round_half_up
 
-    e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
-    sampled = F.pmod(F.col("vec_id"), F.lit(PQ_QUERY_MOD)) == 0
-    a = e.filter(sampled).select(
-        "vec_id", F.col("v").alias("xv"), F.col("nrm").alias("xn")
-    )
-    b = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("yv"),
-        F.col("nrm").alias("yn"),
-    )
-    dot = _fold_sum(F.zip_with(F.col("xv"), F.col("yv"), lambda p, q: p * q))
-    ex = (
-        a.crossJoin(b)
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select(
-            "vec_id",
-            "neighbor_id",
-            (dot / (F.col("xn") * F.col("yn"))).alias("cos"),
-        )
-    )
-    ext = _rank_topk(ex, k=PQ_NN_K).select("vec_id", "neighbor_id").persist()
+    ext = _exact_topk_ground_truth(spark, sf_dir)
 
     hits = (
         ext.join(ann, ["vec_id", "neighbor_id"], "left_semi")
@@ -444,7 +483,7 @@ def _recall_vs_exact(spark: SparkSession, sf_dir: str, ann: DataFrame) -> DataFr
             4,
         ).alias("perfect_frac"),
     )
-    return _finalize(out, e, ext)
+    return out
 
 
 # Generic on-engine recall evaluation: compares an ``annq(vec_id,
@@ -611,7 +650,7 @@ def _ivf_pq_scored(spark: SparkSession, sf_dir: str):
 
     # ---- fine layer: PQ codes + per-query LUT (trained codebook) ----
     e = _quantized(spark, sf_dir)
-    cb = pq_codebook_refined(e)
+    cb = trained_codebook(spark, sf_dir)
     codes = pq_assign(e, cb).select(
         F.col("vec_id").alias("neighbor_id"), "m", "code"
     )

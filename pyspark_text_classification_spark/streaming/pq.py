@@ -35,8 +35,7 @@ from pyspark_text_classification_spark.operators.pq import (
     PQ_K,
     PQ_M,
     PQ_SUB,
-    pq_codebook_refined,
-    _quantized,
+    trained_codebook,
 )
 from pyspark_text_classification_spark.registry import ORACLES, query
 from pyspark_text_classification_spark.streaming.similarity import (
@@ -92,7 +91,7 @@ def similarity_stream_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream(embeddings) -> stateless in-row PQ encode -> memory sink,
     drained with availableNow; held to the batch similarity_pq_codes
     oracle (registered below once the batch module has registered it)."""
-    cb_rows = pq_codebook_refined(_quantized(spark, sf_dir)).collect()
+    cb_rows = trained_codebook(spark, sf_dir).collect()
     src = (
         spark.readStream.schema(EMB_STREAM_SCHEMA)
         .format("parquet")
