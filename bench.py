@@ -189,6 +189,10 @@ HEADLINE = [
     "q61_parameterized_sql",
     "events_funnel_windowed",
     "events_ewma_smooth",
+    "similarity_knn_classify",
+    "ml_chi2_feature_select",
+    "dedup_semantic",
+    "events_interval_overlap",
 ]
 
 

@@ -793,3 +793,140 @@ def ml_nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy(
         F.col("lang").alias("true_lang"), F.col("cl").alias("pred_lang")
     ).agg(F.count("*").alias("n"))
+
+
+# Chi-squared feature selection knobs: minimum document frequency keeps
+# noise tokens out of the ranking (and keeps every contingency margin
+# well-defined); K is the per-class shortlist a downstream featurizer
+# consumes.
+CHI2_MIN_DF = 5
+CHI2_TOP_K = 10
+# Local top-k salting width for the per-class shortlist (two-level
+# top-k): bounds every window partition at vocab/|salts| rows.
+CHI2_SALTS = 64
+
+
+@query(
+    "ml_chi2_feature_select",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_distinct(list_filter(
+               str_split_regex(lower(text), '\W+'), t -> length(t) >= 2))
+               AS toks
+      FROM documents
+    ),
+    u AS (SELECT doc_id, lang, unnest(toks) AS token FROM t),
+    n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+    lang_tot AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS nl FROM t GROUP BY 1
+    ),
+    tok_lang AS (
+      SELECT token, lang, CAST(count(*) AS BIGINT) AS n11
+      FROM u GROUP BY 1, 2
+    ),
+    tok_tot AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df FROM u GROUP BY 1
+    ),
+    scored AS (
+      SELECT tl.lang, tl.token, tl.n11,
+             CAST((1000000::HUGEINT * n.n
+                   * (tl.n11::HUGEINT * (n.n - lt.nl - (tt.df - tl.n11))
+                      - (tt.df - tl.n11)::HUGEINT * (lt.nl - tl.n11))
+                   * (tl.n11::HUGEINT * (n.n - lt.nl - (tt.df - tl.n11))
+                      - (tt.df - tl.n11)::HUGEINT * (lt.nl - tl.n11)))
+                  // (tt.df::HUGEINT * (n.n - tt.df)
+                      * lt.nl * (n.n - lt.nl))
+                  AS BIGINT) AS chi2_micro
+      FROM tok_lang tl
+      JOIN tok_tot tt ON tl.token = tt.token
+      JOIN lang_tot lt ON tl.lang = lt.lang
+      CROSS JOIN n_tot n
+      WHERE tt.df >= {CHI2_MIN_DF} AND tt.df < n.n
+    )
+    SELECT lang, token, n11, chi2_micro, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT lang, token, n11, chi2_micro,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY chi2_micro DESC, token
+             ) AS rnk
+      FROM scored
+    ) WHERE rnk <= {CHI2_TOP_K}
+    """,
+)
+def ml_chi2_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared feature selection: rank each class's most
+    label-informative tokens by the chi2 statistic of the (token present,
+    class) 2x2 contingency table — the classic pre-featurizer shortlist
+    (sklearn's SelectKBest(chi2) / Manning IR ch.13) a training pipeline
+    runs before fitting per-domain classifiers.
+
+    Determinism: every margin is an int64 count; chi2 is computed as one
+    DECIMAL(38,0) expression — micro-scaled, floored — so both engines
+    produce identical integers (exact while 1e6 * N * (N^2/4)^2 fits 38
+    digits, i.e. to corpora of ~1e6 docs per shard; beyond that, merge
+    per-shard contingency counts first — the counts, not the scores, are
+    the additive part).  Ranking ties break on token text.
+
+    Scale shape: one shuffle at token grain builds df, one at (token,
+    class) grain builds the contingency cell; class margins (|classes|
+    rows) and the scalar N broadcast.  The per-class top-k is two-level:
+    a salted local window bounds every partition at vocab/{CHI2_SALTS}
+    rows, then the global window ranks |classes| x {CHI2_SALTS} x
+    {CHI2_TOP_K} survivors — no single reducer ever sees the whole
+    vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        "doc_id",
+        "lang",
+        F.array_distinct(tokenize(F.col("text"), 2)).alias("toks"),
+    )
+    u = toks.select("doc_id", "lang", F.explode("toks").alias("token"))
+    n_tot = toks.agg(F.count("*").cast("long").alias("n"))
+    lang_tot = toks.groupBy("lang").agg(F.count("*").cast("long").alias("nl"))
+    tok_lang = u.groupBy("token", "lang").agg(
+        F.count("*").cast("long").alias("n11")
+    )
+    tok_tot = u.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    scored = (
+        tok_lang.join(tok_tot, "token")
+        .join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(n_tot))
+        .filter((F.col("df") >= CHI2_MIN_DF) & (F.col("df") < F.col("n")))
+        .withColumn(
+            "chi2_micro",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * n"
+                " * (CAST(n11 AS DECIMAL(38,0)) * (n - nl - (df - n11))"
+                "    - CAST(df - n11 AS DECIMAL(38,0)) * (nl - n11))"
+                " * (CAST(n11 AS DECIMAL(38,0)) * (n - nl - (df - n11))"
+                "    - CAST(df - n11 AS DECIMAL(38,0)) * (nl - n11)))"
+                " div (CAST(df AS DECIMAL(38,0)) * (n - df)"
+                "      * nl * (n - nl)) AS BIGINT)"
+            ),
+        )
+        .select("lang", "token", "n11", "chi2_micro")
+    )
+    # two-level top-k: salt by token hash so no reducer sees full vocab
+    salt = F.pmod(F.xxhash64("token"), F.lit(CHI2_SALTS)).alias("salt")
+    w_local = Window.partitionBy("lang", "salt").orderBy(
+        F.col("chi2_micro").desc(), "token"
+    )
+    local = (
+        scored.select("*", salt)
+        .withColumn("lrk", F.row_number().over(w_local))
+        .filter(F.col("lrk") <= CHI2_TOP_K)
+    )
+    w_global = Window.partitionBy("lang").orderBy(
+        F.col("chi2_micro").desc(), "token"
+    )
+    return (
+        local.select(
+            "lang",
+            "token",
+            "n11",
+            "chi2_micro",
+            F.row_number().over(w_global).alias("rank"),
+        )
+        .filter(F.col("rank") <= CHI2_TOP_K)
+    )

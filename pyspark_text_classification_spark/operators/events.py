@@ -1674,3 +1674,123 @@ def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", "value_c", ewma.alias("ewma8_c")
     )
+
+
+# Interval-overlap join output cap: the co-activity report keeps the
+# top user pairs by total overlapped time (deterministic total order).
+OVERLAP_TOP_K = 50
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "events_interval_overlap",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts)
+                    - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                  THEN 1
+                  WHEN lag(ts) OVER w IS NULL THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    se AS (
+      SELECT user_id, us,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, sid, min(us) AS st, max(us) AS en
+      FROM se GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             least(a.en, b.en) - greatest(a.st, b.st) AS ov
+      FROM sess a JOIN sess b
+        ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+    )
+    SELECT user_a, user_b,
+           CAST(count(*) AS BIGINT) AS n_overlaps,
+           CAST(sum(ov) AS BIGINT) AS overlap_us
+    FROM p GROUP BY 1, 2
+    ORDER BY overlap_us DESC, user_a, user_b
+    LIMIT {OVERLAP_TOP_K}
+    """,
+)
+def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: which user pairs were in overlapping
+    sessions, and for how long — the co-activity / concurrency report
+    (fraud rings, shared-device detection, A/B interference audits).
+    Sessions are the module's 30-min-gap sessionization; two sessions
+    overlap when st_a <= en_b AND st_b <= en_a (touching endpoints
+    count, overlap 0 µs).
+
+    Scale shape: interval-interval joins have no native equi-key, so
+    sessions are exploded onto the hour buckets they span (sessions are
+    gap-bounded, so almost always 1-2 buckets) and the join runs as a
+    bucket equi-join + overlap filter — never a cartesian; a session
+    pair spanning several shared buckets is deduplicated by session id
+    before aggregation.  A pathologically hot hour (everyone online) is
+    the documented skew case: shrink the bucket to minutes or salt the
+    bucket key — same plan, finer key.  The final top-{OVERLAP_TOP_K} is
+    TakeOrdered on the bounded user-pair aggregate, ties broken by the
+    pair itself."""
+    ev = load_table(spark, sf_dir, "events")
+    us = ts_us()
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = us - F.lag(us).over(w)
+    new_session = (
+        F.when(gap > SESSION_GAP_US, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    se = ev.select(
+        "user_id",
+        us.alias("us"),
+        F.sum(new_session).over(run).cast("long").alias("sid"),
+    )
+    sess = se.groupBy("user_id", "sid").agg(
+        F.min("us").alias("st"), F.max("us").alias("en")
+    )
+    bucketed = sess.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.expr(f"st div {_HOUR_US}"), F.expr(f"en div {_HOUR_US}")
+            )
+        ).alias("bkt"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.st") <= F.col("b.en"))
+            & (F.col("b.st") <= F.col("a.en")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("a.sid").alias("sid_a"),
+            F.col("b.sid").alias("sid_b"),
+            (
+                F.least(F.col("a.en"), F.col("b.en"))
+                - F.greatest(F.col("a.st"), F.col("b.st"))
+            ).alias("ov"),
+        )
+        .distinct()  # a session pair can share several hour buckets
+    )
+    return (
+        pairs.groupBy("user_a", "user_b")
+        .agg(
+            F.count("*").alias("n_overlaps"),
+            F.sum("ov").cast("long").alias("overlap_us"),
+        )
+        .orderBy(F.col("overlap_us").desc(), "user_a", "user_b")
+        .limit(OVERLAP_TOP_K)
+    )

@@ -486,11 +486,10 @@ def _recall_vs_exact(spark: SparkSession, sf_dir: str, ann: DataFrame) -> DataFr
     return out
 
 
-# Generic on-engine recall evaluation: compares an ``annq(vec_id,
-# neighbor_id)`` CTE against the exact cosine top-k for the same
-# deterministic query sample; shared by every recall oracle in this
-# module so the exact side is defined exactly once.
-_SQL_RECALL_TAIL = f"""
+# Exact-ground-truth CTEs (n -> ex -> ext): the DuckDB twin of
+# _exact_topk_ground_truth, shared by every recall oracle in this module
+# and by the kNN label-vote classifier so the exact side is defined once.
+_SQL_EXACT_TOPK_CTES = f"""
     n AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -519,7 +518,15 @@ _SQL_RECALL_TAIL = f"""
                ) AS rnk
         FROM ex
       ) WHERE rnk <= {PQ_NN_K}
-    ),
+    )
+"""
+
+
+# Generic on-engine recall evaluation: compares an ``annq(vec_id,
+# neighbor_id)`` CTE against the exact cosine top-k for the same
+# deterministic query sample.
+_SQL_RECALL_TAIL = f"""
+    {_SQL_EXACT_TOPK_CTES},
     perq AS (
       SELECT ext.vec_id, CAST(count(annq.neighbor_id) AS BIGINT) AS hits
       FROM ext LEFT JOIN annq
@@ -925,3 +932,93 @@ _PQ_ORACLES["similarity_rerank_recall"] = f"""
     ),
     {_SQL_RECALL_TAIL}
     """
+
+
+# --------------------------------------------------------------------------
+# kNN label-vote classification over the exact neighbor ground truth — the
+# weak-labeling / label-propagation primitive of a training-data pipeline
+# (label new or unlabeled documents by their nearest labeled neighbors)
+# evaluated here as leave-self-out accuracy on the deterministic query
+# sample.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "similarity_knn_classify",
+    oracle=f"""
+    WITH {_SQL_EXACT_TOPK_CTES},
+    labs AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+    ),
+    votes AS (
+      SELECT ext.vec_id, labs.label AS nlabel,
+             CAST(count(*) AS BIGINT) AS v
+      FROM ext JOIN labs ON ext.neighbor_id = labs.vec_id
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT vec_id, nlabel AS pred FROM (
+        SELECT vec_id, nlabel,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY v DESC, nlabel
+               ) AS rnk
+        FROM votes
+      ) WHERE rnk = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST({PQ_NN_K} AS BIGINT) AS k,
+           {sql_round_half_up(
+               'CAST(sum(CASE WHEN pred.pred = labs.label THEN 1 ELSE 0 END)'
+               ' AS DOUBLE) / count(*)', 4)}
+             AS accuracy
+    FROM pred JOIN labs ON pred.vec_id = labs.vec_id
+    """,
+)
+def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-vote classifier: predict each sampled vector's label as
+    the majority label of its exact top-{PQ_NN_K} cosine neighbors (ties
+    to the lowest label), and report leave-self-out accuracy — the
+    weak-labeling primitive (propagate labels from a labeled corpus to
+    unlabeled data through embedding neighbors) with its own quality
+    gate.
+
+    Scale shape: the neighbor lists come from the session-cached exact
+    ground truth (|sample| x k rows — in production, from the served ANN
+    index, same contract); labels join in at neighbor grain, votes
+    aggregate at (query, label) grain, and the argmax window partitions
+    by query — every stage is bounded by |sample| x k."""
+    from pyspark_text_classification_spark.functions.text import round_half_up
+
+    ext = _exact_topk_ground_truth(spark, sf_dir)
+    labs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    votes = (
+        ext.join(
+            labs.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlabel"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("vec_id", "nlabel")
+        .agg(F.count("*").alias("v"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("v").desc(), "nlabel")
+    pred = (
+        votes.select(
+            "vec_id", "nlabel", F.row_number().over(w).alias("rnk")
+        )
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", F.col("nlabel").alias("pred"))
+    )
+    return pred.join(labs, "vec_id").agg(
+        F.count("*").alias("n_queries"),
+        F.lit(PQ_NN_K).cast("long").alias("k"),
+        round_half_up(
+            F.sum(F.when(F.col("pred") == F.col("label"), 1).otherwise(0))
+            .cast("double")
+            / F.count("*").cast("double"),
+            4,
+        ).alias("accuracy"),
+    )

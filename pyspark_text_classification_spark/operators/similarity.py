@@ -1173,3 +1173,145 @@ def similarity_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("perfect_frac"),
     )
     return _finalize(out, e, bk)
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic deduplication inside coarse embedding clusters
+# (Abbas et al., "SemDeDup: Data-efficient learning at web-scale through
+# semantic deduplication", arXiv 2303.09540) — cluster the corpus, compare
+# pairs ONLY within a cluster, drop all but one of each near-identical
+# group.  The within-cluster restriction is the method's entire scale
+# story: pair work is sum(|cell|^2), not n^2, and production picks the
+# cell count proportional to n (the paper runs 50k clusters on LAION) so
+# the per-cell quadratic stays bounded.  Cells here reuse the IVF coarse
+# quantizer's deterministic 16-seed layout so the whole pipeline stays
+# oracle-checkable; the drop rule is the deterministic greedy "keep the
+# lowest vec_id of any duplicate pair".
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_semantic",
+    oracle=f"""
+    WITH n AS ({_SQL_NORMED}),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+      FROM n ORDER BY vec_id LIMIT {IVF_CELLS}
+    ),
+    ac AS (
+      SELECT n.vec_id, c.cent_id,
+             {_SQL_IVF_DOT.format(a='n.v', b='c.cv')} / (n.nrm * c.cnrm) AS cos
+      FROM n CROSS JOIN cents c
+    ),
+    members AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
+        FROM ac
+      ) WHERE rk = 1
+    ),
+    m AS (
+      SELECT members.vec_id, members.cent_id, n.v, n.nrm
+      FROM members JOIN n ON members.vec_id = n.vec_id
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id, b.cent_id
+      FROM m a JOIN m b
+        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      WHERE {sql_round_half_up(
+          _SQL_IVF_DOT.format(a='a.v', b='b.v') + ' / (a.nrm * b.nrm)', 4)}
+          >= {NEAR_DUP_THRESHOLD}
+    )
+    SELECT m.cent_id AS cell_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(dropped.vec_id) AS BIGINT) AS n_dropped,
+           CAST(count(*) - count(dropped.vec_id) AS BIGINT) AS n_kept
+    FROM m LEFT JOIN dropped
+      ON m.vec_id = dropped.vec_id AND m.cent_id = dropped.cent_id
+    GROUP BY 1
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding corpus: assign each vector to its
+    nearest coarse cell (broadcast argmax — the corpus never shuffles for
+    assignment), find near-identical pairs (cos >= {NEAR_DUP_THRESHOLD})
+    ONLY within each cell via a cell-local equi-join, greedily keep the
+    lowest vec_id of any duplicate pair, and report per-cell keep/drop
+    counts — the audit a semantic-dedup run publishes before dropping
+    data.
+
+    Scale notes: the pair join is an equi-join on cell id (never a
+    cartesian), so total pair work is sum(|cell|^2); production scales
+    the cell count with n (SemDeDup uses ~50k clusters) to bound it,
+    while {IVF_CELLS} deterministic seed cells keep this instance
+    oracle-checkable end to end.  The greedy lowest-id rule makes the
+    kept set deterministic without iterating to a fixpoint (duplicates
+    of duplicates still drop: any member of a dup pair with a lower
+    partner is dropped)."""
+    e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
+    cents = (
+        e.orderBy("vec_id")
+        .limit(IVF_CELLS)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    dot_ac = _fold_sum(F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y))
+    ac = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        (dot_ac / (F.col("nrm") * F.col("cnrm"))).alias("cos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), "cent_id"
+    )
+    m = (
+        ac.select(
+            "vec_id", "cent_id", F.row_number().over(w_assign).alias("rk")
+        )
+        .filter(F.col("rk") == 1)
+        .join(e, "vec_id")
+        .select("vec_id", "cent_id", "v", "nrm")
+        .persist()
+    )
+    a = m.alias("a")
+    b = m.alias("b")
+    dot_ab = _fold_sum(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y)
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cent_id") == F.col("b.cent_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            round_half_up(
+                dot_ab / (F.col("a.nrm") * F.col("b.nrm")), 4
+            )
+            >= NEAR_DUP_THRESHOLD
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    out = (
+        m.join(dropped, "vec_id", "left")
+        .groupBy(F.col("cent_id").alias("cell_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.coalesce(F.col("is_dropped"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            (
+                F.count("*")
+                - F.sum(F.coalesce(F.col("is_dropped"), F.lit(0)))
+            )
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+    return _finalize(out, e, m)

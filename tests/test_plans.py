@@ -756,3 +756,28 @@ def test_phash_banding_is_lossless_at_threshold(spark, sf_dir):
         for r in QUERIES["multimodal_phash_near_dup"](spark, sf_dir).collect()
     }
     assert got == brute
+
+
+def test_round4_additions_plan_shapes(spark, sf_dir):
+    """chi2 / knn / semdedup / interval-overlap: no CartesianProduct (the
+    only cross joins are broadcast scalar/centroid sides); chi2's class
+    margins broadcast; the interval-overlap top-k is TakeOrdered, not a
+    global sort."""
+    from pyspark_text_classification_spark.plans.explain import (
+        formatted_plan,
+        uses_broadcast_join,
+    )
+
+    for name in (
+        "ml_chi2_feature_select",
+        "similarity_knn_classify",
+        "dedup_semantic",
+        "events_interval_overlap",
+    ):
+        plan = formatted_plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+
+    chi2 = QUERIES["ml_chi2_feature_select"](spark, sf_dir)
+    assert uses_broadcast_join(chi2)
+    ov = formatted_plan(QUERIES["events_interval_overlap"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in ov
