@@ -592,13 +592,18 @@ def ml_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = labeled.select(
         "doc_id", "label", F.explode(tokenize("text", 2)).alias("term")
-    ).localCheckpoint(eager=True)  # feeds tf, conditionals, and vocab
-    tf = toks.groupBy("doc_id", "label", "term").agg(
-        F.count("*").alias("tf")
+    )
+    # materialize the (doc, term) count grain, not the raw explode: tf is
+    # the smaller artifact and every downstream aggregate (conditionals,
+    # vocab, scoring) derives from it, so the explode runs exactly once
+    tf = (
+        toks.groupBy("doc_id", "label", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     class_term = tf.groupBy("label", "term").agg(F.sum("tf").alias("cnt"))
     class_tot = class_term.groupBy("label").agg(F.sum("cnt").alias("tot"))
-    vocab = toks.agg(F.count_distinct("term").alias("v"))
+    vocab = tf.agg(F.count_distinct("term").alias("v"))
 
     def micronat(x):
         return F.floor(F.log(x) * NB_SCALE + F.lit(0.5)).cast("long")
@@ -613,7 +618,7 @@ def ml_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("double")
         ).alias("p1"),
     )
-    terms = toks.select("term").distinct()
+    terms = tf.select("term").distinct()
     c0 = class_term.filter(F.col("label") == 0).select(
         "term", F.col("cnt").alias("cnt0")
     )
@@ -736,16 +741,20 @@ def ml_nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", F.explode(tokenize("text", 2)).alias("term")
-    ).localCheckpoint(eager=True)
-    tf = toks.groupBy("doc_id", "lang", "term").agg(
-        F.count("*").alias("tf")
+    )
+    # same artifact choice as ml_naive_bayes_confusion: checkpoint the
+    # (doc, term) count grain and derive vocab/terms from it
+    tf = (
+        toks.groupBy("doc_id", "lang", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     langs = docs.select(F.col("lang").alias("cl")).distinct()
     class_term = tf.groupBy(F.col("lang").alias("cl"), "term").agg(
         F.sum("tf").alias("cnt")
     )
     class_tot = class_term.groupBy("cl").agg(F.sum("cnt").alias("tot"))
-    vocab = toks.agg(F.count_distinct("term").alias("v"))
+    vocab = tf.agg(F.count_distinct("term").alias("v"))
     nd = docs.agg(F.count("*").alias("n"))
 
     def micronat(x):
@@ -762,7 +771,7 @@ def ml_nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    terms = toks.select("term").distinct()
+    terms = tf.select("term").distinct()
     cond = (
         terms.crossJoin(F.broadcast(langs))
         .join(class_term, ["term", "cl"], "left")

@@ -141,11 +141,19 @@ def _bm25_scored(spark: SparkSession, sf_dir: str):
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.explode(tokenize("text", 2)).alias("term")
-    ).localCheckpoint(eager=True)  # postings + dl + totals share one pass
-    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    tot = toks.agg(
-        F.count("*").alias("l_tot"),
+    )
+    # materialize ONLY the postings index (the raw token explode is
+    # |tokens| rows; postings is |distinct (term, doc)| — the smaller,
+    # reused artifact): dl and the corpus totals are postings aggregates,
+    # so the explode runs exactly once and is never stored
+    postings = (
+        toks.groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    tot = postings.agg(
+        F.sum("tf").alias("l_tot"),
         F.count_distinct("doc_id").alias("n_docs"),
     )
     qterms = spark.createDataFrame(BM25_QUERIES, "query_id INT, term STRING")
