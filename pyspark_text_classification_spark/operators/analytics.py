@@ -138,18 +138,39 @@ def q26_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     fails the hash match. In production the audit runs on snapshots;
     the serving path is the sketch aggregate alone."""
     li = load_table(spark, sf_dir, "lineitem")
-    sketched = li.groupBy("l_returnflag").agg(
+    # Three separate one-pass aggregates joined on the 3-row group key:
+    # mixing countDistinct with the two percentile aggregates in one agg
+    # plans an Expand that duplicates every input row per aggregate path
+    # and builds the percentile value maps over the expanded rows
+    # (measured 12.3s vs ~1.5s split, sf0.1).  The distinct pair is its
+    # own aggregate for the same reason.
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_percentile(
             "l_extendedprice", F.lit(list(PCTS)), F.lit(10_000)
         ).alias("approx_pcts"),
+        F.count("*").alias("n"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", F.lit(list(PCTS))).alias(
             "exact_pcts"
         ),
+    )
+    # exact distinct via two-level count (no Expand), HLL alongside
+    parts = (
+        li.groupBy("l_returnflag", "l_partkey")
+        .agg(F.count("*").alias("_cnt"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("exact_parts"))
+    )
+    hll = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias(
             "approx_parts"
         ),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.count("*").alias("n"),
+    )
+    sketched = (
+        sketches.join(exact, "l_returnflag")
+        .join(parts, "l_returnflag")
+        .join(hll, "l_returnflag")
     )
     within = [
         (
