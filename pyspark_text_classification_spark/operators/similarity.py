@@ -1038,6 +1038,44 @@ def similarity_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 RECALL_SAMPLE_MOD = 16  # evaluate every 16th vector as a query
 
 
+def _lsh_exact_ground_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{TOP_K} for the deterministic 1/{RECALL_SAMPLE_MOD}
+    query sample — the ground truth the sign-LSH recall evaluator scores
+    against.  Session-cached (plans.shared): |sample| x {TOP_K} rows of
+    two longs by construction; building it is the |sample| x n D-dim
+    fold, the expensive side of any recall measurement."""
+    from pyspark_text_classification_spark.plans.shared import (
+        shared_intermediate,
+    )
+
+    def build() -> DataFrame:
+        e = with_norms(load_table(spark, sf_dir, "embeddings"))
+        sampled = F.pmod(F.col("vec_id"), F.lit(RECALL_SAMPLE_MOD)) == 0
+        a = e.filter(sampled).select(
+            "vec_id", F.col("v").alias("xv"), F.col("nrm").alias("xn")
+        )
+        b = e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("yv"),
+            F.col("nrm").alias("yn"),
+        )
+        dot = _fold_sum(
+            F.zip_with(F.col("xv"), F.col("yv"), lambda p, q: p * q)
+        )
+        ex = (
+            a.crossJoin(b)
+            .filter(F.col("vec_id") != F.col("neighbor_id"))
+            .select(
+                "vec_id",
+                "neighbor_id",
+                (dot / (F.col("xn") * F.col("yn"))).alias("cos"),
+            )
+        )
+        return _rank_topk(ex).select("vec_id", "neighbor_id")
+
+    return shared_intermediate(spark, sf_dir, "lsh_exact_topk", build)
+
+
 @query(
     "similarity_recall_eval",
     oracle=f"""
@@ -1120,28 +1158,9 @@ def similarity_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(sampled)
     ann = _rank_topk(candidate_cosines(e, cand)).select("vec_id", "neighbor_id")
 
-    # exact side: sampled queries against everything (no cross join of n x n)
-    a = e.filter(sampled).select(
-        F.col("vec_id"), F.col("v").alias("xv"), F.col("nrm").alias("xn")
-    )
-    b = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("yv"),
-        F.col("nrm").alias("yn"),
-    )
-    dot = _fold_sum(F.zip_with(F.col("xv"), F.col("yv"), lambda p, q: p * q))
-    ex = (
-        a.crossJoin(b)
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select(
-            "vec_id",
-            "neighbor_id",
-            (dot / (F.col("xn") * F.col("yn"))).alias("cos"),
-        )
-    )
-    # ext feeds the hit count AND the per-query denominator; persist so
-    # the |sample| x n exact fold — the expensive side — runs once
-    ext = _rank_topk(ex).select("vec_id", "neighbor_id").persist()
+    # exact side: session-cached ground truth (|sample| x k rows; the
+    # |sample| x n fold that builds it runs once per corpus snapshot)
+    ext = _lsh_exact_ground_truth(spark, sf_dir)
 
     hits = (
         ext.join(ann, ["vec_id", "neighbor_id"], "left_semi")
