@@ -193,6 +193,7 @@ HEADLINE = [
     "ml_chi2_feature_select",
     "dedup_semantic",
     "events_interval_overlap",
+    "graph_jaccard_links",
 ]
 
 

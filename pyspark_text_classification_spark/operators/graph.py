@@ -680,3 +680,86 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionByName(census(g, rnd))
     return out
+
+
+JACCARD_TOPK = 100
+
+
+@query(
+    "graph_jaccard_links",
+    oracle=f"""
+    WITH e AS ({_SQL_EDGES}),
+    cdeg AS (SELECT c, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+    fe AS (
+      SELECT e.c, e.s FROM e JOIN cdeg ON e.c = cdeg.c
+      WHERE cdeg.deg BETWEEN 2 AND {AA_HUB_CAP}
+    ),
+    sdeg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM fe GROUP BY 1),
+    pairs AS (
+      SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS w
+      FROM fe a JOIN fe b ON a.c = b.c AND a.s < b.s
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT s1, s2, w,
+             (1000000 * w) // (d1.deg + d2.deg - w) AS j_micro
+      FROM pairs
+      JOIN sdeg d1 ON d1.s = pairs.s1
+      JOIN sdeg d2 ON d2.s = pairs.s2
+    )
+    SELECT s1, s2, w AS common_customers, j_micro
+    FROM scored
+    ORDER BY j_micro DESC, s1, s2
+    LIMIT {JACCARD_TOPK}
+    """,
+)
+def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{JACCARD_TOPK} supplier pairs by Jaccard link-prediction score:
+    |shared customers| / |union of customers|, over the same hub-capped
+    co-purchase projection as Adamic-Adar — the second classic
+    common-neighbor predictor, sensitive to RELATIVE overlap where
+    Adamic-Adar rewards absolute rare-neighbor counts.
+
+    Reuses the session-cached pair-stats projection (shared-customer
+    count w per packed pair key) and adds only a per-supplier degree
+    aggregate over the SAME filtered edge set — a dimension-bounded
+    table that broadcasts into the pair grain.  j_micro =
+    1e6 * w div (deg1 + deg2 - w) is pure int64 (w <= {AA_HUB_CAP}-cap
+    bounded), and top-k is TakeOrdered on (score desc, packed key) —
+    (s1, s2) lexicographic, a deterministic total order."""
+    sdeg = (
+        _pair_lists(spark, sf_dir)
+        .select(F.explode("ss").alias("s"))
+        .groupBy("s")
+        .agg(F.count("*").alias("deg"))
+    )
+    pairs = _pair_stats(spark, sf_dir).select(
+        F.expr(f"k div {_PAIR_BASE}L").alias("s1"),
+        F.expr(f"k % {_PAIR_BASE}L").alias("s2"),
+        "w",
+        "k",
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(sdeg.select(F.col("s").alias("s1"),
+                                    F.col("deg").alias("d1"))),
+            "s1",
+        )
+        .join(
+            F.broadcast(sdeg.select(F.col("s").alias("s2"),
+                                    F.col("deg").alias("d2"))),
+            "s2",
+        )
+        .select(
+            "s1",
+            "s2",
+            F.col("w").alias("common_customers"),
+            F.expr("(1000000 * w) div (d1 + d2 - w)").alias("j_micro"),
+            "k",
+        )
+    )
+    return (
+        scored.orderBy(F.col("j_micro").desc(), "k")
+        .limit(JACCARD_TOPK)
+        .select("s1", "s2", "common_customers", "j_micro")
+    )
