@@ -194,6 +194,7 @@ HEADLINE = [
     "dedup_semantic",
     "events_interval_overlap",
     "graph_jaccard_links",
+    "graph_bfs_3hop",
 ]
 
 

@@ -763,3 +763,91 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(JACCARD_TOPK)
         .select("s1", "s2", "common_customers", "j_micro")
     )
+
+
+BFS_ROUNDS = 3
+
+
+@query(
+    "graph_bfs_3hop",
+    oracle=f"""
+    WITH e AS ({_SQL_EDGES}),
+    cdeg AS (SELECT c, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+    small AS (
+      SELECT e.c, e.s FROM e JOIN cdeg ON e.c = cdeg.c
+      WHERE cdeg.deg BETWEEN 2 AND {AA_HUB_CAP}
+    ),
+    se0 AS (
+      SELECT a.s AS u, b.s AS v, CAST(count(*) AS BIGINT) AS w
+      FROM small a JOIN small b ON a.c = b.c AND a.s < b.s
+      GROUP BY 1, 2
+      HAVING count(*) >= {TRI_MIN_COMMON}
+    ),
+    se AS (
+      SELECT u, v FROM (
+        SELECT u, v, row_number() OVER (ORDER BY w DESC, u, v) AS rnk
+        FROM se0
+      ) WHERE rnk <= {TRI_EDGE_TOPK}
+    ),
+    edges2 AS (SELECT u, v FROM se UNION ALL SELECT v AS u, u AS v FROM se),
+    r0 AS (SELECT min(u) AS node FROM se),
+    n1 AS (SELECT DISTINCT e2.v AS node
+           FROM edges2 e2 JOIN r0 ON e2.u = r0.node),
+    r1 AS (SELECT node FROM r0 UNION SELECT node FROM n1),
+    n2 AS (SELECT DISTINCT e2.v AS node
+           FROM edges2 e2 JOIN r1 ON e2.u = r1.node),
+    r2 AS (SELECT node FROM r1 UNION SELECT node FROM n2),
+    n3 AS (SELECT DISTINCT e2.v AS node
+           FROM edges2 e2 JOIN r2 ON e2.u = r2.node),
+    appear AS (
+      SELECT node, 0 AS d FROM r0
+      UNION ALL SELECT node, 1 FROM n1
+      UNION ALL SELECT node, 2 FROM n2
+      UNION ALL SELECT node, 3 FROM n3
+    )
+    SELECT node, CAST(min(d) AS INT) AS dist FROM appear GROUP BY 1
+    """,
+)
+def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first traversal: min-hop distance (<= {BFS_ROUNDS}) from
+    the lowest backbone supplier to every node it reaches over the
+    co-purchase backbone — the graph-traversal primitive (reachability,
+    ego networks, influence radii) the family was missing.
+
+    Each round joins the previous FRONTIER (new nodes only, broadcast —
+    it is bounded by the backbone's node count) against the symmetric
+    edge list and anti-joins the already-reached set, so a node's
+    distance is the first round that discovers it; the oracle unrolls
+    the identical recurrence and takes min-round-of-appearance, which is
+    the same function.  Rounds are FIXED at {BFS_ROUNDS} so the unroll
+    is exact; a production traversal loops the identical per-round
+    dataflow to frontier exhaustion, checkpointing each round the way
+    the k-core peel does (every round's lineage is cut, so the loop
+    count never compounds the plan)."""
+    g = _copurchase_backbone(spark, sf_dir)
+    edges2 = g.unionByName(
+        g.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    seeds = g.agg(F.min("u").alias("node")).select(
+        "node", F.lit(0).alias("dist")
+    )
+    reached = seeds.localCheckpoint(eager=True)
+    frontier = reached.select("node")
+    for d in range(1, BFS_ROUNDS + 1):
+        nxt = (
+            edges2.join(
+                F.broadcast(frontier.withColumnRenamed("node", "u")), "u"
+            )
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        new = (
+            nxt.join(
+                F.broadcast(reached.select("node")), "node", "left_anti"
+            )
+            .select("node", F.lit(d).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        reached = reached.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("node")
+    return reached

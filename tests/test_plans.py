@@ -556,6 +556,7 @@ def test_graph_family_plan_shapes(spark, sf_dir):
     for name in (
         "graph_degree_stats",
         "graph_jaccard_links",
+        "graph_bfs_3hop",
         "graph_pagerank_step",
         "graph_adamic_adar",
     ):
