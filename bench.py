@@ -195,6 +195,7 @@ HEADLINE = [
     "events_interval_overlap",
     "graph_jaccard_links",
     "graph_bfs_3hop",
+    "events_pattern_search",
 ]
 
 

@@ -1794,3 +1794,76 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("overlap_us").desc(), "user_a", "user_b")
         .limit(OVERLAP_TOP_K)
     )
+
+
+# Pattern-search knobs: window length, the fixed integer query pattern (a
+# rise-and-fall bump in value cents), and the report's top-k.
+PATTERN_W = 8
+PATTERN_Q = [0, 100, 200, 300, 400, 300, 200, 100]
+PATTERN_TOPK = 20
+
+
+@query(
+    "events_pattern_search",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+             ts
+      FROM events
+    ),
+    lagged AS (
+      SELECT user_id, event_id,
+             {', '.join(
+                 f'lag(vc, {PATTERN_W - 1 - i}) OVER w AS v{i}'
+                 for i in range(PATTERN_W - 1))},
+             vc AS v{PATTERN_W - 1}
+      FROM v
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    dist AS (
+      SELECT user_id, event_id,
+             {' + '.join(
+                 f'(v{i} - {q}) * (v{i} - {q})'
+                 for i, q in enumerate(PATTERN_Q))} AS d2
+      FROM lagged WHERE v0 IS NOT NULL
+    )
+    SELECT user_id, event_id, d2
+    FROM dist
+    ORDER BY d2, user_id, event_id
+    LIMIT {PATTERN_TOPK}
+    """,
+)
+def events_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence search: the {PATTERN_TOPK} length-
+    {PATTERN_W} windows of any user's value series closest (integer
+    squared L2 on value cents) to a fixed query pattern — the
+    distributed "find occurrences of this shape" primitive behind
+    pattern-based alerting and motif mining.
+
+    Each candidate window materializes IN-ROW as {PATTERN_W - 1} lag()
+    columns over the per-user ordered window (one shuffle on user_id,
+    same partitioning every per-user operator in this module reuses),
+    the distance is one codegen'd int64 expression, and the global
+    top-k is TakeOrdered with the (d2, user_id, event_id) total order.
+    A query fleet generalizes to a broadcast pattern table + one
+    distance column per pattern — same single pass."""
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [
+        F.lag(vc, PATTERN_W - 1 - i).over(w).alias(f"v{i}")
+        for i in range(PATTERN_W - 1)
+    ] + [vc.alias(f"v{PATTERN_W - 1}")]
+    lagged = ev.select("user_id", "event_id", *lags).filter(
+        F.col("v0").isNotNull()
+    )
+    d2 = None
+    for i, q in enumerate(PATTERN_Q):
+        term = (F.col(f"v{i}") - F.lit(q)) * (F.col(f"v{i}") - F.lit(q))
+        d2 = term if d2 is None else d2 + term
+    return (
+        lagged.select("user_id", "event_id", d2.alias("d2"))
+        .orderBy("d2", "user_id", "event_id")
+        .limit(PATTERN_TOPK)
+    )
