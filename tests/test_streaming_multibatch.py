@@ -871,3 +871,76 @@ def test_windowed_funnel_expires_out_of_window_steps(spark, tmp_path):
         for r in spark.table(sink).collect()
     )
     assert got == [(1, base, base + 100_000_000, base + 200_000_000)]
+
+
+def test_pattern_alert_window_spans_batches(spark, tmp_path):
+    """A sliding window whose 8 values straddle TWO micro-batches must
+    still alert (state carries the trailing 7 values); a user whose
+    series never approaches the pattern stays silent."""
+    from pyspark_text_classification_spark.operators.events import (
+        PATTERN_Q,
+    )
+    from pyspark_text_classification_spark.streaming.pattern import (
+        _OUT_SCHEMA as P_OUT,
+        _STATE_SCHEMA as P_STATE,
+        _pattern_group,
+    )
+
+    base = 1_000_000_000_000  # µs
+    rows = []
+    # user 1: values exactly the query pattern (d2 = 0), split 5 + 3
+    for i, q in enumerate(PATTERN_Q):
+        rows.append((100 + i, base + i * 1_000_000, 1, "view", q / 100.0, "{}"))
+    # user 2: far from the pattern everywhere
+    for i in range(8):
+        rows.append((200 + i, base + i * 1_000_000, 2, "view", 90_000.0, "{}"))
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    pdf = pd.DataFrame(rows, columns=cols).sort_values(["user_id", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="us").astype("datetime64[us]")
+    d = tmp_path / "pattern_src"
+    os.makedirs(d)
+    now = time.time()
+    # batch 1: user 1's first 5 values + user 2's first 5; batch 2: rest
+    b1 = pdf[(pdf.event_id.isin(range(100, 105))) | (pdf.event_id.isin(range(200, 205)))]
+    b2 = pdf[~pdf.event_id.isin(b1.event_id)]
+    for i, (tag, part) in enumerate((("a", b1), ("b", b2))):
+        p = d / f"{tag}_part.parquet"
+        part.to_parquet(str(p), index=False)
+        os.utime(p, (now - 100 + i, now - 100 + i))
+
+    src = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    alerts = (
+        src.selectExpr(
+            "event_id",
+            "user_id",
+            "CAST(floor(value * 100 + 0.5) AS LONG) AS vc",
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+            " ts) AS ts_us",
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _pattern_group,
+            outputStructType=P_OUT,
+            stateStructType=P_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = "pattern_split_sink"
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [(r.user_id, r.event_id, r.d2) for r in spark.table(sink).collect()]
+    # exactly one alert: user 1's full window, completing at event 107,
+    # exact match (d2 = 0) — discovered in batch 2 from carried state
+    assert got == [(1, 107, 0)]
