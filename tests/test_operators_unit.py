@@ -479,3 +479,62 @@ def test_inrow_pair_generation_equals_self_join(spark, sf_dir):
     )
     assert inrow.exceptAll(joined).count() == 0
     assert joined.exceptAll(inrow).count() == 0
+
+
+def test_shared_intermediate_semantics(spark, sf_dir):
+    """plans.shared contract: (1) one build per (session, sf, name) — the
+    builder runs once and later calls reuse the checkpoint; (2) slot
+    rows are value-identical to an uncached build; (3) slots keyed to a
+    DIFFERENT application id are evicted when a new session builds, so a
+    stopped session's checkpoint blocks become collectable."""
+    from pyspark_text_classification_spark.plans.shared import (
+        _SLOTS,
+        clear_shared_intermediates,
+        shared_intermediate,
+    )
+
+    clear_shared_intermediates()
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(5).selectExpr("id", "id * id AS sq")
+
+    first = shared_intermediate(spark, sf_dir, "unit_probe", build)
+    again = shared_intermediate(spark, sf_dir, "unit_probe", build)
+    assert calls["n"] == 1  # second call reused the slot
+    assert first is again
+    # value identity with the raw builder output
+    assert sorted(r.sq for r in first.collect()) == [0, 1, 4, 9, 16]
+
+    # a slot from a "dead" application is dropped on the next build
+    app = spark.sparkContext.applicationId
+    _SLOTS[("dead-app", sf_dir, "stale")] = first
+    shared_intermediate(spark, sf_dir, "unit_probe_2", build)
+    assert ("dead-app", sf_dir, "stale") not in _SLOTS
+    assert (app, sf_dir, "unit_probe") in _SLOTS
+    clear_shared_intermediates()
+
+
+def test_trained_codebook_matches_cold_build(spark, sf_dir):
+    """The session-cached PQ codebook is row-identical to an uncached
+    pq_codebook_refined build — the cache is a pure materialization."""
+    from pyspark_text_classification_spark.operators.pq import (
+        _quantized,
+        pq_codebook_refined,
+        trained_codebook,
+    )
+    from pyspark_text_classification_spark.plans.shared import (
+        clear_shared_intermediates,
+    )
+
+    clear_shared_intermediates()
+    cached = {
+        (r.m, r.code_id): tuple(r.cq)
+        for r in trained_codebook(spark, sf_dir).collect()
+    }
+    cold = {
+        (r.m, r.code_id): tuple(r.cq)
+        for r in pq_codebook_refined(_quantized(spark, sf_dir)).collect()
+    }
+    assert cached == cold and len(cached) == 1024
