@@ -196,6 +196,7 @@ HEADLINE = [
     "graph_jaccard_links",
     "graph_bfs_3hop",
     "events_pattern_search",
+    "dedup_fuzzy_names",
 ]
 
 
