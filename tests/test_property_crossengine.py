@@ -586,3 +586,72 @@ def test_funnel_counts_match_reference_and_are_monotone(spark, evs):
             r3 += 1
     assert (n1, n2, n3) == (r1, r2, r3)
     assert n1 >= n2 >= n3
+
+
+def _lev(a: str, b: str) -> int:
+    """Pure-Python Levenshtein (unit costs) — the reference recurrence."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    a=st.text(alphabet="abcde ", min_size=6, max_size=14),
+    b=st.text(alphabet="abcde ", min_size=6, max_size=14),
+)
+@settings(max_examples=300, deadline=None)
+def test_qgram_blocking_lossless_within_edit_distance(a, b):
+    """The dedup_fuzzy_names blocking guarantee (Gravano et al. VLDB
+    2001): any pair with levenshtein <= 2 and length >= 6 shares at
+    least one 2-gram, so the gram equi-join loses no in-distance pair."""
+    from pyspark_text_classification_spark.operators.dedup import (
+        FUZZY_MAX_DIST,
+        FUZZY_Q,
+    )
+
+    if _lev(a, b) > FUZZY_MAX_DIST:
+        return
+    grams = lambda s: {  # noqa: E731
+        s[i : i + FUZZY_Q] for i in range(len(s) - FUZZY_Q + 1)
+    }
+    assert grams(a) & grams(b), (a, b)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.text(alphabet="abc xyz", min_size=0, max_size=12),
+            st.text(alphabet="abc xyz", min_size=0, max_size=12),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_levenshtein_three_way(spark, pairs):
+    """Spark's levenshtein == DuckDB's == the reference DP on arbitrary
+    strings — the verify step of the fuzzy join is engine-stable."""
+    py = [_lev(a, b) for a, b in pairs]
+    sdf = spark.createDataFrame(pairs, "a STRING, b STRING")
+    got_spark = [
+        r.d
+        for r in sdf.select(
+            F.levenshtein("a", "b").alias("d")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        for a, b in pairs
+    ]
+    assert got_spark == py and got_duck == py
