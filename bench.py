@@ -270,10 +270,18 @@ def main() -> None:
         except Exception:  # noqa: BLE001 - metric is best-effort, never fatal
             return None
 
+    def _metric_of(name: str, col: str):
+        try:
+            row = QUERIES[name](spark, sf_dir).select(col).collect()[0]
+            return float(row[col])
+        except Exception:  # noqa: BLE001 - metric is best-effort, never fatal
+            return None
+
     ann_recall = _recall_of("similarity_recall_eval")
     pq_recall = _recall_of("similarity_pq_recall")
     ivf_pq_recall = _recall_of("similarity_ivf_pq_recall")
     rerank_recall = _recall_of("similarity_rerank_recall")
+    knn_accuracy = _metric_of("similarity_knn_classify", "accuracy")
 
     # The grading driver keeps only the TAIL of stdout and front-truncates
     # long lines; round 2's single ~100-query JSON line lost its front
@@ -290,6 +298,7 @@ def main() -> None:
                 "pq_macro_recall": pq_recall,
                 "ivf_pq_macro_recall": ivf_pq_recall,
                 "rerank_macro_recall": rerank_recall,
+                "knn_accuracy": knn_accuracy,
                 "sf": sf,
             }
         )
