@@ -201,6 +201,7 @@ HEADLINE = [
     "graph_bfs_3hop",
     "events_pattern_search",
     "dedup_fuzzy_names",
+    "similarity_kmeans_iter3",
 ]
 
 

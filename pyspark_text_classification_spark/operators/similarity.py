@@ -1334,3 +1334,198 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _finalize(out, e, m)
+
+
+# --------------------------------------------------------------------------
+# k-means iterated to (fixed-round) convergence: similarity_kmeans_step's
+# assign+update dataflow looped KM_ITERS times with the centroid table
+# re-broadcast each round — the full distributed Lloyd loop (MLlib
+# KMeans' per-iteration plan), expressed relationally and oracle-unrolled
+# like graph_pagerank_iter3 / the PQ codebook refinement.
+# --------------------------------------------------------------------------
+KM_ITERS = 3
+
+
+def _km_assigned_dims(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(cent_id, dim, q): each vector's nearest-centroid assignment
+    (identical argmax fold to similarity_kmeans_step — array_sort'ed
+    centroid list, strict '>', ties to the lowest cent_id) exploded to
+    quantized per-dimension components."""
+    cs = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cent_id", "cv", "cnrm"))
+        ).alias("cs")
+    )
+    withc = e.crossJoin(F.broadcast(cs))
+    cos_arr = F.transform(
+        F.col("cs"),
+        lambda c: F.named_struct(
+            F.lit("cent_id"),
+            c["cent_id"],
+            F.lit("cos"),
+            _fold_sum(F.zip_with(F.col("v"), c["cv"], lambda x, y: x * y))
+            / (F.col("nrm") * c["cnrm"]),
+        ),
+    )
+    best = F.aggregate(
+        cos_arr,
+        F.named_struct(
+            F.lit("cent_id"), F.lit(-1).cast("long"), F.lit("cos"), F.lit(-2.0)
+        ),
+        lambda acc, c: F.when(c["cos"] > acc["cos"], c).otherwise(acc),
+    )
+    return withc.select(
+        best["cent_id"].alias("cent_id"), F.posexplode("v")
+    ).select(
+        "cent_id",
+        F.col("pos").alias("dim"),
+        F.floor(F.col("col") * KM_SCALE + F.lit(0.5)).cast("long").alias("q"),
+    )
+
+
+def _sql_km_round(r: int) -> str:
+    """CTEs for Lloyd round ``r``: assign against cents{r}, quantized
+    per-dim stats, rebuilt cents{r+1} (empty cells keep their centroid)."""
+    return f"""
+    ac{r} AS (
+      SELECT n.vec_id, c.cent_id,
+             {_SQL_KM_DOT.format(a='n.v', b='c.cv')} / (n.nrm * c.cnrm) AS cos
+      FROM n CROSS JOIN cents{r} c
+    ),
+    members{r} AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
+        FROM ac{r}
+      ) WHERE rk = 1
+    ),
+    x{r} AS (
+      SELECT cent_id, u.dim AS dim,
+             CAST(floor(u.val * {KM_SCALE}.0 + 0.5) AS BIGINT) AS q
+      FROM (
+        SELECT m.cent_id,
+               unnest(list_transform(range(1, length(n.v) + 1),
+                 i -> {{'dim': i - 1, 'val': n.v[i]}})) AS u
+        FROM members{r} m JOIN n ON n.vec_id = m.vec_id
+      )
+    ),
+    newv{r} AS (
+      SELECT cent_id, list(val ORDER BY dim) AS cv FROM (
+        SELECT cent_id, dim,
+               CAST(sum(q) AS DOUBLE) / ({KM_SCALE}.0 * count(*)) AS val
+        FROM x{r} GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    cents{r + 1} AS (
+      SELECT c.cent_id,
+             COALESCE(nv.cv, c.cv) AS cv,
+             sqrt(list_reduce(
+               list_prepend(0.0, list_transform(
+                 COALESCE(nv.cv, c.cv), x -> x * x)),
+               (acc, x) -> acc + x)) AS cnrm
+      FROM cents{r} c LEFT JOIN newv{r} nv ON c.cent_id = nv.cent_id
+    )"""
+
+
+@query(
+    "similarity_kmeans_iter3",
+    oracle=f"""
+    WITH n AS ({_SQL_NORMED}),
+    cents0 AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+      FROM n ORDER BY vec_id LIMIT {IVF_CELLS}
+    ),
+    {','.join(_sql_km_round(r) for r in range(KM_ITERS - 1))},
+    acF AS (
+      SELECT n.vec_id, c.cent_id,
+             {_SQL_KM_DOT.format(a='n.v', b='c.cv')} / (n.nrm * c.cnrm) AS cos
+      FROM n CROSS JOIN cents{KM_ITERS - 1} c
+    ),
+    membersF AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
+        FROM acF
+      ) WHERE rk = 1
+    ),
+    xF AS (
+      SELECT cent_id, u.dim AS dim,
+             CAST(floor(u.val * {KM_SCALE}.0 + 0.5) AS BIGINT) AS q
+      FROM (
+        SELECT m.cent_id,
+               unnest(list_transform(range(1, length(n.v) + 1),
+                 i -> {{'dim': i - 1, 'val': n.v[i]}})) AS u
+        FROM membersF m JOIN n ON n.vec_id = m.vec_id
+      )
+    )
+    SELECT cent_id, CAST(dim AS INT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_members,
+           {sql_round_half_up(
+               f'CAST(sum(q) AS DOUBLE) / ({KM_SCALE}.0 * count(*))', 4)}
+             AS centroid_val
+    FROM xF GROUP BY cent_id, dim
+    """,
+)
+def similarity_kmeans_iter3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full distributed Lloyd loop: {KM_ITERS} assign+update rounds
+    from the deterministic seed centers, reporting the final round's
+    per-(centroid, dim) member counts and means — k-means iterated to
+    (fixed-round) convergence, the loop similarity_kmeans_step documents
+    as "iterating this step IS k-means".
+
+    Per round the {IVF_CELLS}-row centroid table is rebuilt from the
+    previous round's quantized integer component sums (one exact double
+    division per component — identical bits on both engines), empty
+    cells keep their centroid (the PQ refinement's convention), and the
+    new table is eagerly checkpointed so each round's lineage is cut —
+    the loop count never compounds the plan (the k-core/BFS discipline).
+    Assignment stays map-side-only every round (the centroid table
+    re-broadcasts), and the update shuffle carries O(cells x dims)
+    partial sums.  Rounds are FIXED so the DuckDB oracle unrolls the
+    identical recurrence; production loops the same dataflow to a
+    movement threshold."""
+    e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
+    cents = e.orderBy("vec_id").limit(IVF_CELLS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    ).localCheckpoint(eager=True)
+    for _ in range(KM_ITERS - 1):
+        x = _km_assigned_dims(e, cents)
+        comp = x.groupBy("cent_id", "dim").agg(
+            (
+                F.sum("q").cast("double")
+                / (F.lit(float(KM_SCALE)) * F.count("*"))
+            ).alias("val")
+        )
+        newv = comp.groupBy("cent_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                lambda s: s["val"],
+            ).alias("new_cv")
+        )
+        cv = F.coalesce(F.col("new_cv"), F.col("cv"))
+        cents = (
+            cents.join(newv, "cent_id", "left")
+            .select(
+                "cent_id",
+                cv.alias("cv"),
+                F.sqrt(
+                    F.aggregate(
+                        cv, F.lit(0.0), lambda acc, v: acc + v * v
+                    )
+                ).alias("cnrm"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    x = _km_assigned_dims(e, cents)
+    out = x.groupBy("cent_id", "dim").agg(
+        F.count("*").alias("n_members"),
+        round_half_up(
+            F.sum("q").cast("double") / (F.lit(float(KM_SCALE)) * F.count("*")),
+            4,
+        ).alias("centroid_val"),
+    )
+    return _finalize(out, e)
