@@ -775,6 +775,9 @@ def test_round4_additions_plan_shapes(spark, sf_dir):
         "similarity_knn_classify",
         "dedup_semantic",
         "events_interval_overlap",
+        "dedup_fuzzy_names",
+        "similarity_kmeans_iter3",
+        "events_pattern_search",
     ):
         plan = formatted_plan(QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name

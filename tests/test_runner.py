@@ -143,3 +143,55 @@ def test_coverage_priority_classes_and_stability():
     assert coverage_priority(names, [r1, r2], oracled=set()) == [
         "d", "e", "a", "b", "c",
     ]
+
+
+def test_driver_first50_carries_only_new_information():
+    """The live registration order: as long as at least 50 queries lack a
+    settled-green driver record, every one of the first 50 slots must be
+    spent on a non-settled query (red re-queue or never-checked) — the
+    invariant that makes each round's CORRECTNESS sweep maximally
+    informative."""
+    import glob
+    import json
+    import os
+
+    from pyspark_text_classification_spark.all_queries import (
+        ORACLES,
+        QUERIES,
+        coverage_priority,
+    )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    artifacts = []
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        with open(p) as fh:
+            artifacts.append(json.load(fh))
+    if not artifacts:
+        return  # fresh clone: static order stands, nothing to assert
+    names = list(QUERIES)
+    # a query is settled iff coverage_priority sorts it into the tail
+    # class; recompute the classes exactly the way the registry does
+    ordered = coverage_priority(names, artifacts, oracled=set(ORACLES))
+    assert names == ordered  # the applied order IS the priority order
+    # count non-settled = queries that would sort before any settled green
+    settled_suffix = 0
+    for n in reversed(ordered):
+        rec = None
+        for data in artifacts:
+            if n in data:
+                rec = data[n]
+        ok = rec is not None and (
+            (rec.get("err") is None
+             and bool(rec.get("hash_match", rec.get("rows_match"))))
+            or (rec.get("err") == "no_oracle"
+                and rec.get("spark_rows") is not None
+                and n not in ORACLES)
+        )
+        if not ok:
+            break
+        settled_suffix += 1
+    non_settled = len(ordered) - settled_suffix
+    if non_settled >= 50:
+        first50 = ordered[:50]
+        greens = [n for n in first50 if n in ordered[len(ordered) - settled_suffix:]]
+        assert not greens, f"settled greens wasting driver slots: {greens}"
