@@ -202,6 +202,7 @@ HEADLINE = [
     "events_pattern_search",
     "dedup_fuzzy_names",
     "similarity_kmeans_iter3",
+    "multimodal_shot_boundaries",
 ]
 
 

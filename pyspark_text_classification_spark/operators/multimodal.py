@@ -25,7 +25,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_text_classification_spark.registry import query
@@ -584,4 +584,93 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") <= PHASH_HAM_MAX)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# Shot-boundary threshold on the |checksum delta| between CONSECUTIVE
+# frames (selects the ~top-decile jumps on the synthetic corpus; a real
+# detector thresholds a frame-difference metric the same way).
+SHOT_DELTA_MIN = 20_000
+SHOT_SCHEMA = "doc_id LONG, frame_idx INT, frame_checksum LONG"
+
+
+def frame_features(payloads: DataFrame) -> DataFrame:
+    """Per-frame feature stage: EVERY consecutive frame's checksum (no
+    sampling — boundary detection needs adjacent frames).  Same 1:N
+    partition-local mapInPandas shape as sample_frames; a real decoder
+    swaps the byte checksum for a visual feature via decode_media()."""
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(buf)
+                for idx in range(-(-len(b) // FRAME_BYTES)):
+                    fr = b[idx * FRAME_BYTES:(idx + 1) * FRAME_BYTES]
+                    rows.append((doc_id, idx, sum(fr) % ADLER_MOD))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_checksum"]
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        frames, schema=SHOT_SCHEMA
+    )
+
+
+@query(
+    "multimodal_shot_boundaries",
+    oracle=f"""
+    WITH fr AS (
+      SELECT doc_id, CAST(idx AS INTEGER) AS frame_idx,
+             CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(
+                    substr(text, idx * {FRAME_BYTES} + 1, {FRAME_BYTES}), ''),
+                    c -> CAST(unicode(c) AS BIGINT))))
+                  % {ADLER_MOD} AS BIGINT) AS cs
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(ceil(length(text) / {FRAME_BYTES}.0)
+                 AS BIGINT))) AS idx
+        FROM documents WHERE length(text) > 0
+      )
+    ),
+    d AS (
+      SELECT doc_id, frame_idx, cs,
+             lag(cs) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+               AS prev_cs
+      FROM fr
+    )
+    SELECT doc_id, frame_idx,
+           prev_cs AS prev_checksum, cs AS frame_checksum,
+           CAST(abs(cs - prev_cs) AS BIGINT) AS delta
+    FROM d
+    WHERE prev_cs IS NOT NULL AND abs(cs - prev_cs) >= {SHOT_DELTA_MIN}
+    """,
+)
+def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over pseudo-video payloads: a Python
+    decode stage emits one feature per consecutive frame (mapInPandas,
+    partition-local), then the boundary analysis — lag over the per-asset
+    frame sequence, flag jumps >= {SHOT_DELTA_MIN} — runs JVM-side.  The
+    realistic split for 100 TB video pipelines: only the codec work needs
+    Python; the temporal analytics stay relational (one shuffle on the
+    asset id), so boundary logic composes with everything else
+    (sessionize-like windows, joins against transcripts) at no extra
+    Arrow crossings."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    fr = frame_features(
+        attach_binary_payload(docs.filter(F.length("text") > 0))
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    d = fr.select(
+        "doc_id",
+        "frame_idx",
+        F.lag("frame_checksum").over(w).alias("prev_checksum"),
+        "frame_checksum",
+    ).withColumn(
+        "delta",
+        F.abs(F.col("frame_checksum") - F.col("prev_checksum")),
+    )
+    return d.filter(
+        F.col("prev_checksum").isNotNull()
+        & (F.col("delta") >= SHOT_DELTA_MIN)
     )

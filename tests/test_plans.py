@@ -41,6 +41,7 @@ def test_idf_total_is_broadcast_not_shuffle(spark, sf_dir):
 PANDAS_QUERIES = {
     "ml_infer_batch", "ml_calibration_bins", "multimodal_byte_features",
     "multimodal_frame_sample", "multimodal_resize", "multimodal_embed_topk",
+    "multimodal_shot_boundaries",  # frame-feature decode stage
     "pipeline_global_rank",  # declared Arrow enumerate-sorted-partitions stage
     "q41_customer_rfm",  # three total_order_rank enumerate stages (no window)
 }
@@ -62,7 +63,7 @@ EAGER_QUERIES = {
     "similarity_stream_pq_codes", "events_stream_enrich",
     "sketch_stream_cms", "events_stream_scd2", "source_python_stream",
     "dedup_stream_ingest", "events_stream_funnel",
-    "events_stream_funnel_windowed",
+    "events_stream_funnel_windowed", "events_stream_pattern_alert",
     "ml_pca_power_iter",  # driver-loop iterate with bounded 64-row collects
     "pipeline_observed_metrics",  # Observation.get blocks on its action
     "graph_kcore_peel",  # driver-loop peeling with per-round checkpoints
