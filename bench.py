@@ -82,6 +82,10 @@ HEADLINE = [
     "dedup_chunks",
     "pipeline_mixture_sample",
     "similarity_kmeans_step",
+    # measured beside its single-step twin: isolated-warm cost is 2.6x the
+    # step (three assignment scans); at the session tail the same plan
+    # reads >2x higher from accumulated-state noise
+    "similarity_kmeans_iter3",
     "pipeline_pii_scrub",
     "dedup_exact",
     "multimodal_dedup_exact",
@@ -201,7 +205,6 @@ HEADLINE = [
     "graph_bfs_3hop",
     "events_pattern_search",
     "dedup_fuzzy_names",
-    "similarity_kmeans_iter3",
     "multimodal_shot_boundaries",
 ]
 
