@@ -63,7 +63,8 @@ AUC_POS_MAX_LABEL = 4  # labels 0-4 are the positive class (balanced)
     ),
     t AS (
       SELECT sum(npos) AS np, sum(nneg) AS nn,
-             sum(npos * cumneg) AS conc, sum(npos * nneg) AS tied
+             sum(CAST(npos AS HUGEINT) * cumneg) AS conc,
+             sum(CAST(npos AS HUGEINT) * nneg) AS tied
       FROM c
     )
     SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
@@ -124,18 +125,31 @@ def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.coalesce(F.sum("nneg").over(w_in), F.lit(0)),
         )
     )
+    # Exact accumulation: the per-row products npos*cumneg fit int64
+    # comfortably only at small scale — cumneg grows to n_neg, so cast
+    # each factor to DECIMAL(19,0) first (product -> DECIMAL(38,0)) and
+    # accumulate the sums in DECIMAL(38,0), mirroring DuckDB's HUGEINT
+    # promotion.  Headroom: at 1e14 rows np*nn ~ 2.5e27 and the numerator
+    # (2C+T)*5e5 ~ 2.5e33 — both far inside DECIMAL(38,0)'s 1e38 bound,
+    # so the mul-div below stays exact at any realistic scale.
+    d19 = "decimal(19,0)"
     t = c.agg(
-        F.sum("npos").alias("np"),
-        F.sum("nneg").alias("nn"),
-        F.sum(F.col("npos") * F.col("cumneg")).alias("conc"),
-        F.sum(F.col("npos") * F.col("nneg")).alias("tied"),
+        F.sum(F.col("npos").cast("decimal(38,0)")).alias("np"),
+        F.sum(F.col("nneg").cast("decimal(38,0)")).alias("nn"),
+        F.sum(F.col("npos").cast(d19) * F.col("cumneg").cast(d19)).alias(
+            "conc"
+        ),
+        F.sum(F.col("npos").cast(d19) * F.col("nneg").cast(d19)).alias(
+            "tied"
+        ),
     )
     return t.selectExpr(
         "CAST(np AS BIGINT) AS n_pos",
         "CAST(nn AS BIGINT) AS n_neg",
         "CAST(conc AS BIGINT) AS concordant",
         "CAST(tied AS BIGINT) AS tied",
-        "(2 * conc + tied) * 500000L div (np * nn) AS auc_micro",
+        "CAST((2 * conc + tied) * 500000 div (np * nn) AS BIGINT)"
+        " AS auc_micro",
     )
 
 
@@ -185,12 +199,16 @@ def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y"),
     )
+    # Per-row products fit int64 (x ~ 50, y ~ 1e8 -> x*y ~ 5e9), but the
+    # ACCUMULATION overflows int64 near 1.8e10 rows — so cast each
+    # product/term to DECIMAL(38,0) before F.sum, making the aggregation
+    # itself exact (DuckDB's sum already returns HUGEINT natively).
     s = pts.agg(
         F.count("*").cast("decimal(38,0)").alias("n"),
-        F.sum("x").cast("decimal(38,0)").alias("sx"),
-        F.sum("y").cast("decimal(38,0)").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
     )
     solve = s.selectExpr(
         "n",

@@ -1686,7 +1686,7 @@ _HOUR_US = 3_600_000_000
     "events_interval_overlap",
     oracle=f"""
     WITH g AS (
-      SELECT user_id, epoch_us(ts) AS us,
+      SELECT user_id, event_id, epoch_us(ts) AS us,
              CASE WHEN epoch_us(ts)
                     - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
                   THEN 1
@@ -1696,9 +1696,12 @@ _HOUR_US = 3_600_000_000
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     se AS (
+      -- running sum ordered by the SAME (us, event_id) total order that
+      -- computed new_session: duplicate per-user timestamps at a session
+      -- boundary would otherwise make sid assignment engine-arbitrary
       SELECT user_id, us,
              sum(new_session) OVER (
-               PARTITION BY user_id ORDER BY us
+               PARTITION BY user_id ORDER BY us, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM g
     ),
