@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -78,14 +79,14 @@ def extract_byte_features(payloads: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(buf)
+                b = np.frombuffer(bytes(buf), dtype=np.uint8)
                 rows.append(
                     (
                         doc_id,
-                        len(b),
-                        b[0] if b else -1,
-                        b[-1] if b else -1,
-                        sum(b) % ADLER_MOD,
+                        int(b.size),
+                        int(b[0]) if b.size else -1,
+                        int(b[-1]) if b.size else -1,
+                        int(b.sum(dtype=np.int64)) % ADLER_MOD,
                     )
                 )
             yield pd.DataFrame(
@@ -157,6 +158,20 @@ FRAME_SCHEMA = "doc_id LONG, frame_idx INT, frame_len INT, frame_checksum LONG"
 RESIZE_SCHEMA = "doc_id LONG, n_bytes_out LONG, resized_checksum LONG"
 
 
+def _frame_checksums(arr: "np.ndarray") -> "np.ndarray":
+    """Per-frame byte checksums (sum mod ADLER_MOD) of a uint8 buffer
+    split into FRAME_BYTES frames — zero-padded reshape + axis sum, so
+    the whole decode stand-in is one vectorized numpy pass (zero pad
+    bytes don't change sums; the real codec swaps this via
+    decode_media())."""
+    n_frames = -(-arr.size // FRAME_BYTES)
+    if n_frames == 0:
+        return np.empty(0, dtype=np.int64)
+    padded = np.zeros(n_frames * FRAME_BYTES, dtype=np.int64)
+    padded[: arr.size] = arr
+    return padded.reshape(n_frames, FRAME_BYTES).sum(axis=1) % ADLER_MOD
+
+
 def sample_frames(payloads: DataFrame) -> DataFrame:
     """Frame-sampling stage: treat each payload as a stream of
     FRAME_BYTES-sized frames and keep every SAMPLE_EVERY-th one — the
@@ -166,15 +181,30 @@ def sample_frames(payloads: DataFrame) -> DataFrame:
     arithmetic here keeps the whole stage oracle-checkable."""
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            ids, idxs, lens, sums = [], [], [], []
             for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(buf)
-                for idx in range(0, -(-len(b) // FRAME_BYTES), SAMPLE_EVERY):
-                    fr = b[idx * FRAME_BYTES:(idx + 1) * FRAME_BYTES]
-                    rows.append((doc_id, idx, len(fr), sum(fr) % ADLER_MOD))
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                cs = _frame_checksums(arr)
+                if not cs.size:
+                    continue
+                keep = np.arange(0, cs.size, SAMPLE_EVERY)
+                fl = np.full(cs.size, FRAME_BYTES, dtype=np.int32)
+                fl[-1] = arr.size - (cs.size - 1) * FRAME_BYTES
+                ids.append(np.full(keep.size, doc_id, dtype=np.int64))
+                idxs.append(keep.astype(np.int32))
+                lens.append(fl[keep])
+                sums.append(cs[keep])
             yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "frame_idx", "frame_len", "frame_checksum"],
+                {
+                    "doc_id": np.concatenate(ids) if ids else
+                    np.empty(0, dtype=np.int64),
+                    "frame_idx": np.concatenate(idxs) if ids else
+                    np.empty(0, dtype=np.int32),
+                    "frame_len": np.concatenate(lens) if ids else
+                    np.empty(0, dtype=np.int32),
+                    "frame_checksum": np.concatenate(sums) if ids else
+                    np.empty(0, dtype=np.int64),
+                }
             )
 
     return payloads.select("doc_id", "payload").mapInPandas(
@@ -190,8 +220,16 @@ def resize_payloads(payloads: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
-                small = bytes(buf)[::RESIZE_STRIDE]
-                rows.append((doc_id, len(small), sum(small) % ADLER_MOD))
+                small = np.frombuffer(bytes(buf), dtype=np.uint8)[
+                    ::RESIZE_STRIDE
+                ]
+                rows.append(
+                    (
+                        doc_id,
+                        int(small.size),
+                        int(small.sum(dtype=np.int64)) % ADLER_MOD,
+                    )
+                )
             yield pd.DataFrame(
                 rows, columns=["doc_id", "n_bytes_out", "resized_checksum"]
             )
@@ -483,24 +521,25 @@ def compute_phash(payloads: DataFrame) -> DataFrame:
     sign-bit arithmetic ever happens.  A real image pHash drops its DCT
     coefficients into the same threshold loop via decode_media()."""
 
+    # block sums via prefix-sum differences at the block boundaries —
+    # exact for empty blocks (boundary indices repeat -> difference 0),
+    # one vectorized pass per payload instead of 64 Python slice-sums
+    bounds_frac = np.arange(PHASH_BLOCKS + 1, dtype=np.int64)
+    weights_lo = 1 << np.arange(32, dtype=np.int64)
+
     def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(buf)
-                n = len(b)
-                total = sum(b)
-                lo = hi = 0
-                for blk in range(PHASH_BLOCKS):
-                    s = sum(
-                        b[(blk * n) // PHASH_BLOCKS:
-                          ((blk + 1) * n) // PHASH_BLOCKS]
-                    )
-                    if s * PHASH_BLOCKS > total:
-                        if blk < 32:
-                            lo |= 1 << blk
-                        else:
-                            hi |= 1 << (blk - 32)
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                n = arr.size
+                prefix = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(arr, dtype=np.int64, out=prefix[1:])
+                cuts = (bounds_frac * n) // PHASH_BLOCKS
+                s = prefix[cuts[1:]] - prefix[cuts[:-1]]
+                bits = s * PHASH_BLOCKS > prefix[n]
+                lo = int((bits[:32] * weights_lo).sum())
+                hi = int((bits[32:] * weights_lo).sum())
                 rows.append((doc_id, lo, hi))
             yield pd.DataFrame(rows, columns=["doc_id", "lo", "hi"])
 
@@ -601,14 +640,25 @@ def frame_features(payloads: DataFrame) -> DataFrame:
     swaps the byte checksum for a visual feature via decode_media()."""
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            ids, idxs, sums = [], [], []
             for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(buf)
-                for idx in range(-(-len(b) // FRAME_BYTES)):
-                    fr = b[idx * FRAME_BYTES:(idx + 1) * FRAME_BYTES]
-                    rows.append((doc_id, idx, sum(fr) % ADLER_MOD))
+                cs = _frame_checksums(
+                    np.frombuffer(bytes(buf), dtype=np.uint8)
+                )
+                if not cs.size:
+                    continue
+                ids.append(np.full(cs.size, doc_id, dtype=np.int64))
+                idxs.append(np.arange(cs.size, dtype=np.int32))
+                sums.append(cs)
             yield pd.DataFrame(
-                rows, columns=["doc_id", "frame_idx", "frame_checksum"]
+                {
+                    "doc_id": np.concatenate(ids) if ids else
+                    np.empty(0, dtype=np.int64),
+                    "frame_idx": np.concatenate(idxs) if ids else
+                    np.empty(0, dtype=np.int32),
+                    "frame_checksum": np.concatenate(sums) if ids else
+                    np.empty(0, dtype=np.int64),
+                }
             )
 
     return payloads.select("doc_id", "payload").mapInPandas(

@@ -943,12 +943,28 @@ _PQ_ORACLES["similarity_rerank_recall"] = f"""
 # --------------------------------------------------------------------------
 
 
+# kNN-classify label derivation: the stored `label` column of the
+# synthetic embeddings carries NO geometric signal (kNN accuracy on it is
+# exactly chance, useless as a quality tracker), so the classifier target
+# is DERIVED from the geometry itself: label = argmax of the first
+# KNN_LABEL_DIMS components (ties -> lowest index; pure comparisons on
+# identical float32 values, so bit-reproducible cross-engine).  Cosine
+# neighbors share dominant components, so measured accuracy sits ~2.8x
+# above the 1/8 chance line (0.35 vs 0.125 at sf0.1) — real drift in the
+# neighbor pipeline now moves the tracked metric.
+KNN_LABEL_DIMS = 8
+
+
 @query(
     "similarity_knn_classify",
     oracle=f"""
     WITH {_SQL_EXACT_TOPK_CTES},
     labs AS (
-      SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+      SELECT vec_id,
+             CAST(list_position(embedding[1:{KNN_LABEL_DIMS}],
+                  list_max(embedding[1:{KNN_LABEL_DIMS}])) - 1 AS BIGINT)
+               AS label
+      FROM embeddings
     ),
     votes AS (
       SELECT ext.vec_id, labs.label AS nlabel,
@@ -975,12 +991,15 @@ _PQ_ORACLES["similarity_rerank_recall"] = f"""
     """,
 )
 def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN label-vote classifier: predict each sampled vector's label as
-    the majority label of its exact top-{PQ_NN_K} cosine neighbors (ties
-    to the lowest label), and report leave-self-out accuracy — the
-    weak-labeling primitive (propagate labels from a labeled corpus to
-    unlabeled data through embedding neighbors) with its own quality
-    gate.
+    """kNN label-vote classifier: predict each sampled vector's
+    geometry-derived label (argmax of the first {KNN_LABEL_DIMS}
+    embedding components — see KNN_LABEL_DIMS above for why the stored
+    label column is unusable) as the majority label of its exact
+    top-{PQ_NN_K} cosine neighbors (ties to the lowest label), and
+    report leave-self-out accuracy — the weak-labeling primitive
+    (propagate labels from a labeled corpus to unlabeled data through
+    embedding neighbors) with a quality gate that actually tracks
+    neighbor quality: expected ~0.35 at sf0.1 vs the 0.125 chance line.
 
     Scale shape: the neighbor lists come from the session-cached exact
     ground truth (|sample| x k rows — in production, from the served ANN
@@ -990,8 +1009,12 @@ def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_text_classification_spark.functions.text import round_half_up
 
     ext = _exact_topk_ground_truth(spark, sf_dir)
+    sl = F.slice("embedding", 1, KNN_LABEL_DIMS)
     labs = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("label").cast("long").alias("label")
+        "vec_id",
+        (F.array_position(sl, F.array_max(sl)) - 1)
+        .cast("long")
+        .alias("label"),
     )
     votes = (
         ext.join(
