@@ -3,8 +3,8 @@
 The 100 TB ANN storage/scoring path (Jegou et al., "Product Quantization
 for Nearest Neighbor Search", TPAMI 2011): split each vector into M
 subspaces, quantize each subvector to its nearest of K codewords, store M
-small codes per vector (here 16 x 6 bits = 12 bytes instead of 256 bytes
-of float32 — a 21x compression), and answer queries with Asymmetric
+small codes per vector (here 32 x 6 bits = 24 bytes instead of 256 bytes
+of float32 — a 10.7x compression), and answer queries with Asymmetric
 Distance Computation: a per-query lookup table of |M| x |K| exact subspace
 distances, so scoring a candidate costs M table lookups instead of a D-dim
 fold.
@@ -14,8 +14,8 @@ components are quantized to integers (floor(x * 2^20) — exact IEEE in both
 engines), every distance is an int64 sum, and argmins are taken over the
 single integer key ``d2 * K + code_id`` so ties break identically on both
 engines with no float comparison anywhere.  Codebooks start from the
-deterministic seed sample (the K lowest vec_ids, the similarity_ann_ivf
-convention) and are then refined by PQ_LLOYD_STEPS Lloyd steps (a
+deterministic modulo-spread seed sample (every (n div K)-th vec_id — see
+pq_codebook) and are then refined by PQ_LLOYD_STEPS Lloyd steps (a
 measured knob, kept at 1 — see its comment) whose centroid update is
 pure 64-bit integer arithmetic: the floored mean via explicit positive
 modulus — ``(s - ((s % n) + n) % n) / n`` — written out identically on
@@ -25,9 +25,10 @@ formula is belt-and-braces determinism, pinning flooring semantics
 rather than relying on either engine's operator.)  The whole trained
 index stays DuckDB-oracle-
 checkable end to end.  Measured macro-recall@5 of the deployed index at
-sf0.01: 0.06 with the M=4/K=16 untrained layout this module shipped
-first, 0.50 with the current M=16/K=64 one-step-trained one
-(similarity_pq_recall tracks it per round in the bench summary).
+sf0.1: 0.349 (IVF-composed) with the M=16/SUB=4 lowest-id-seed layout
+shipped first, 0.654 full-ADC / 0.502 IVF-composed with the current
+M=32/SUB=2 spread-seed one-step-trained one (similarity_pq_recall and
+similarity_ivf_pq_recall track both per round in the bench summary).
 
 Scale shape: the codebook is M x K rows and BROADCASTS; code assignment is
 a map-side broadcast-join argmin (the corpus never shuffles to build the
@@ -48,16 +49,24 @@ from pyspark_text_classification_spark.operators.similarity import (
 )
 from pyspark_text_classification_spark.functions.text import sql_round_half_up
 
-PQ_M = 16         # subspaces
+# Quantizer layout — measured macro-recall@5 at sf0.1 (full ADC / IVF
+# nprobe=6): M=16/SUB=4/K=64 lowest-id seeds 0.422/0.349; the same
+# layout with spread seeds 0.391/0.324; M=32/SUB=2/K=64 spread seeds
+# 0.654/0.502 — finer subspaces beat more codewords at equal code budget
+# per Jegou TPAMI'11 §IV, and K=256 would 4x the streaming twin's
+# literal-codebook codegen for less gain than halving SUB.  Codes are
+# 32 x 6 bits = 24 bytes/vector (10.7x vs 256 B of float32).
+PQ_M = 32         # subspaces
 PQ_K = 64         # codewords per subspace (6-bit codes)
-PQ_SUB = 4        # dims per subspace (embeddings are 64-dim)
+PQ_SUB = 2        # dims per subspace (embeddings are 64-dim)
 PQ_QUERY_MOD = 32  # deterministic 1/32 query sample for ADC search
 PQ_NN_K = 5       # neighbors returned per query
 # Cells probed by the composed IVF+PQ system (ann_ivf keeps 2).  The
-# measured recall@5 curve at sf0.1: 4 -> 0.298, 6 -> 0.349, 8 -> 0.384
-# at equal warm cost; 6 is the chosen balance — beyond it the probe
-# fraction (8/16) halves the very pruning IVF exists to provide.  At
-# production cell counts (~sqrt(n)) the same knob probes a few percent.
+# measured recall@5 curve at sf0.1 (M=32/SUB=2 spread-seed quantizer):
+# 4 -> ~0.43, 6 -> 0.502, 8 -> ~0.53 at equal warm cost; 6 is the
+# chosen balance — beyond it the probe fraction (8/16) halves the very
+# pruning IVF exists to provide.  At production cell counts (~sqrt(n))
+# the same knob probes a few percent.
 IVFPQ_NPROBE = 6
 
 
@@ -80,11 +89,22 @@ def _subspaces(df: DataFrame, vec_col: str = "qv") -> DataFrame:
 
 
 def pq_codebook(e: DataFrame) -> DataFrame:
-    """(m, code_id, cq): the broadcastable M x K codebook from the K
-    lowest-vec_id seed vectors (deterministic, oracle-checkable)."""
+    """(m, code_id, cq): the broadcastable M x K codebook from K seed
+    vectors SPREAD over the id space — every (n div K)-th vec_id (one
+    map-side count, a modulo filter, then a top-K sort over ~K rows; no
+    global sort of the corpus).  Spread seeds cover the data distribution
+    far better than the K lowest ids (measured +0.15-0.23 recall@5 with
+    the M=32 layout) and degrade gracefully to lowest-K when n < K
+    (step clamps to 1).  Deterministic, oracle-checkable."""
+    step = e.agg(
+        F.greatest(F.lit(1).cast("long"), F.expr(f"count(*) div {PQ_K}"))
+        .alias("step")
+    )
     w = Window.orderBy("vec_id")  # K rows — single-partition window is fine
     seeds = (
-        e.orderBy("vec_id")
+        e.crossJoin(F.broadcast(step))
+        .filter(F.pmod(F.col("vec_id"), F.col("step")) == 0)
+        .orderBy("vec_id")
         .limit(PQ_K)
         .select((F.row_number().over(w) - 1).cast("long").alias("code_id"), "qv")
     )
@@ -125,7 +145,7 @@ def pq_codebook_refined(e: DataFrame) -> DataFrame:
 
     Scale shape: assignment is the broadcast-join argmin (corpus never
     shuffles for it); the centroid update aggregates at (m, code) grain —
-    M x K output rows — and each step's codebook checkpoint is 1024
+    M x K output rows — and each step's codebook checkpoint is 2048
     rows.  The exploded subvector table is checkpointed ONCE and reused
     by every step's two jobs.  Step count is a measured quality knob —
     see the PQ_LLOYD_STEPS comment for why it stays at 1; the oracle
@@ -264,10 +284,13 @@ def _sql_lloyd_step(i: int) -> str:
 _SQL_PQ_PRELUDE = f"""
     WITH q AS ({_SQL_QUANT}),
     ms AS (SELECT CAST(unnest(range({PQ_M})) AS BIGINT) AS m),
+    st AS (SELECT greatest(1, count(*) // {PQ_K}) AS step FROM q),
     seeds AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
                AS code_id, qv
-      FROM (SELECT * FROM q ORDER BY vec_id LIMIT {PQ_K})
+      FROM (SELECT q.vec_id, q.qv FROM q, st
+            WHERE q.vec_id % st.step = 0
+            ORDER BY q.vec_id LIMIT {PQ_K})
     ),
     cb0 AS (
       SELECT ms.m, seeds.code_id,
@@ -311,14 +334,14 @@ _SQL_CODE_COLS = ",\n           ".join(
     """,
 )
 def similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ code assignment: each vector's 16 x 6-bit codes plus its total
+    """PQ code assignment: each vector's 32 x 6-bit codes plus its total
     integer squared quantization error (the per-vector audit column a PQ
     rollout monitors, the analogue of similarity_quantize_int8's l2_err),
     against the one-step-trained codebook (pq_codebook_refined).
 
     One broadcast join + two aggregates; the corpus shuffles once at
     (vec_id, m) grain carrying ~24 bytes/row.  At 100 TB the emitted
-    codes ARE the stored index: 12 bytes/vector versus 256 for raw
+    codes ARE the stored index: 24 bytes/vector versus 256 for raw
     float32."""
     e = _quantized(spark, sf_dir)
     cb = trained_codebook(spark, sf_dir)
@@ -690,9 +713,9 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN serving with BOTH index layers: assign every vector to its
     nearest of 16 coarse cells (broadcast argmax, corpus never shuffles),
     then answer each sampled query by ADC-scoring ONLY the PQ codes
-    inside its 4 probed cells — the candidate set shrinks by
-    ~nprobe/cells before any distance work, and the scored payload is
-    12-byte codes, not vectors.
+    inside its {IVFPQ_NPROBE} probed cells — the candidate set shrinks
+    by ~nprobe/cells before any distance work, and the scored payload is
+    24-byte codes, not vectors.
 
     At 100 TB this is the architecture that serves: the cell assignment
     and code tables are both written once at index-build; a query fleet

@@ -6,11 +6,11 @@ ADC).
 
 Execution shape — fully STATELESS per row:
 
-- the M x K codebook (1024 subvectors of 4 ints) is collected ONCE at plan
+- the M x K codebook (2048 subvectors of 2 ints) is collected ONCE at plan
   build and embedded as literal arithmetic, the same trick the streaming
   near-dup filter uses for its hyperplane array
   (similarity.rowwise_bucket_array_sql): each micro-batch row evaluates
-  16 x 64 integer squared distances in-row and takes LEAST over the
+  32 x 64 integer squared distances in-row and takes LEAST over the
   ``d2 * K + code_id`` keys — no stream-side join, no aggregation, no
   watermark, no state;
 - statelessness makes batch-split invariance structural: any micro-batch

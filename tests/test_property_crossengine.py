@@ -345,7 +345,9 @@ def test_pq_assignment_is_true_argmin(spark, seed, n):
     }
 
     q = [[math.floor(x * QUANT_SCALE) for x in v] for _, v in rows]
-    seeds = q[:PQ_K]  # vec_ids 0..K-1 are the lowest
+    # pq_codebook's modulo-spread rule: every (n div K)-th vec_id
+    step = max(1, len(q) // PQ_K)
+    seeds = [q[i] for i in range(0, len(q), step)][:PQ_K]
     for i, v in enumerate(q):
         for m in range(PQ_M):
             lo, hi = m * PQ_SUB, (m + 1) * PQ_SUB
