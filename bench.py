@@ -209,6 +209,36 @@ HEADLINE = [
 ]
 
 
+# Frozen 50-query comparison core: the headline total's n_queries moves
+# every round as operators land, so round-over-round deltas on it need
+# per-query archaeology.  This list is FROZEN as of round 5 — never add
+# to or remove from it; every member has been in the headline set since
+# at least round 4, spanning every operator family.  The compact summary
+# line reports their total as ``core50_total`` so cross-round perf
+# comparison is a single-number diff.
+CORE_50 = [
+    "q01_scan_project", "q09_group_count_2keys", "q11_topk_orders",
+    "q19_broadcast_dim_join", "q20_fact_fact_join", "q22_rollup",
+    "q25_window_analytics", "q29_grouping_sets", "q33_pricing_summary",
+    "q41_customer_rfm",
+    "text_quality", "text_langid", "text_entropy", "text_fingerprint",
+    "text_token_counts", "text_collocations_pmi", "text_zipf_fit",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_chunks",
+    "dedup_report", "dedup_bloom_filter",
+    "similarity_ann_lsh", "similarity_ann_ivf", "similarity_near_dup",
+    "similarity_search_topk", "similarity_kmeans_step",
+    "similarity_quantize_int8", "similarity_pq_codes",
+    "similarity_pq_adc_topk", "similarity_ivf_pq",
+    "events_sessionize", "events_asof_join", "events_range_join",
+    "events_funnel", "events_cohort_retention", "events_user_window",
+    "events_ohlc_hourly", "events_gap_fill",
+    "pipeline_hash_split", "pipeline_pack_chunks", "pipeline_global_rank",
+    "pipeline_decontaminate", "pipeline_full_prep", "pipeline_pii_scrub",
+    "ml_infer_batch", "ml_tfidf_matrix", "ml_kfold_assign",
+    "multimodal_embed_topk",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session(app_name="bench")
@@ -250,6 +280,9 @@ def main() -> None:
         if t > 0.3:
             timings[name] = round(min(t, run_once(name)), 4)
     total = round(sum(timings.values()), 4)
+    core50_total = round(
+        sum(timings[n] for n in CORE_50 if n in timings), 4
+    )
 
     sf_raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf = float(sf_raw) if sf_raw.replace(".", "").isdigit() else sf_raw
@@ -299,6 +332,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n_queries": len(timings),
+                "core50_total": core50_total,
                 "ann_macro_recall": ann_recall,
                 "pq_macro_recall": pq_recall,
                 "ivf_pq_macro_recall": ivf_pq_recall,

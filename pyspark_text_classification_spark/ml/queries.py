@@ -90,9 +90,14 @@ def ml_infer_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ml_tfidf_lr_metrics")
 def ml_tfidf_lr_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1/M2/M3/M4 end to end: the sst2 recipe (tokenize -> stopwords ->
-    CountVectorizer -> IDF -> LR) trained on documents with label =
-    (lang = 'en'), evaluated distributed. Rows-only check (iterative
-    L-BFGS fit is not oracle-hashable); tolerance-tested in tests/test_ml.py."""
+    CountVectorizer -> IDF -> LR(maxIter=10)) trained on documents with
+    label = (lang = 'en'), evaluated distributed. Rows-only check by
+    design (the iterative L-BFGS fit is not oracle-hashable); the audit
+    bound lives in tests/test_ml.py::test_sst2_recipe_learns_signal —
+    the identical recipe on a deterministic 120-row lexical-signal
+    fixture (no RNG: rows are index-constructed) must reach
+    accuracy >= 0.95 AND auc >= 0.95, so a broken featurize/fit/metric
+    stage fails the suite even though this query's values can't hash."""
     labeled = _labeled_documents(spark, sf_dir)
     model = fit_text_classifier(labeled, recipe="sst2")
     preds = model.transform(labeled)
@@ -106,8 +111,12 @@ def ml_tfidf_lr_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ml_topk_coefficients")
 def ml_topk_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 distributed top-k LR coefficients with vocab terms (replaces the
-    driver-side np.argsort at sst2_test2.py:148-161). Rows-only (depends
-    on the fitted model)."""
+    driver-side np.argsort at sst2_test2.py:148-161). Rows-only check by
+    design (values depend on the fitted model); the audit bound lives in
+    tests/test_ml.py::test_topk_coefficients_shape — exactly 2k rows, the
+    positive-direction coefficients strictly sorted descending and the
+    negative ones ascending, so ordering/sign/limit defects fail the
+    suite even though the coefficient values can't hash."""
     labeled = _labeled_documents(spark, sf_dir)
     model = fit_text_classifier(labeled, recipe="sst2")
     vocab = model.stages[2].vocabulary
@@ -474,9 +483,13 @@ def ml_infer_exported(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf-idf), export vocab/idf/coefficients to plain data
     (ml/inference.export_lr_scorer), and serve it through the same
     mapInPandas worker-singleton lifecycle the stub queries exercise —
-    the exported scorer reproduces model.transform() to 1e-9
-    (tests/test_ml.py::test_exported_scorer_matches_mllib_transform).
-    Rows-only check (iterative L-BFGS fit is not oracle-hashable)."""
+    the exported scorer reproduces model.transform() within an absolute
+    confidence tolerance of 1e-9 per document, with predicted labels
+    exactly equal whenever p1 is not within 1e-9 of the 0.5 decision
+    boundary (tests/test_ml.py::test_exported_scorer_matches_mllib_transform,
+    run over the full sf documents table).  Rows-only check by design
+    (the iterative L-BFGS fit is not oracle-hashable); that test IS the
+    audit bound for this query's serving path."""
     from pyspark_text_classification_spark.ml.inference import (
         ExportedScorerFactory,
         batch_infer,
