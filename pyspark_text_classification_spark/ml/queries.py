@@ -952,3 +952,202 @@ def ml_chi2_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= CHI2_TOP_K)
     )
+
+
+# --- decision stump: exact best single split in integer arithmetic ----------
+STUMP_BUCKET_W = 50  # n_chars bucket width — bounds the candidate set
+
+
+@query(
+    "ml_decision_stump",
+    oracle=f"""
+    WITH b AS (
+      SELECT n_chars // {STUMP_BUCKET_W} AS v,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS p,
+             CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+               AS q
+      FROM documents GROUP BY 1
+    ),
+    pre AS (
+      SELECT v,
+             sum(p) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS lp,
+             sum(q) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS ln
+      FROM b
+    ),
+    tot AS (SELECT CAST(sum(p) AS BIGINT) AS tp,
+                   CAST(sum(q) AS BIGINT) AS tn FROM b),
+    cand AS (
+      SELECT v, lp, ln, tot.tp - lp AS rp, tot.tn - ln AS rn
+      FROM pre, tot
+      WHERE tot.tp - lp + tot.tn - ln > 0
+    ),
+    scored AS (
+      SELECT v, lp, ln, rp, rn,
+             (2 * lp * ln * 1000000) // (lp + ln)
+               + (2 * rp * rn * 1000000) // (rp + rn) AS score
+      FROM cand
+    )
+    SELECT CAST(v * {STUMP_BUCKET_W} AS BIGINT) AS threshold_chars,
+           CAST(score AS BIGINT) AS gini_sum_micro,
+           lp AS left_pos, ln AS left_neg, rp AS right_pos, rn AS right_neg
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY score, v) AS rk FROM scored
+    ) WHERE rk = 1
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact best decision stump (one-level tree) predicting lang='en'
+    from document length: candidate thresholds are the {STUMP_BUCKET_W}-
+    char buckets; for each, the split cost is the size-weighted Gini sum
+    2*p*n/s per side in integer micro-units (cross-engine exact — the
+    only division is one integer div per side), argmin with ties to the
+    smallest threshold.
+
+    The CART-primitive shape at 100 TB: ONE pass aggregates the corpus
+    to the bounded (bucket, class) grain; the prefix sums, total join
+    and argmin all run on that tiny aggregate (windows over ~a dozen
+    rows), so split search cost is the scan, not the search — exactly
+    how distributed tree learners (PLANET, XGBoost-on-Spark histograms)
+    evaluate splits."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.groupBy(
+        F.expr(f"n_chars div {STUMP_BUCKET_W}").alias("v")
+    ).agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("p"),
+        F.sum(F.when(F.col("lang") == "en", 0).otherwise(1))
+        .cast("long")
+        .alias("q"),
+    )
+    w_pre = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = b.select(
+        "v",
+        F.sum("p").over(w_pre).alias("lp"),
+        F.sum("q").over(w_pre).alias("ln"),
+    )
+    tot = b.agg(
+        F.sum("p").cast("long").alias("tp"),
+        F.sum("q").cast("long").alias("tn"),
+    )
+    cand = (
+        pre.crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            "lp",
+            "ln",
+            (F.col("tp") - F.col("lp")).alias("rp"),
+            (F.col("tn") - F.col("ln")).alias("rn"),
+        )
+        .filter(F.col("rp") + F.col("rn") > 0)
+    )
+    scored = cand.withColumn(
+        "score",
+        F.expr(
+            "(2 * lp * ln * 1000000) div (lp + ln)"
+            " + (2 * rp * rn * 1000000) div (rp + rn)"
+        ),
+    )
+    w_min = Window.orderBy("score", "v")
+    return (
+        scored.withColumn("rk", F.row_number().over(w_min))
+        .filter(F.col("rk") == 1)
+        .select(
+            (F.col("v") * STUMP_BUCKET_W).cast("long").alias("threshold_chars"),
+            F.col("score").cast("long").alias("gini_sum_micro"),
+            F.col("lp").alias("left_pos"),
+            F.col("ln").alias("left_neg"),
+            F.col("rp").alias("right_pos"),
+            F.col("rn").alias("right_neg"),
+        )
+    )
+
+
+# --- closed-form 2-feature ridge regression in exact decimals ---------------
+RIDGE_LAMBDA = 10_000  # L2 penalty on the integer-unit features
+
+
+@query(
+    "ml_ridge_2feat",
+    oracle=f"""
+    WITH pts AS (
+      SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS x1,
+             CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS x2,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x1 * x1) AS HUGEINT) AS s11,
+             CAST(sum(x1 * x2) AS HUGEINT) AS s12,
+             CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+             CAST(sum(x1 * y) AS HUGEINT) AS s1y,
+             CAST(sum(x2 * y) AS HUGEINT) AS s2y
+      FROM pts
+    ),
+    solve AS (
+      SELECT n, s1y, s2y,
+             (s11 + {RIDGE_LAMBDA}) * (s22 + {RIDGE_LAMBDA}) - s12 * s12
+               AS det,
+             s1y * (s22 + {RIDGE_LAMBDA}) - s12 * s2y AS num1,
+             (s11 + {RIDGE_LAMBDA}) * s2y - s12 * s1y AS num2
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(num1 * 1000000 // det AS BIGINT) AS beta1_micro,
+           CAST(num2 * 1000000 // det AS BIGINT) AS beta2_micro
+    FROM solve
+    """,
+)
+def ml_ridge_2feat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression (no intercept, lambda =
+    {RIDGE_LAMBDA}) of price-in-cents on (quantity, discount-in-
+    percent-points): beta = (X'X + lambda I)^-1 X'y solved by Cramer's
+    rule on the 2x2 normal matrix.  Every sufficient statistic is a
+    DECIMAL(38,0) (HUGEINT) sum — the per-row products fit int64 but
+    their ACCUMULATION doesn't past ~1e10 rows — and the solve is three
+    exact decimal products plus one integer div, so both coefficients
+    are bit-reproducible.  Headroom: at 1e12 rows s1y ~ 5e20 and
+    num1 ~ s1y*s22 ~ 5e36*1e6... the 1e6 scale is applied AFTER the
+    subtraction, keeping the largest intermediate num1*1e6 ~ 3e28 at
+    bench scale and < 1e37 at 1e12 rows — inside DECIMAL(38,0).
+
+    The one-pass-fit shape at 100 TB: like ml_linreg_normal_eq, the
+    whole regression is ONE map-side-combined aggregate (6 integer
+    sums) and a 1-row solve — no iteration, no collect; d features
+    generalize to d(d+3)/2 sums and a broadcast d x d solve."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("x2"),
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum((F.col("x1") * F.col("x1")).cast("decimal(38,0)")).alias("s11"),
+        F.sum((F.col("x1") * F.col("x2")).cast("decimal(38,0)")).alias("s12"),
+        F.sum((F.col("x2") * F.col("x2")).cast("decimal(38,0)")).alias("s22"),
+        F.sum((F.col("x1") * F.col("y")).cast("decimal(38,0)")).alias("s1y"),
+        F.sum((F.col("x2") * F.col("y")).cast("decimal(38,0)")).alias("s2y"),
+    )
+    solve = s.selectExpr(
+        "n",
+        f"(s11 + {RIDGE_LAMBDA}) * (s22 + {RIDGE_LAMBDA}) - s12 * s12"
+        " AS det",
+        f"s1y * (s22 + {RIDGE_LAMBDA}) - s12 * s2y AS num1",
+        f"(s11 + {RIDGE_LAMBDA}) * s2y - s12 * s1y AS num2",
+    )
+    return solve.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "CAST(num1 * 1000000 div det AS BIGINT) AS beta1_micro",
+        "CAST(num2 * 1000000 div det AS BIGINT) AS beta2_micro",
+    )

@@ -44,7 +44,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_text_classification_spark.plans.shared import shared_intermediate
@@ -851,3 +851,251 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         reached = reached.unionByName(new).localCheckpoint(eager=True)
         frontier = new.select("node")
     return reached
+
+
+# ---------------------------------------------------------------------------
+# Connected components / HITS / label propagation — the remaining classic
+# iterative-graph primitives, each expressed as the relational Pregel
+# superstep with the recurrence unrolled in the oracle.
+# ---------------------------------------------------------------------------
+
+# The full bipartite graph is one giant component (every supplier serves
+# many customers), so component structure only appears on the REPEAT-
+# relationship subgraph: keep (c, s) edges observed in >= CC_MIN_ORDERS
+# distinct orders.  At sf0.01 this yields ~19 components after 4 rounds —
+# a real partition of the graph, not a trivial singleton.
+CC_MIN_ORDERS = 3
+CC_ROUNDS = 4
+
+_SQL_REPEAT_EDGES = f"""
+      SELECT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT o.o_orderkey) >= {CC_MIN_ORDERS}
+"""
+
+
+def _repeat_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (c, s) pairs with >= {CC_MIN_ORDERS} distinct orders —
+    the sparsified relationship graph.  Session-cached: bounded by the
+    full edge list, shared by the CC and label-propagation operators."""
+    def build() -> DataFrame:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"
+        )
+        return (
+            orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .groupBy(
+                F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+            )
+            .agg(F.count_distinct("o_orderkey").alias("k"))
+            .filter(F.col("k") >= CC_MIN_ORDERS)
+            .select("c", "s")
+        )
+
+    return shared_intermediate(spark, sf_dir, "graph_repeat_edges", build)
+
+
+def _sym_nodes_edges(e0: DataFrame):
+    """Symmetrized disjoint-encoded edges + distinct node set."""
+    edges = (
+        e0.select(
+            (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
+        )
+        .unionByName(
+            e0.select(
+                (F.col("s") * 2 + 1).alias("src"),
+                (F.col("c") * 2).alias("dst"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select("src").distinct().select(F.col("src").alias("node"))
+    return edges, nodes
+
+
+def _sql_cc_step(prev: str) -> str:
+    return f"""
+      SELECT n.node, least(n.lab, COALESCE(m.minlab, n.lab)) AS lab
+      FROM {prev} n LEFT JOIN (
+        SELECT e.dst AS node, min({prev}.lab) AS minlab
+        FROM edges e JOIN {prev} ON e.src = {prev}.node
+        GROUP BY 1
+      ) m USING (node)
+    """
+
+
+@query(
+    "graph_connected_components",
+    oracle=f"""
+    WITH e0 AS ({_SQL_REPEAT_EDGES}),
+    edges AS (SELECT c * 2 AS src, s * 2 + 1 AS dst FROM e0
+              UNION ALL SELECT s * 2 + 1, c * 2 FROM e0),
+    l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
+    {', '.join(
+        f'l{i + 1} AS ({_sql_cc_step(f"l{i}")})' for i in range(CC_ROUNDS)
+    )}
+    SELECT CAST(lab AS BIGINT) AS component,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM l{CC_ROUNDS} GROUP BY 1
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the repeat-relationship graph by
+    {CC_ROUNDS} bounded rounds of min-label propagation (label = node
+    id, each round every node takes the min of its own and its
+    neighbors' labels), reported as the component-size histogram.  The
+    round count is a FIXED trajectory bound, the kcore_peel convention:
+    both engines run exactly {CC_ROUNDS} rounds, so the output is
+    deterministic whether or not the diameter has been exhausted (label
+    counts then upper-bound the true component count).
+
+    At 100 TB this is the standard hash-join Pregel CC: each round is
+    one src-side join against the persisted label table plus a dst-side
+    min-aggregate, lineage truncated per round by eager localCheckpoint
+    — the two-star variant in dedup_clusters converges in fewer rounds
+    but shuffles star edges; this one reuses one partitioning end to
+    end (doubling rounds, halving data movement per round)."""
+    e0 = _repeat_edges(spark, sf_dir)
+    edges, nodes = _sym_nodes_edges(e0)
+    labels = nodes.select("node", F.col("node").alias("lab")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(CC_ROUNDS):
+        neigh_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lab").alias("minlab"))
+        )
+        labels = (
+            labels.join(neigh_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("minlab"), F.col("lab"))
+                ).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.groupBy(F.col("lab").alias("component")).agg(
+        F.count("*").cast("long").alias("n_nodes")
+    ).select(F.col("component").cast("long"), "n_nodes")
+
+
+HITS_TOP_K = 20
+
+
+@query(
+    "graph_hits_step",
+    oracle=f"""
+    WITH e AS ({_SQL_EDGES}),
+    auth AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS auth
+      FROM e GROUP BY 1
+    ),
+    hub AS (
+      SELECT e.c, CAST(sum(auth.auth) AS BIGINT) AS hub,
+             CAST(count(*) AS BIGINT) AS degree
+      FROM e JOIN auth ON e.s = auth.s
+      GROUP BY 1
+    )
+    SELECT c AS customer, degree, hub
+    FROM hub
+    ORDER BY hub DESC, customer
+    LIMIT {HITS_TOP_K}
+    """,
+)
+def graph_hits_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One HITS iteration (Kleinberg 1999) on the DIRECTED bipartite
+    customer -> supplier graph from the uniform start: authority(s) =
+    sum of hub scores over in-edges = in-degree after step one, then
+    hub(c) = sum of authority over c's suppliers — the top-{HITS_TOP_K}
+    hub customers are the ones buying from the most-bought-from
+    suppliers.  Scores stay RAW integer sums: HITS's usual L2
+    normalization only rescales (ranking-invariant) and would drag a
+    sqrt into the cross-engine contract for nothing.
+
+    Scale: two integer aggregates and one join on the supplier key
+    (bounded by the supplier dimension, broadcast-able); the top-k is
+    TakeOrdered on the customer aggregate, never a global sort.  Full
+    HITS is this dataflow looped with the two score tables checkpointed
+    per round, exactly the pagerank_iter3 pattern."""
+    e = _bipartite_edges(spark, sf_dir)
+    auth = e.groupBy("s").agg(F.count("*").cast("long").alias("auth"))
+    hub = (
+        e.join(F.broadcast(auth), "s")
+        .groupBy(F.col("c").alias("customer"))
+        .agg(
+            F.count("*").cast("long").alias("degree"),
+            F.sum("auth").cast("long").alias("hub"),
+        )
+    )
+    return (
+        hub.orderBy(F.col("hub").desc(), "customer")
+        .limit(HITS_TOP_K)
+        .select("customer", "degree", "hub")
+    )
+
+
+LPA_SEED_COLORS = 16  # initial community colors (node id mod 16)
+
+
+@query(
+    "graph_label_prop_step",
+    oracle=f"""
+    WITH e0 AS ({_SQL_REPEAT_EDGES}),
+    edges AS (SELECT c * 2 AS src, s * 2 + 1 AS dst FROM e0
+              UNION ALL SELECT s * 2 + 1, c * 2 FROM e0),
+    l0 AS (SELECT DISTINCT src AS node, src % {LPA_SEED_COLORS} AS lab
+           FROM edges),
+    votes AS (
+      SELECT e.dst AS node, l0.lab, CAST(count(*) AS BIGINT) AS cnt
+      FROM edges e JOIN l0 ON e.src = l0.node
+      GROUP BY 1, 2
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(lab AS BIGINT) AS new_label
+    FROM (
+      SELECT node, lab,
+             row_number() OVER (
+               PARTITION BY node ORDER BY cnt DESC, lab
+             ) AS rn
+      FROM votes
+    ) WHERE rn = 1
+    """,
+)
+def graph_label_prop_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One label-propagation step (Raghavan et al. 2007) for community
+    detection on the repeat-relationship graph, seeded with
+    {LPA_SEED_COLORS} hash colors (node id mod {LPA_SEED_COLORS} — with
+    identity seeds every vote count is 1 and the mode degenerates to
+    min-neighbor-id, i.e. connected components): each node adopts the
+    most frequent label among its neighbors, ties to the smallest label.
+
+    Scale: one src-side join against the label table, a (node, label)
+    vote aggregate, and a per-node argmax window whose partition is
+    bounded by the color count — the LPA superstep; full LPA loops this
+    with per-round checkpoints like pagerank_iter3."""
+    e0 = _repeat_edges(spark, sf_dir)
+    edges, nodes = _sym_nodes_edges(e0)
+    l0 = nodes.select(
+        "node", (F.col("node") % LPA_SEED_COLORS).alias("lab")
+    )
+    votes = (
+        edges.join(l0, edges.src == l0.node)
+        .groupBy(F.col("dst").alias("node"), "lab")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), "lab")
+    return (
+        votes.select(
+            "node", "lab", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("node").cast("long"),
+            F.col("lab").cast("long").alias("new_label"),
+        )
+    )

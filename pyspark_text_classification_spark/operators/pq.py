@@ -1068,3 +1068,73 @@ def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("accuracy"),
     )
+
+
+# kNN regression target: the first embedding component in integer micro
+# units — like the classifier's derived label, a geometry-correlated
+# target (neighbors share dominant components), so the tracked MAE sits
+# well below the blind-guess baseline and detects neighbor-quality drift.
+KNN_REG_SCALE = 1_000_000
+
+
+@query(
+    "similarity_knn_regression",
+    oracle=f"""
+    WITH {_SQL_EXACT_TOPK_CTES},
+    tgt AS (
+      SELECT vec_id,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * {KNN_REG_SCALE})
+                  AS BIGINT) AS t
+      FROM embeddings
+    ),
+    pred AS (
+      SELECT ext.vec_id,
+             CAST(sum(nt.t) AS BIGINT) // {PQ_NN_K} AS pred
+      FROM ext JOIN tgt nt ON ext.neighbor_id = nt.vec_id
+      GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST({PQ_NN_K} AS BIGINT) AS k,
+           CAST(sum(abs(pred.pred - tgt.t)) // count(*) AS BIGINT)
+             AS mae_micro
+    FROM pred JOIN tgt ON pred.vec_id = tgt.vec_id
+    """,
+)
+def similarity_knn_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN regression: predict each sampled vector's first embedding
+    component (quantized to integer micro-units) as the truncated mean
+    of its exact top-{PQ_NN_K} cosine neighbors' components, and report
+    the mean absolute error — the value-propagation twin of
+    similarity_knn_classify (impute a numeric field from embedding
+    neighbors: quality scores, toxicity, timestamps).
+
+    Every arithmetic step is integer (quantize -> sum -> truncating
+    div, identical in both engines), so the MAE is bit-reproducible.
+    Scale shape: identical to the classifier — neighbor lists from the
+    session-cached exact ground truth (in production, the served ANN
+    index), one join at neighbor grain, one bounded aggregate per
+    query."""
+    ext = _exact_topk_ground_truth(spark, sf_dir)
+    tgt = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.floor(F.col("embedding")[0].cast("double") * KNN_REG_SCALE)
+        .cast("long")
+        .alias("t"),
+    )
+    pred = (
+        ext.join(
+            tgt.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("t").alias("nt")
+            ),
+            "neighbor_id",
+        )
+        .groupBy("vec_id")
+        .agg(F.expr(f"CAST(sum(nt) AS BIGINT) div {PQ_NN_K}").alias("pred"))
+    )
+    return pred.join(tgt, "vec_id").agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.lit(PQ_NN_K).cast("long").alias("k"),
+        F.expr(
+            "CAST(sum(abs(pred - t)) div count(*) AS BIGINT)"
+        ).alias("mae_micro"),
+    )
