@@ -407,3 +407,237 @@ def retrieval_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# --- tf-idf cosine retrieval --------------------------------------------------
+# idf quantized to MILLI-nats (not the repo's usual micro): weights enter
+# SQUARED norm sums, and tf*idf_micro squared would pass int64 at a few
+# terms — milli keeps w <= ~1e6, w^2 <= ~1e12, and per-doc norm sums
+# < 2^52 (so the double sqrt below is exact-input) up to ~4e3 terms/doc.
+COS_SCALE = 10_000  # cosine reported in basis points
+COS_TOPK = 10
+
+
+@query(
+    "retrieval_tfidf_cosine",
+    oracle=f"""
+    WITH q(query_id, term) AS (VALUES {_SQL_Q_VALUES}),
+    toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    postings AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM postings),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM postings GROUP BY 1),
+    idf AS (
+      SELECT term,
+             CAST(floor(ln((tot.n_docs + 1.0) / (df + 1.0)) * 1000.0 + 0.5)
+                  AS BIGINT) AS idf_milli
+      FROM dfreq, tot
+    ),
+    w AS (
+      SELECT p.doc_id, p.term, p.tf * i.idf_milli AS wt
+      FROM postings p JOIN idf i ON p.term = i.term
+    ),
+    dnorm AS (
+      SELECT doc_id,
+             CAST(floor(sqrt(CAST(sum(wt * wt) AS DOUBLE))) AS BIGINT) AS dn
+      FROM w GROUP BY 1
+    ),
+    qw AS (
+      SELECT q.query_id, q.term, i.idf_milli AS wt
+      FROM q JOIN idf i ON q.term = i.term
+    ),
+    qnorm AS (
+      SELECT query_id,
+             CAST(floor(sqrt(CAST(sum(wt * wt) AS DOUBLE))) AS BIGINT) AS qn
+      FROM qw GROUP BY 1
+    ),
+    dots AS (
+      SELECT qw.query_id, w.doc_id, CAST(sum(qw.wt * w.wt) AS BIGINT) AS dot
+      FROM qw JOIN w ON w.term = qw.term
+      GROUP BY 1, 2
+    ),
+    cos AS (
+      SELECT d.query_id, d.doc_id,
+             d.dot * {COS_SCALE} // (qn.qn * dn.dn) AS cos_bp
+      FROM dots d
+      JOIN qnorm qn ON qn.query_id = d.query_id
+      JOIN dnorm dn ON dn.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, cos_bp, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT query_id, doc_id, cos_bp,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_bp DESC, doc_id) AS rnk
+      FROM cos
+    ) WHERE rnk <= {COS_TOPK}
+    """,
+)
+def retrieval_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-space retrieval: cosine of tf-idf weight vectors between
+    each query and its candidate documents (docs sharing >= 1 query
+    term), reported in integer basis points — the classic VSM ranking
+    (Salton 1975) beside BM25, sharing the same inverted-index probe.
+
+    Determinism: weights are integer (tf x milli-nat idf); the two
+    norms are floor(sqrt(exact-int64 sum)) — IEEE sqrt on an exactly-
+    representable input is correctly rounded identically in both
+    engines (norm sums stay < 2^52, see COS_SCALE comment) — and the
+    final cosine is one integer mul-div.  Scale shape: the per-doc norm
+    is a postings aggregate computed once (index-build side, like dl in
+    BM25); query-time work is the broadcast probe, one dot-product
+    aggregate over the probed postings, and a bounded per-query top-k."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(tokenize("text", 2)).alias("term")
+    )
+    postings = (
+        toks.groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    tot = postings.agg(F.count_distinct("doc_id").alias("n_docs"))
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.floor(
+            F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) * 1000.0
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("idf_milli"),
+    )
+    w = postings.join(idf, "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf_milli")).alias("wt")
+    )
+    dnorm = w.groupBy("doc_id").agg(
+        F.floor(F.sqrt(F.sum(F.col("wt") * F.col("wt")).cast("double")))
+        .cast("long")
+        .alias("dn")
+    )
+    qterms = spark.createDataFrame(BM25_QUERIES, "query_id INT, term STRING")
+    qw = qterms.join(idf, "term").select(
+        "query_id", "term", F.col("idf_milli").alias("qwt")
+    )
+    qnorm = qw.groupBy("query_id").agg(
+        F.floor(F.sqrt(F.sum(F.col("qwt") * F.col("qwt")).cast("double")))
+        .cast("long")
+        .alias("qn")
+    )
+    dots = (
+        w.join(F.broadcast(qw), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("qwt") * F.col("wt")).alias("dot"))
+    )
+    cos = (
+        dots.join(F.broadcast(qnorm), "query_id")
+        .join(dnorm, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(f"dot * {COS_SCALE} div (qn * dn)").alias("cos_bp"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_bp").desc(), "doc_id"
+    )
+    return (
+        cos.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= COS_TOPK)
+        .select(
+            "query_id", "doc_id", "cos_bp",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+# --- proximity retrieval ------------------------------------------------------
+PROX_TOPK = 10
+
+
+@query(
+    "retrieval_proximity",
+    oracle=f"""
+    WITH q(query_id, t1, t2) AS (VALUES {_SQL_P_VALUES}),
+    pos AS (
+      SELECT doc_id, unnest(toks) AS term,
+             generate_subscripts(toks, 1) AS pos
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    ),
+    m AS (
+      SELECT q.query_id, p1.doc_id,
+             CAST(min(abs(p1.pos - p2.pos)) AS BIGINT) AS min_dist,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM q
+      JOIN pos p1 ON p1.term = q.t1
+      JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.term = q.t2
+      GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, min_dist, n_pairs, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT query_id, doc_id, min_dist, n_pairs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY min_dist, doc_id) AS rnk
+      FROM m
+    ) WHERE rnk <= {PROX_TOPK}
+    """,
+)
+def retrieval_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity retrieval over the positional index: for each two-term
+    query, rank documents containing BOTH terms by the minimum token
+    distance between any occurrence pair (1 = adjacent — the relaxation
+    of retrieval_phrase_match's exact-adjacency join, the "terms near
+    each other" operator behind NEAR/k and passage windows).
+
+    Same scale shape as the phrase operator: the broadcast probe prunes
+    the positional postings to the query terms before any join, the
+    per-doc occurrence-pair join is bounded by tf1 x tf2 within a doc
+    (cap the per-doc tf of probe terms at ingest if an adversarial doc
+    repeats a term thousands of times), and candidates are only docs
+    containing both terms, so the final top-k window is small."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(tokenize("text", 2)).alias("pos0", "term"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    q = spark.createDataFrame(
+        PHRASE_QUERIES, "query_id INT, t1 STRING, t2 STRING"
+    )
+    terms = q.select(F.col("t1").alias("term")).unionByName(
+        q.select(F.col("t2").alias("term"))
+    ).distinct()
+    pq = pos.join(F.broadcast(terms), "term").localCheckpoint(eager=True)
+    p1 = pq.alias("p1").join(F.broadcast(q), F.col("p1.term") == F.col("t1"))
+    p2 = pq.select(
+        F.col("doc_id").alias("d2"),
+        F.col("pos").alias("pos2"),
+        F.col("term").alias("term2"),
+    )
+    m = (
+        p1.join(
+            p2,
+            (F.col("p1.doc_id") == F.col("d2"))
+            & (F.col("term2") == F.col("t2")),
+        )
+        .groupBy("query_id", F.col("p1.doc_id").alias("doc_id"))
+        .agg(
+            F.min(F.abs(F.col("p1.pos") - F.col("pos2")))
+            .cast("long")
+            .alias("min_dist"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("min_dist", "doc_id")
+    return (
+        m.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PROX_TOPK)
+        .select(
+            "query_id", "doc_id", "min_dist", "n_pairs",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

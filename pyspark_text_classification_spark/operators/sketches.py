@@ -440,3 +440,209 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("inter_at_k * 1000000 div union_k").alias("jaccard_micro"),
         )
     )
+
+
+# --- AMS F2 sketch (Alon, Matias & Szegedy, STOC 1996) ----------------------
+# Second frequency moment of the per-user event counts: F2 = sum f_u^2.
+# R independent +-1 hash rows; each Z_r = sum f_u * s_r(u) and E[Z^2] = F2.
+AMS_ROWS = 8
+_ams_rng = random.Random(20260815)
+AMS_PARAMS: list[tuple[int, int, int]] = [
+    (r, _ams_rng.randrange(1, HASH_MOD), _ams_rng.randrange(0, HASH_MOD))
+    for r in range(AMS_ROWS)
+]
+
+
+def _ams_sign_sql(a: int, b: int) -> str:
+    # +-1 from the parity of the permuted user hash — literal params
+    return f"(1 - 2 * ((({a} * (user_id % {HASH_MOD}) + {b})" \
+           f" % {HASH_MOD}) % 2))"
+
+
+@query(
+    "sketch_ams_f2",
+    oracle=f"""
+    WITH f AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS f
+      FROM events GROUP BY 1
+    ),
+    z AS (
+      SELECT {', '.join(
+          f'CAST(sum(f * {_ams_sign_sql(a, b)}) AS HUGEINT) AS z{r}'
+          for r, a, b in AMS_PARAMS)},
+             CAST(sum(CAST(f AS HUGEINT) * f) AS HUGEINT) AS exact_f2
+      FROM f
+    )
+    SELECT CAST({AMS_ROWS} AS BIGINT) AS r_rows,
+           CAST(({' + '.join(f'z{r} * z{r}' for r in range(AMS_ROWS))})
+                // {AMS_ROWS} AS BIGINT) AS est_f2,
+           CAST(exact_f2 AS BIGINT) AS exact_f2,
+           CAST(abs(({' + '.join(f'z{r} * z{r}' for r in range(AMS_ROWS))})
+                // {AMS_ROWS} - exact_f2) * 10000 // exact_f2 AS BIGINT)
+             AS err_bp
+    FROM z
+    """,
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment sketch of the per-user event counts
+    (F2 = sum of squared user activity — the self-join size / skew
+    statistic a planner wants before hashing a key): {AMS_ROWS}
+    independent +-1 rows with literal (a*h+b) mod p sign hashes, each
+    Z_r accumulated in ONE integer aggregate, estimate = mean of Z_r^2,
+    with the exact F2 as the audit column and the relative error in
+    basis points.
+
+    The sketch is a single map-side-combined aggregate over the
+    (user, count) table — {AMS_ROWS} integer sums of bounded state, the
+    textbook streamable/mergeable linear sketch (shards add their Z
+    vectors).  Z_r^2 and F2 run in DECIMAL(38,0)/HUGEINT: Z is
+    O(sqrt(F2)) in expectation but adversarially up to total row count,
+    which breaks int64 squaring past ~3e9 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("f"))
+    aggs = [
+        F.sum(F.expr(f"f * {_ams_sign_sql(a, b)}"))
+        .cast("decimal(38,0)")
+        .alias(f"z{r}")
+        for r, a, b in AMS_PARAMS
+    ] + [
+        F.sum(F.expr("CAST(f AS DECIMAL(38,0)) * f")).alias("exact_f2")
+    ]
+    z = f.agg(*aggs)
+    sq = " + ".join(f"z{r} * z{r}" for r in range(AMS_ROWS))
+    return z.selectExpr(
+        f"CAST({AMS_ROWS} AS BIGINT) AS r_rows",
+        f"CAST(({sq}) div {AMS_ROWS} AS BIGINT) AS est_f2",
+        "CAST(exact_f2 AS BIGINT) AS exact_f2",
+        f"CAST(abs(({sq}) div {AMS_ROWS} - exact_f2) * 10000"
+        " div exact_f2 AS BIGINT) AS err_bp",
+    )
+
+
+# --- HLL mergeability audit -------------------------------------------------
+# Register-wise max of independently built per-shard states must equal the
+# state built over all rows — the algebraic property that lets 100 TB of
+# daily shards roll up to one cardinality estimate without rescanning.
+HLLM_A, HLLM_B = _rng.randrange(1, HASH_MOD), _rng.randrange(0, HASH_MOD)
+_SQL_HLLM_HASH = f"(({HLLM_A} * (user_id % {HASH_MOD}) + {HLLM_B}) % {HASH_MOD})"
+_SQL_HLLM_RHO = (
+    f"CASE WHEN hp // {HLL_M} = 0 THEN {HLL_RHO_MAX} "
+    f"ELSE {HLL_RHO_MAX} - length(bin(hp // {HLL_M})) END"
+)
+
+
+@query(
+    "sketch_hll_merge",
+    oracle=f"""
+    WITH hp AS (
+      SELECT event_type, {_SQL_HLLM_HASH} AS hp FROM events
+    ),
+    parts AS (
+      SELECT event_type, hp % {HLL_M} AS bucket,
+             max({_SQL_HLLM_RHO}) AS rho
+      FROM hp GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT bucket, max(rho) AS rho FROM parts GROUP BY 1
+    ),
+    direct AS (
+      SELECT hp % {HLL_M} AS bucket, max({_SQL_HLLM_RHO}) AS rho
+      FROM hp GROUP BY 1
+    ),
+    mz AS (
+      SELECT CAST(count(*) AS BIGINT) AS used,
+             CAST(sum(CAST(1 AS BIGINT) << ({HLL_SHIFT} - rho)) AS BIGINT)
+               AS z_used
+      FROM merged
+    ),
+    dz AS (
+      SELECT CAST(count(*) AS BIGINT) AS used,
+             CAST(sum(CAST(1 AS BIGINT) << ({HLL_SHIFT} - rho)) AS BIGINT)
+               AS z_used
+      FROM direct
+    ),
+    diff AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_reg_diff
+      FROM merged m FULL JOIN direct d USING (bucket)
+      WHERE m.rho IS DISTINCT FROM d.rho
+    ),
+    np AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_parts
+           FROM events)
+    SELECT CAST({HLL_M} AS BIGINT) AS m, np.n_parts,
+           CAST(floor({HLL_NUMER!r} / CAST(mz.z_used + ({HLL_M} - mz.used)
+             * (CAST(1 AS BIGINT) << {HLL_SHIFT}) AS DOUBLE)) AS BIGINT)
+             AS merged_est,
+           CAST(floor({HLL_NUMER!r} / CAST(dz.z_used + ({HLL_M} - dz.used)
+             * (CAST(1 AS BIGINT) << {HLL_SHIFT}) AS DOUBLE)) AS BIGINT)
+             AS direct_est,
+           diff.n_reg_diff
+    FROM mz, dz, diff, np
+    """,
+)
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL mergeability audit over distinct event users: build one
+    {HLL_M}-register state PER event type independently, merge them by
+    register-wise max, and compare against the state built over all
+    rows — n_reg_diff MUST be 0 and the two estimates identical (the
+    invariant this query hash-pins), because max is associative over
+    any partition of the input.
+
+    This is the operational sketch contract at 100 TB: shards/days
+    build tiny states locally, a coordinator folds them with max, and
+    nothing ever rescans.  Three bounded aggregates (per-part states are
+    |parts| x m rows), a full outer self-comparison on the m-row
+    states, and the module's exact shifted harmonic sum."""
+    ev = load_table(spark, sf_dir, "events")
+    hp = ev.select(
+        "event_type", F.expr(_SQL_HLLM_HASH.replace("//", "div")).alias("hp")
+    )
+    rho = F.expr(_SQL_HLLM_RHO.replace("//", " div "))
+    parts = (
+        hp.select("event_type", (F.col("hp") % HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    merged = parts.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    direct = (
+        hp.select((F.col("hp") % HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    def state(regs: DataFrame) -> DataFrame:
+        return regs.agg(
+            F.count("*").alias("used"),
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_SHIFT} - rho)")
+            ).alias("z_used"),
+        )
+
+    est = lambda: (  # noqa: E731 - tiny local formatter
+        F.floor(
+            F.lit(HLL_NUMER)
+            / (
+                F.col("z_used")
+                + (HLL_M - F.col("used")) * F.lit(1 << HLL_SHIFT).cast("long")
+            ).cast("double")
+        ).cast("long")
+    )
+    diff = (
+        merged.alias("m")
+        .join(direct.alias("d"), "bucket", "full")
+        .filter(~F.expr("m.rho <=> d.rho"))
+        .agg(F.count("*").cast("long").alias("n_reg_diff"))
+    )
+    np_ = ev.agg(F.count_distinct("event_type").cast("long").alias("n_parts"))
+    mz = state(merged).select(est().alias("merged_est"))
+    dz = state(direct).select(est().alias("direct_est"))
+    return (
+        np_.crossJoin(F.broadcast(mz))
+        .crossJoin(F.broadcast(dz))
+        .crossJoin(F.broadcast(diff))
+        .select(
+            F.lit(HLL_M).cast("long").alias("m"),
+            "n_parts",
+            "merged_est",
+            "direct_est",
+            "n_reg_diff",
+        )
+    )
