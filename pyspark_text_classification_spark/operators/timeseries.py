@@ -1,0 +1,409 @@
+"""Time-series diagnostics over the events stream: autocorrelation,
+CUSUM change-point detection, and Allen interval algebra.
+
+Three operators a metrics/training-data pipeline runs over event
+series that the rest of the events family doesn't cover:
+
+- events_autocorr_lag: lag-k Pearson autocorrelation (k = 1..{LAGS})
+  of the gap-filled hourly count series per event type — the
+  seasonality probe behind "is this metric hourly-periodic?";
+- events_cusum_changepoint: the classic CUSUM statistic (Page 1954)
+  S_t = sum_{{i<=t}}(y_i - mean) maximized over t — where a series'
+  level shifted, computed shift-free as n*prefix_t - t*total;
+- events_allen_relations: Allen's interval algebra (Allen, CACM 1983)
+  classifying every user session interval against a small set of
+  campaign windows into the 13 canonical relations — the temporal-join
+  taxonomy behind overlap/containment audits.
+
+Cross-engine determinism: everything is integer arithmetic on epoch
+micros and counts.  Autocorrelation avoids the sqrt in Pearson's r by
+reporting the SIGNED SQUARE r^2 * sign(cov) in micro-units — r^2 =
+cov^2 / (vx*vy) is a ratio of exact integers, so one positive integer
+division (identical truncating semantics both engines) plus a CASE for
+the sign reproduces bit-identically; sums are accumulated in
+DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so no intermediate ever
+wraps.  CUSUM's S_t = n*prefix - t*total is exact integer per row; the
+peak row is the (|S| desc, t asc) row_number=1, a total order.  Allen
+classification is a single shared CASE over strict/equal comparisons
+of int64 micros — no floats anywhere.
+
+Scale shape (100 TB): the hourly series is an (event_type, hour)
+map-side-combined count whose row count is bounded by types x wall
+hours, NOT input rows — a decade is < 90k hours per type, so the
+per-type windows (6 lags share ONE WindowExec; one running sum for
+CUSUM) run over bounded partitions.  The Allen join broadcasts the
+tiny campaign table into the session aggregate; sessions shuffle once
+on user_id (the same partitioning every other sessionizer here uses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_text_classification_spark.functions.time import SQL_TS_US, ts_us
+from pyspark_text_classification_spark.operators.events import SESSION_GAP_US
+from pyspark_text_classification_spark.registry import query
+from pyspark_text_classification_spark.sources.parquet import fan_out, load_table
+
+HOUR_US = 3_600_000_000
+AC_LAGS = 6
+
+# Shared gap-filled hourly count series: (event_type, h, y) over the
+# FULL contiguous hour grid [h0, h1] x distinct types, absent hours = 0.
+_SQL_SERIES = f"""
+    ev AS (SELECT event_type, {SQL_TS_US} // {HOUR_US} AS h FROM events),
+    b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+    grid AS (SELECT unnest(range(h0, h1 + 1)) AS h FROM b),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    cnt AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS y
+            FROM ev GROUP BY 1, 2),
+    series AS (
+      SELECT t.event_type, g.h, COALESCE(c.y, 0) AS y
+      FROM types t CROSS JOIN grid g
+      LEFT JOIN cnt c ON c.event_type = t.event_type AND c.h = g.h
+    )
+"""
+
+
+def _hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _SQL_SERIES: the gap-filled (event_type, h, y) grid."""
+    ev = fan_out(load_table(spark, sf_dir, "events")).select(
+        "event_type", (ts_us() / HOUR_US).cast("long").alias("h")
+    )
+    cnt = ev.groupBy("event_type", "h").agg(F.count("*").alias("y"))
+    b = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = b.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        types.crossJoin(F.broadcast(grid))
+        .join(cnt, ["event_type", "h"], "left")
+        .select(
+            "event_type", "h", F.coalesce(F.col("y"), F.lit(0)).alias("y")
+        )
+    )
+
+
+@query(
+    "events_autocorr_lag",
+    oracle=f"""
+    WITH {_SQL_SERIES},
+    lagged AS (
+      SELECT event_type, y,
+             {", ".join(
+                 f"lag(y, {k}) OVER (PARTITION BY event_type ORDER BY h)"
+                 f" AS y{k}"
+                 for k in range(1, AC_LAGS + 1)
+             )}
+      FROM series
+    ),
+    pairs AS (
+      {" UNION ALL ".join(
+          f"SELECT event_type, {k} AS lag, y, y{k} AS x"
+          f" FROM lagged WHERE y{k} IS NOT NULL"
+          for k in range(1, AC_LAGS + 1)
+      )}
+    ),
+    stats AS (
+      SELECT event_type, lag,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(y * y) AS HUGEINT) AS syy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy
+      FROM pairs GROUP BY 1, 2
+    ),
+    parts AS (
+      SELECT event_type, lag, n,
+             n * sxy - sx * sy AS cov,
+             (n * sxx - sx * sx) * (n * syy - sy * sy) AS den
+      FROM stats
+    )
+    SELECT event_type, CAST(lag AS INT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN den = 0 THEN 0
+                     WHEN cov < 0
+                       THEN -((cov * cov * 1000000) // den)
+                     ELSE (cov * cov * 1000000) // den
+                END AS BIGINT) AS r2_signed_micro
+    FROM parts
+    """,
+)
+def events_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..{AC_LAGS} autocorrelation of the gap-filled hourly count
+    series per event type, reported as sign(cov) * r^2 in micro-units
+    (the sqrt-free Pearson twin — see module docstring).
+
+    One WindowExec computes all {AC_LAGS} lag columns (they share the
+    per-type (h) window spec, the events_ewma_smooth pattern), a stack
+    unpivots them to (lag, y, x) pairs, and one map-side-combined
+    aggregate produces the six sufficient statistics per (type, lag).
+    The division's operands are made positive first (abs + CASE sign),
+    so Spark's truncating ``div`` and DuckDB's flooring ``//`` agree."""
+    series = _hourly_series(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("h")
+    lag_cols = [
+        F.lag("y", k).over(w).alias(f"y{k}") for k in range(1, AC_LAGS + 1)
+    ]
+    lagged = series.select("event_type", "y", *lag_cols)
+    stack_expr = ", ".join(
+        f"{k}, y{k}" for k in range(1, AC_LAGS + 1)
+    )
+    pairs = lagged.select(
+        "event_type",
+        "y",
+        F.expr(f"stack({AC_LAGS}, {stack_expr}) AS (lag, x)"),
+    ).filter(F.col("x").isNotNull())
+    d38 = "decimal(38,0)"
+    stats = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+    )
+    parts = stats.select(
+        "event_type",
+        "lag",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cov"),
+        (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        ).alias("den"),
+    )
+    return parts.selectExpr(
+        "event_type",
+        "CAST(lag AS INT) AS lag",
+        "CAST(n AS BIGINT) AS n_pairs",
+        "CAST(CASE WHEN den = 0 THEN 0"
+        "          WHEN cov < 0 THEN -((cov * cov * 1000000) div den)"
+        "          ELSE (cov * cov * 1000000) div den"
+        "     END AS BIGINT) AS r2_signed_micro",
+    )
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle=f"""
+    WITH {_SQL_SERIES},
+    pre AS (
+      SELECT event_type, h, y,
+             CAST(sum(y) OVER (PARTITION BY event_type ORDER BY h)
+                  AS HUGEINT) AS prefix,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
+                  AS HUGEINT) AS t,
+             CAST(sum(y) OVER (PARTITION BY event_type) AS HUGEINT) AS tot,
+             CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT) AS n
+      FROM series
+    ),
+    s AS (
+      SELECT event_type, h, t, n, tot,
+             abs(n * prefix - t * tot) AS s_abs
+      FROM pre
+    ),
+    peak AS (
+      SELECT event_type, h, t, n, tot, s_abs,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY s_abs DESC, t) AS rk
+      FROM s
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_hours,
+           CAST(tot AS BIGINT) AS total_events,
+           CAST(t AS BIGINT) AS peak_t,
+           CAST(h AS BIGINT) AS peak_hour,
+           CAST(s_abs AS BIGINT) AS s_abs_peak,
+           CAST(CASE WHEN tot = 0 THEN 0
+                     ELSE s_abs * 1000000 // (n * tot) END AS BIGINT)
+             AS cusum_micro
+    FROM peak WHERE rk = 1
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point scan (Page 1954) per event type: the hour t
+    maximizing |S_t|, S_t = sum_{{i<=t}}(y_i - mean), computed
+    division-free as n*prefix_t - t*total so every intermediate is an
+    exact integer (DECIMAL(38,0) / HUGEINT — n*prefix reaches ~1e18
+    already at 1e13 events x a decade of hours, past int64).
+
+    The peak statistic normalized by n*total (micro-units) is the
+    scale-free level-shift score; peak_t near the middle with a large
+    score flags a regime change, the standard drift tripwire on a
+    training-data ingest feed.  One running-sum window per type over
+    the BOUNDED hour grid (wall-clock hours, not input rows), then a
+    (|S| desc, t asc) top-1 — no global window anywhere."""
+    series = _hourly_series(spark, sf_dir)
+    d38 = "decimal(38,0)"
+    wrun = Window.partitionBy("event_type").orderBy("h")
+    wall = Window.partitionBy("event_type")
+    pre = series.select(
+        "event_type",
+        "h",
+        F.sum("y").over(wrun).cast(d38).alias("prefix"),
+        F.row_number().over(wrun).cast(d38).alias("t"),
+        F.sum("y").over(wall).cast(d38).alias("tot"),
+        F.count("*").over(wall).cast(d38).alias("n"),
+    )
+    s = pre.select(
+        "event_type",
+        "h",
+        "t",
+        "n",
+        "tot",
+        F.abs(
+            F.col("n") * F.col("prefix") - F.col("t") * F.col("tot")
+        ).alias("s_abs"),
+    )
+    wpk = Window.partitionBy("event_type").orderBy(
+        F.col("s_abs").desc(), F.col("t")
+    )
+    return (
+        s.withColumn("rk", F.row_number().over(wpk))
+        .filter(F.col("rk") == 1)
+        .selectExpr(
+            "event_type",
+            "CAST(n AS BIGINT) AS n_hours",
+            "CAST(tot AS BIGINT) AS total_events",
+            "CAST(t AS BIGINT) AS peak_t",
+            "CAST(h AS BIGINT) AS peak_hour",
+            "CAST(s_abs AS BIGINT) AS s_abs_peak",
+            "CAST(CASE WHEN tot = 0 THEN 0"
+            "     ELSE s_abs * 1000000 div (n * tot) END AS BIGINT)"
+            " AS cusum_micro",
+        )
+    )
+
+
+# --- Allen interval algebra ---------------------------------------------------
+N_CAMPAIGNS = 6
+CAMPAIGN_STRIDE_US = 5 * 24 * HOUR_US   # one window every 5 days
+CAMPAIGN_LEN_US = 3 * 24 * HOUR_US      # each lasting 3 days (closed)
+
+# The 13 Allen relations as ONE mutually-exclusive CASE over closed
+# intervals [s1,e1] (session) vs [s2,e2] (campaign).  Order matters:
+# equality relations are tested before the strict ones they border.
+_ALLEN_CASE = """
+    CASE
+      WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+      WHEN e1 < s2 THEN 'before'
+      WHEN s1 > e2 THEN 'after'
+      WHEN e1 = s2 THEN 'meets'
+      WHEN s1 = e2 THEN 'met_by'
+      WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+      WHEN s1 = s2 THEN 'started_by'
+      WHEN e1 = e2 AND s1 > s2 THEN 'finishes'
+      WHEN e1 = e2 THEN 'finished_by'
+      WHEN s1 > s2 AND e1 < e2 THEN 'during'
+      WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+      WHEN s1 < s2 THEN 'overlaps'
+      ELSE 'overlapped_by'
+    END
+"""
+
+
+@query(
+    "events_allen_relations",
+    oracle=f"""
+    WITH se AS (
+      SELECT user_id, {SQL_TS_US} AS us, event_id,
+             CASE WHEN {SQL_TS_US}
+                    - lag({SQL_TS_US}) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                    > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sid AS (
+      SELECT user_id, us,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS sid
+      FROM se
+    ),
+    sess AS (
+      SELECT user_id, sid, min(us) AS s1, max(us) AS e1
+      FROM sid GROUP BY 1, 2
+    ),
+    t0 AS (SELECT min({SQL_TS_US}) AS m0 FROM events),
+    camp AS (
+      SELECT w AS campaign_id,
+             m0 + w * {CAMPAIGN_STRIDE_US} AS s2,
+             m0 + w * {CAMPAIGN_STRIDE_US} + {CAMPAIGN_LEN_US} AS e2
+      FROM t0 CROSS JOIN (SELECT unnest(range({N_CAMPAIGNS})) AS w) ws
+    ),
+    cls AS (
+      SELECT c.campaign_id, {_ALLEN_CASE} AS relation
+      FROM sess CROSS JOIN camp c
+    )
+    SELECT CAST(campaign_id AS INT) AS campaign_id, relation,
+           CAST(count(*) AS BIGINT) AS n_sessions
+    FROM cls GROUP BY 1, 2
+    """,
+)
+def events_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra (Allen, CACM 1983): classify every user
+    session interval against {N_CAMPAIGNS} fixed campaign windows into
+    the 13 canonical temporal relations, counting sessions per
+    (campaign, relation) — the full taxonomy behind "did this session
+    start inside / span / merely touch the campaign?" audits.
+
+    Sessions are the repo's standard 30-min-gap sessionization (same
+    (ts, event_id) total order as events_sessionize); campaign windows
+    derive deterministically from the corpus min timestamp (stride 5d,
+    length 3d, closed on int64 micros).  The classifier is a single
+    shared CASE of pure integer comparisons — mutually exclusive by
+    construction, identical text on both engines.  Scale: sessions
+    shuffle once on user_id; the {N_CAMPAIGNS}-row campaign table
+    broadcasts into the session aggregate, and the output is bounded
+    by campaigns x 13 relations regardless of input size."""
+    ev = fan_out(load_table(spark, sf_dir, "events")).select(
+        "user_id", "event_id", F.col("ts"), ts_us().alias("us")
+    )
+    worder = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_session = (
+        F.when(
+            F.col("us") - F.lag("us").over(worder) > SESSION_GAP_US, 1
+        ).otherwise(0)
+    )
+    wrun = Window.partitionBy("user_id").orderBy("us", "event_id")
+    sid = ev.select(
+        "user_id",
+        "us",
+        F.sum(new_session).over(wrun).alias("sid"),
+    )
+    sess = sid.groupBy("user_id", "sid").agg(
+        F.min("us").alias("s1"), F.max("us").alias("e1")
+    )
+    t0 = ev.agg(F.min("us").alias("m0"))
+    camp = (
+        t0.select(
+            F.explode(F.sequence(F.lit(0), F.lit(N_CAMPAIGNS - 1))).alias(
+                "campaign_id"
+            ),
+            "m0",
+        )
+        .select(
+            "campaign_id",
+            (
+                F.col("m0") + F.col("campaign_id") * CAMPAIGN_STRIDE_US
+            ).alias("s2"),
+            (
+                F.col("m0")
+                + F.col("campaign_id") * CAMPAIGN_STRIDE_US
+                + CAMPAIGN_LEN_US
+            ).alias("e2"),
+        )
+    )
+    cls = sess.crossJoin(F.broadcast(camp)).select(
+        "campaign_id", F.expr(_ALLEN_CASE).alias("relation")
+    )
+    return cls.groupBy("campaign_id", "relation").agg(
+        F.count("*").alias("n_sessions")
+    ).selectExpr(
+        "CAST(campaign_id AS INT) AS campaign_id",
+        "relation",
+        "CAST(n_sessions AS BIGINT) AS n_sessions",
+    )
