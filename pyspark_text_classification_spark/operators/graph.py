@@ -1099,3 +1099,213 @@ def graph_label_prop_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lab").cast("long").alias("new_label"),
         )
     )
+
+
+# --- Boruvka MST step + local clustering coefficients ------------------------
+# Weighted backbone: the triangle/k-core backbone WITH its edge weight
+# (shared-customer count) kept — Boruvka needs weights, the coefficient
+# query reuses the same slice.  Shared CTE text for the two oracles.
+_SQL_BACKBONE_W = f"""
+    e AS ({_SQL_EDGES}),
+    cdeg AS (SELECT c, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+    small AS (
+      SELECT e.c, e.s FROM e JOIN cdeg ON e.c = cdeg.c
+      WHERE cdeg.deg BETWEEN 2 AND {AA_HUB_CAP}
+    ),
+    se0 AS (
+      SELECT a.s AS u, b.s AS v, CAST(count(*) AS BIGINT) AS w
+      FROM small a JOIN small b ON a.c = b.c AND a.s < b.s
+      GROUP BY 1, 2
+      HAVING count(*) >= {TRI_MIN_COMMON}
+    ),
+    sew AS (
+      SELECT u, v, w FROM (
+        SELECT u, v, w, row_number() OVER (ORDER BY w DESC, u, v) AS rnk
+        FROM se0
+      ) WHERE rnk <= {TRI_EDGE_TOPK}
+    )
+"""
+
+
+def _backbone_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, v, w): the co-purchase backbone with weights — same top-K
+    slice as _copurchase_backbone (identical order key), w retained.
+
+    Session-cached: <= TRI_EDGE_TOPK rows; derives from the already-
+    cached _pair_stats, so the build is a bounded top-k, not a scan."""
+    def build() -> DataFrame:
+        return (
+            _pair_stats(spark, sf_dir)
+            .filter(F.col("w") >= TRI_MIN_COMMON)
+            .orderBy(F.col("w").desc(), "k")
+            .limit(TRI_EDGE_TOPK)
+            .select(
+                F.expr(f"k div {_PAIR_BASE}L").alias("u"),
+                F.expr(f"k % {_PAIR_BASE}L").alias("v"),
+                "w",
+            )
+        )
+
+    return shared_intermediate(spark, sf_dir, "graph_backbone_w", build)
+
+
+@query(
+    "graph_boruvka_step",
+    oracle=f"""
+    WITH {_SQL_BACKBONE_W},
+    sym AS (
+      SELECT u AS node, v AS nbr, w FROM sew
+      UNION ALL
+      SELECT v AS node, u AS nbr, w FROM sew
+    ),
+    best AS (
+      SELECT node, nbr, w FROM (
+        SELECT node, nbr, w,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY w DESC, nbr) AS rk
+        FROM sym
+      ) WHERE rk = 1
+    )
+    SELECT DISTINCT least(node, nbr) AS u, greatest(node, nbr) AS v, w
+    FROM best
+    """,
+)
+def graph_boruvka_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Boruvka round of MAXIMUM-spanning-forest construction on the
+    weighted co-purchase backbone: every node selects its single
+    heaviest incident edge (ties to the smallest neighbor id), and the
+    distinct selected edges are the round's forest additions — the
+    classic parallel MST/MSF building block (Boruvka 1926; the
+    GraphX/Pregel formulation selects per-vertex minima exactly like
+    this, then contracts components and repeats).
+
+    The step is fully relational: symmetrize the edge list, ONE
+    per-node top-1 window (partition = node, bounded by the node's
+    degree), then a distinct on the canonical (min, max) edge form —
+    each chosen edge appears at most twice (once per endpoint), so the
+    dedup grain is 2.  At 100 TB each round shuffles edges once on the
+    node key and the output is <= |V| rows; full MSF loops this with
+    hash-min component contraction (graph_connected_components'
+    pointer-jumping) between rounds."""
+    ew = _backbone_weighted(spark, sf_dir)
+    sym = ew.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr"), "w"
+    ).unionByName(
+        ew.select(F.col("v").alias("node"), F.col("u").alias("nbr"), "w")
+    )
+    wsel = Window.partitionBy("node").orderBy(F.col("w").desc(), "nbr")
+    best = (
+        sym.withColumn("rk", F.row_number().over(wsel))
+        .filter(F.col("rk") == 1)
+    )
+    return best.select(
+        F.least("node", "nbr").alias("u"),
+        F.greatest("node", "nbr").alias("v"),
+        "w",
+    ).distinct()
+
+
+CC_TOPK = 50
+
+
+@query(
+    "graph_clustering_coeff",
+    oracle=f"""
+    WITH {_SQL_BACKBONE_W},
+    se AS (SELECT u, v FROM sew),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM se UNION ALL SELECT v FROM se
+      ) GROUP BY 1
+    ),
+    tris AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM se e1
+      JOIN se e2 ON e2.u = e1.v
+      JOIN se e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    corner AS (
+      SELECT a AS node FROM tris
+      UNION ALL SELECT b FROM tris
+      UNION ALL SELECT c FROM tris
+    ),
+    ntri AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+             FROM corner GROUP BY 1),
+    coeff AS (
+      SELECT d.node, d.d, COALESCE(t.n_tri, 0) AS n_tri,
+             COALESCE(t.n_tri, 0) * 1000000
+               // (d.d * (d.d - 1) // 2) AS coeff_micro
+      FROM deg d LEFT JOIN ntri t ON t.node = d.node
+      WHERE d.d >= 2
+    )
+    SELECT node, d AS degree, n_tri, coeff_micro
+    FROM (
+      SELECT node, d, n_tri, coeff_micro,
+             row_number() OVER (ORDER BY coeff_micro DESC, node) AS rk
+      FROM coeff
+    ) WHERE rk <= {CC_TOPK}
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL clustering coefficients (Watts & Strogatz 1998) on the
+    backbone: per node, triangles_at_node / C(degree, 2) in integer
+    micro-units, top-{CC_TOPK} by coefficient — the per-node refinement
+    of graph_triangle_count's global census (which reports the same
+    quantities corpus-wide).
+
+    Triangle corners come from the SAME ordered-edge enumeration as the
+    census (each triangle u<v<w found once, then unpivoted to its three
+    corners — one UNION ALL, no per-node re-enumeration); wedges per
+    node are d*(d-1)/2 straight from the degree aggregate.  All-integer
+    division (positive operands) and a (coeff desc, node) top-k keep it
+    bit-reproducible.  Scale: bounded by the backbone cap exactly like
+    the census; the corner unpivot triples triangle rows, nothing
+    else."""
+    se = _copurchase_backbone(spark, sf_dir)
+    deg = (
+        se.select(F.col("u").alias("node"))
+        .unionByName(se.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    e2 = se.select(F.col("u").alias("m"), F.col("v").alias("w2"))
+    e3 = se.select(F.col("u").alias("cu"), F.col("v").alias("cw"))
+    tris = (
+        se.join(e2, se.v == e2.m)
+        .join(
+            e3, (F.col("u") == F.col("cu")) & (F.col("w2") == F.col("cw"))
+        )
+        .select(F.col("u").alias("a"), F.col("v").alias("b"),
+                F.col("w2").alias("c"))
+    )
+    corner = (
+        tris.select(F.col("a").alias("node"))
+        .unionByName(tris.select(F.col("b").alias("node")))
+        .unionByName(tris.select(F.col("c").alias("node")))
+    )
+    ntri = corner.groupBy("node").agg(F.count("*").alias("n_tri"))
+    coeff = (
+        deg.filter(F.col("d") >= 2)
+        .join(ntri, "node", "left")
+        .select(
+            "node",
+            "d",
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
+            F.expr(
+                "coalesce(n_tri, 0) * 1000000 div (d * (d - 1) div 2)"
+            ).alias("coeff_micro"),
+        )
+    )
+    # top-k via TakeOrderedAndProject (orderBy+limit), not a global
+    # window — the input is bounded by the backbone cap anyway, but the
+    # plan shape stays the scalable one.
+    return (
+        coeff.orderBy(F.col("coeff_micro").desc(), "node")
+        .limit(CC_TOPK)
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            "n_tri",
+            "coeff_micro",
+        )
+    )
