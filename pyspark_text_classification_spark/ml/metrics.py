@@ -223,3 +223,134 @@ def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((sy * 1000000 - slope_micro * sx) div n AS BIGINT)"
         " AS intercept_micro",
     )
+
+
+# --- Gini impurity feature ranking -------------------------------------------
+GINI_CHARS_BUCKET = 256
+GINI_WORDS_BUCKET = 32
+
+
+@query(
+    "ml_gini_feature_rank",
+    oracle=f"""
+    WITH base AS (
+      SELECT lang,
+             source AS f_source,
+             CAST(n_chars // {GINI_CHARS_BUCKET} AS VARCHAR) AS f_chars,
+             CAST((length(text) - length(replace(text, ' ', '')))
+                  // {GINI_WORDS_BUCKET} AS VARCHAR) AS f_words
+      FROM documents
+    ),
+    lf AS (
+      SELECT 'source' AS feature, f_source AS val, lang FROM base
+      UNION ALL SELECT 'chars_bucket', f_chars, lang FROM base
+      UNION ALL SELECT 'words_bucket', f_words, lang FROM base
+    ),
+    vc AS (
+      SELECT feature, val, lang, CAST(count(*) AS HUGEINT) AS n_vc
+      FROM lf GROUP BY 1, 2, 3
+    ),
+    v AS (
+      SELECT feature, val, sum(n_vc) AS n_v, sum(n_vc * n_vc) AS ss
+      FROM vc GROUP BY 1, 2
+    ),
+    tot AS (SELECT feature, sum(n_v) AS n FROM v GROUP BY 1),
+    pc AS (SELECT feature, lang, sum(n_vc) AS n_c FROM vc GROUP BY 1, 2),
+    par AS (
+      SELECT pc.feature,
+             (t.n * t.n - sum(pc.n_c * pc.n_c)) * 1000000 // (t.n * t.n)
+               AS parent_gini_micro
+      FROM pc JOIN tot t ON t.feature = pc.feature
+      GROUP BY pc.feature, t.n
+    ),
+    wg AS (
+      SELECT v.feature, CAST(count(*) AS BIGINT) AS n_values,
+             sum((v.n_v * v.n_v - v.ss) * 1000000 // (v.n_v * t.n))
+               AS wgini_micro
+      FROM v JOIN tot t ON t.feature = v.feature
+      GROUP BY 1
+    )
+    SELECT w.feature, w.n_values,
+           CAST(w.wgini_micro AS BIGINT) AS wgini_micro,
+           CAST(p.parent_gini_micro AS BIGINT) AS parent_gini_micro,
+           CAST(p.parent_gini_micro - w.wgini_micro AS BIGINT)
+             AS reduction_micro
+    FROM wg w JOIN par p ON p.feature = w.feature
+    """,
+)
+def ml_gini_feature_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CART-style Gini impurity reduction (Breiman et al. 1984) of three
+    candidate document features against the language label — the
+    decision-tree split criterion beside ml_chi2_feature_select's
+    chi-square and ml_decision_stump's single split: weighted child
+    impurity sum_v (n_v^2 - sum_c n_vc^2)/(n_v * n) vs the parent's
+    (n^2 - sum_c n_c^2)/n^2, both in integer micro-units.
+
+    Every term is a count or a product of counts accumulated in
+    DECIMAL(38,0) / HUGEINT (n_vc^2 reaches ~1e26 at 1e13 rows — far
+    past int64), and each per-value division is a positive integer
+    mul-div performed identically in both engines, so the ranking is
+    bit-reproducible.  Scale shape: ONE pass builds the long-form
+    (feature, value, label) counts (a stack + map-side-combined
+    aggregate at the bounded feature-value x label grain); everything
+    downstream operates on that dimension-sized table."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        F.col("source").alias("f_source"),
+        F.expr(f"CAST(n_chars div {GINI_CHARS_BUCKET} AS STRING)").alias(
+            "f_chars"
+        ),
+        F.expr(
+            "CAST((length(text) - length(replace(text, ' ', '')))"
+            f" div {GINI_WORDS_BUCKET} AS STRING)"
+        ).alias("f_words"),
+    )
+    lf = base.select(
+        "lang",
+        F.expr(
+            "stack(3, 'source', f_source, 'chars_bucket', f_chars,"
+            " 'words_bucket', f_words) AS (feature, val)"
+        ),
+    )
+    d38 = "decimal(38,0)"
+    vc = lf.groupBy("feature", "val", "lang").agg(
+        F.count("*").cast(d38).alias("n_vc")
+    )
+    v = vc.groupBy("feature", "val").agg(
+        F.sum("n_vc").alias("n_v"),
+        F.sum(F.col("n_vc") * F.col("n_vc")).alias("ss"),
+    )
+    tot = v.groupBy("feature").agg(F.sum("n_v").alias("n"))
+    pc = vc.groupBy("feature", "lang").agg(F.sum("n_vc").alias("n_c"))
+    par = (
+        pc.join(F.broadcast(tot), "feature")
+        .groupBy("feature", "n")
+        .agg(F.sum(F.col("n_c") * F.col("n_c")).alias("ssc"))
+        .selectExpr(
+            "feature",
+            "(n * n - ssc) * 1000000 div (n * n) AS parent_gini_micro",
+        )
+    )
+    wg = (
+        v.join(F.broadcast(tot), "feature")
+        .select(
+            "feature",
+            F.expr(
+                "(n_v * n_v - ss) * 1000000 div (n_v * n)"
+            ).alias("contrib"),
+        )
+        .groupBy("feature")
+        .agg(
+            F.count("*").alias("n_values"),
+            F.sum("contrib").alias("wgini_micro"),
+        )
+    )
+    return wg.join(par, "feature").selectExpr(
+        "feature",
+        "CAST(n_values AS BIGINT) AS n_values",
+        "CAST(wgini_micro AS BIGINT) AS wgini_micro",
+        "CAST(parent_gini_micro AS BIGINT) AS parent_gini_micro",
+        "CAST(parent_gini_micro - wgini_micro AS BIGINT)"
+        " AS reduction_micro",
+    )

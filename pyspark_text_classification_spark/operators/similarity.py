@@ -1529,3 +1529,122 @@ def similarity_kmeans_iter3(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid_val"),
     )
     return _finalize(out, e)
+
+
+# --- farthest-first k-center initialization ----------------------------------
+# Integer squared distance between quantized vectors: |q| <= 2^21 =>
+# diff^2 <= 2^44, 64-dim sum <= 2^50 — exact int64, no float anywhere.
+_SQL_QVEC = (
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+    f" * {float(QUANT_SCALE)}) AS BIGINT))"
+)
+_SQL_IDIST = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+    "range(1, length({a}) + 1),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (acc, q) -> acc + q)"
+)
+KC_ROUNDS = 3
+
+
+@query(
+    "similarity_kcenter_init",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_SQL_QVEC} AS q FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, q AS cq FROM e ORDER BY vec_id LIMIT 1),
+    d1 AS (
+      SELECT e.vec_id, e.q,
+             {_SQL_IDIST.format(a="e.q", b="c0.cq")} AS d
+      FROM e CROSS JOIN c0
+    ),
+    c1 AS (SELECT vec_id AS cid, q AS cq, d FROM d1
+           ORDER BY d DESC, vec_id LIMIT 1),
+    d2 AS (
+      SELECT d1.vec_id,
+             least(d1.d, {_SQL_IDIST.format(a="d1.q", b="c1.cq")}) AS d
+      FROM d1 CROSS JOIN c1
+    ),
+    c2 AS (SELECT vec_id AS cid, d FROM d2 ORDER BY d DESC, vec_id LIMIT 1)
+    SELECT 0 AS round, (SELECT cid FROM c0) AS center_id,
+           CAST(0 AS BIGINT) AS sep_dist
+    UNION ALL
+    SELECT 1, (SELECT cid FROM c1), (SELECT d FROM c1)
+    UNION ALL
+    SELECT 2, (SELECT cid FROM c2), (SELECT d FROM c2)
+    """,
+)
+def similarity_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy farthest-first traversal (Gonzalez 1985; the k-center /
+    k-means++-style seeding): start from the lowest vec_id, then
+    {KC_ROUNDS - 1} rounds of "add the point farthest from the chosen
+    set" — the deterministic seeding step ahead of the Lloyd loop
+    (similarity_kmeans_step / _iter3 use a positional sample; this is
+    the quality-seeking alternative, and Gonzalez proves it 2-optimal
+    for the k-center objective).
+
+    Distances are integer squared L2 over 2^20-quantized components
+    (exact int64 by the bound in _SQL_IDIST's comment), so every argmax
+    is a total order (d desc, vec_id) — bit-reproducible.  Scale: each
+    round broadcasts ONE new center into a full-scan min-update and
+    takes a global top-1 (TakeOrdered, no window, no shuffle of the
+    corpus) — the k-means|| oversampling shape with per-round work
+    O(n*dim); the running min-distance column is the only state carried
+    between rounds, checkpointed like the Lloyd loop's centroids."""
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.transform(
+            _as_double_vec(), lambda x: F.floor(x * float(QUANT_SCALE)).cast("long")
+        ).alias("q"),
+    )
+    idist = (
+        lambda a, b: F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+    )
+    c0 = e.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    d1 = (
+        e.crossJoin(F.broadcast(c0))
+        .select("vec_id", "q", idist(F.col("q"), F.col("cq")).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    c1 = d1.orderBy(F.col("d").desc(), "vec_id").limit(1).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq"),
+        F.col("d").alias("cd"),
+    )
+    d2 = (
+        d1.crossJoin(F.broadcast(c1))
+        .select(
+            "vec_id",
+            F.least(F.col("d"), idist(F.col("q"), F.col("cq"))).alias("d"),
+        )
+    )
+    c2 = d2.orderBy(F.col("d").desc(), "vec_id").limit(1)
+    out = (
+        c0.select(
+            F.lit(0).alias("round"),
+            F.col("cid").alias("center_id"),
+            F.lit(0).cast("long").alias("sep_dist"),
+        )
+        .unionByName(
+            c1.select(
+                F.lit(1).alias("round"),
+                F.col("cid").alias("center_id"),
+                F.col("cd").alias("sep_dist"),
+            )
+        )
+        .unionByName(
+            c2.select(
+                F.lit(2).alias("round"),
+                F.col("vec_id").alias("center_id"),
+                F.col("d").alias("sep_dist"),
+            )
+        )
+    )
+    return _finalize(out.selectExpr(
+        "CAST(round AS INT) AS round",
+        "CAST(center_id AS BIGINT) AS center_id",
+        "CAST(sep_dist AS BIGINT) AS sep_dist",
+    ), d1)

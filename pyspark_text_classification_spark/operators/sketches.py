@@ -646,3 +646,175 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_reg_diff",
         )
     )
+
+
+# --- Bloom filter with measured false-positive rate --------------------------
+BLOOM_BITS = 1 << 15          # m = 32768 bits
+BLOOM_WORDS = BLOOM_BITS // 32  # 32-bit words in BIGINT: shifts stay < 63 (DuckDB checks 1<<63)
+BLOOM_K = 3                   # hash functions
+BLOOM_PROBES = 5_000          # synthetic non-member probe universe
+_brng = random.Random(20260815)
+BLOOM_PARAMS: list[tuple[int, int]] = [
+    (_brng.randrange(1, HASH_MOD), _brng.randrange(0, HASH_MOD))
+    for _ in range(BLOOM_K)
+]
+
+
+def _bloom_pos_sql(j: int) -> str:
+    a, b = BLOOM_PARAMS[j]
+    return f"(({a} * h + {b}) % {HASH_MOD}) % {BLOOM_BITS}"
+
+
+@query(
+    "sketch_bloom_fpp",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS ts FROM documents WHERE lang = 'en'
+    ),
+    members AS (
+      SELECT DISTINCT unnest(list_transform(range(1, length(ts)),
+        i -> ts[i] || ' ' || ts[i + 1])) AS key
+      FROM toks
+    ),
+    mh AS (SELECT key, {sql_char_poly_hash('key')} AS h FROM members),
+    mbits AS (
+      {" UNION ALL ".join(
+          f"SELECT {_bloom_pos_sql(j)} AS pos FROM mh"
+          for j in range(BLOOM_K)
+      )}
+    ),
+    sketch AS (
+      SELECT pos // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS wval
+      FROM mbits GROUP BY 1
+    ),
+    probes AS (
+      SELECT 'pk_' || CAST(i AS VARCHAR) AS key
+      FROM (SELECT unnest(range({BLOOM_PROBES})) AS i) ri
+    ),
+    neg AS (
+      SELECT p.key, {sql_char_poly_hash('p.key')} AS h
+      FROM probes p WHERE p.key NOT IN (SELECT key FROM members)
+    ),
+    pbits AS (
+      {" UNION ALL ".join(
+          f"SELECT key, {_bloom_pos_sql(j)} AS pos FROM neg"
+          for j in range(BLOOM_K)
+      )}
+    ),
+    hits AS (
+      SELECT p.key,
+             CASE WHEN s.wval IS NOT NULL
+                   AND (s.wval & (CAST(1 AS BIGINT)
+                                  << CAST(p.pos % 32 AS INT))) <> 0
+                  THEN 1 ELSE 0 END AS hit
+      FROM pbits p LEFT JOIN sketch s ON s.word = p.pos // 32
+    ),
+    fp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_false_pos
+      FROM (SELECT key FROM hits GROUP BY key
+            HAVING sum(hit) = {BLOOM_K}) fq
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM members) AS n_members,
+      (SELECT CAST(count(*) AS BIGINT) FROM neg) AS n_neg,
+      (SELECT n_false_pos FROM fp) AS n_false_pos,
+      (SELECT CAST(sum(bit_count(wval)) AS BIGINT) FROM sketch)
+        AS n_bits_set,
+      (SELECT n_false_pos FROM fp) * 1000000
+        // (SELECT count(*) FROM neg) AS fpp_micro
+    """,
+)
+def sketch_bloom_fpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter (Bloom, CACM 1970) built as a relational program —
+    m = {BLOOM_BITS} bits as {BLOOM_WORDS} int64 words via a bit_or
+    aggregate, k = {BLOOM_K} poly-hash functions — with its
+    false-positive rate MEASURED: insert the English bigram vocabulary
+    (the corpus shares its unigram vocab across languages, so bigrams
+    are the smallest key space with real structure), probe a
+    deterministic {BLOOM_PROBES}-key universe disjoint from the member
+    set (anti-join enforced, not assumed), and count probes whose
+    {BLOOM_K} bits all land on set positions.  dedup_bloom_filter uses
+    Spark's opaque built-in; here the sketch STATE itself is
+    oracle-verified and the empirical FPP becomes a tracked number.
+
+    Everything is integer bit arithmetic: positions from embedded
+    (a*h + b) mod p permutations, words OR-combined (bit_or is
+    algebraic — map-side combinable and mergeable across shards, the
+    property that keeps a Bloom side-filter one broadcast no matter
+    the corpus size), probes checked with AND masks, popcounts on
+    identical two's-complement words.  The filter is {BLOOM_WORDS}
+    longs regardless of input scale; the member scan is one
+    map-side-combined distinct over in-row generated shingles."""
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    )
+    ts = tokenize("text", 2)
+    members = (
+        docs.select(ts.alias("ts"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(ts) - 1, 0)),"
+                    " i -> concat(ts[i - 1], ' ', ts[i]))"
+                )
+            ).alias("key")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    mh = members.select("key", char_poly_hash("key").alias("h"))
+    pos_exprs = [F.expr(_bloom_pos_sql(j)) for j in range(BLOOM_K)]
+    mbits = mh.select(F.explode(F.array(*pos_exprs)).alias("pos"))
+    sketch = (
+        mbits.groupBy(F.expr("pos div 32").alias("word"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT),"
+                " CAST(pos % 32 AS INT)))"
+            ).alias("wval")
+        )
+        .localCheckpoint(eager=True)
+    )
+    probes = spark.range(BLOOM_PROBES).select(
+        F.concat(F.lit("pk_"), F.col("id").cast("string")).alias("key")
+    )
+    neg = probes.join(members, "key", "left_anti").select(
+        "key", char_poly_hash("key").alias("h")
+    )
+    pbits = neg.select("key", F.explode(F.array(*pos_exprs)).alias("pos"))
+    hits = pbits.join(
+        F.broadcast(sketch), F.expr("pos div 32") == F.col("word"), "left"
+    ).select(
+        "key",
+        F.expr(
+            "CASE WHEN wval IS NOT NULL AND (wval &"
+            " shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))) <> 0"
+            " THEN 1 ELSE 0 END"
+        ).alias("hit"),
+    )
+    fp = (
+        hits.groupBy("key")
+        .agg(F.sum("hit").alias("nh"))
+        .filter(F.col("nh") == BLOOM_K)
+        .agg(F.count("*").alias("n_false_pos"))
+    )
+    n_members = members.agg(F.count("*").alias("n_members"))
+    n_neg_df = neg.agg(F.count("*").alias("n_neg"))
+    n_bits = sketch.agg(F.sum(F.bit_count("wval")).alias("n_bits_set"))
+    out = (
+        n_members.crossJoin(F.broadcast(n_neg_df))
+        .crossJoin(F.broadcast(fp))
+        .crossJoin(F.broadcast(n_bits))
+        .selectExpr(
+            "CAST(n_members AS BIGINT) AS n_members",
+            "CAST(n_neg AS BIGINT) AS n_neg",
+            "CAST(n_false_pos AS BIGINT) AS n_false_pos",
+            "CAST(n_bits_set AS BIGINT) AS n_bits_set",
+            "CAST(n_false_pos * 1000000 div n_neg AS BIGINT) AS fpp_micro",
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    for c in (members, sketch):
+        c.unpersist()
+    return out
