@@ -206,6 +206,17 @@ HEADLINE = [
     "events_pattern_search",
     "dedup_fuzzy_names",
     "multimodal_shot_boundaries",
+    # round-5 additions
+    "events_autocorr_lag",
+    "events_cusum_changepoint",
+    "events_allen_relations",
+    "graph_boruvka_step",
+    "graph_clustering_coeff",
+    "retrieval_rrf_fusion",
+    "retrieval_ndcg_eval",
+    "ml_gini_feature_rank",
+    "similarity_kcenter_init",
+    "sketch_bloom_fpp",
 ]
 
 
