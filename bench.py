@@ -217,6 +217,8 @@ HEADLINE = [
     "ml_gini_feature_rank",
     "similarity_kcenter_init",
     "sketch_bloom_fpp",
+    "events_mann_kendall",
+    "ml_mcc_eval",
 ]
 
 

@@ -354,3 +354,100 @@ def ml_gini_feature_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(parent_gini_micro - wgini_micro AS BIGINT)"
         " AS reduction_micro",
     )
+
+
+# --- Matthews correlation coefficient ------------------------------------------
+MCC_CHARS_THRESHOLD = 1000  # stand-in predictor: n_chars >= this => 'en'
+
+
+@query(
+    "ml_mcc_eval",
+    oracle=f"""
+    WITH conf AS (
+      SELECT
+        CAST(sum(CASE WHEN pred = 1 AND act = 1 THEN 1 ELSE 0 END)
+             AS HUGEINT) AS tp,
+        CAST(sum(CASE WHEN pred = 1 AND act = 0 THEN 1 ELSE 0 END)
+             AS HUGEINT) AS fp,
+        CAST(sum(CASE WHEN pred = 0 AND act = 0 THEN 1 ELSE 0 END)
+             AS HUGEINT) AS tn,
+        CAST(sum(CASE WHEN pred = 0 AND act = 1 THEN 1 ELSE 0 END)
+             AS HUGEINT) AS fn
+      FROM (
+        SELECT CASE WHEN n_chars >= {MCC_CHARS_THRESHOLD} THEN 1 ELSE 0
+               END AS pred,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS act
+        FROM documents
+      ) px
+    ),
+    m AS (
+      SELECT tp, fp, tn, fn,
+             tp * tn - fp * fn AS num,
+             (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) AS den
+      FROM conf
+    )
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+           CAST(CASE WHEN den = 0 THEN 0
+                     WHEN num < 0 THEN -((num * num * 1000000) // den)
+                     ELSE (num * num * 1000000) // den
+                END AS BIGINT) AS mcc2_signed_micro
+    FROM m
+    """,
+)
+def ml_mcc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient (Matthews 1975) of a binary
+    classifier against the is-English label, reported sqrt-free as
+    sign * MCC^2 in micro-units (the events_autocorr_lag convention):
+    MCC^2 = (tp*tn - fp*fn)^2 / ((tp+fp)(tp+fn)(tn+fp)(tn+fn)), exact
+    integers end to end — the chance-robust single-number evaluation
+    that accuracy isn't on imbalanced corpora (ml_eval_confusion and
+    the NB confusions report raw cells; this is the derived scalar).
+
+    The predictor here is the fixed length-threshold stand-in
+    (n_chars >= {MCC_CHARS_THRESHOLD}); any boolean prediction column
+    drops in.  One map-side-combined aggregate builds the confusion
+    (4 conditional sums, no shuffle beyond the 1-row combine), and the
+    den product (~n^4) runs in DECIMAL(38,0)/HUGEINT — int64 would wrap
+    at ~55k rows, DECIMAL holds to ~1e9 rows per evaluation shard
+    (shard the eval and merge cells first at larger n)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d38 = "decimal(38,0)"
+    px = docs.select(
+        F.expr(
+            f"CASE WHEN n_chars >= {MCC_CHARS_THRESHOLD} THEN 1 ELSE 0 END"
+        ).alias("pred"),
+        F.expr("CASE WHEN lang = 'en' THEN 1 ELSE 0 END").alias("act"),
+    )
+    conf = px.agg(
+        F.sum(F.expr("CASE WHEN pred = 1 AND act = 1 THEN 1 ELSE 0 END"))
+        .cast(d38)
+        .alias("tp"),
+        F.sum(F.expr("CASE WHEN pred = 1 AND act = 0 THEN 1 ELSE 0 END"))
+        .cast(d38)
+        .alias("fp"),
+        F.sum(F.expr("CASE WHEN pred = 0 AND act = 0 THEN 1 ELSE 0 END"))
+        .cast(d38)
+        .alias("tn"),
+        F.sum(F.expr("CASE WHEN pred = 0 AND act = 1 THEN 1 ELSE 0 END"))
+        .cast(d38)
+        .alias("fn"),
+    )
+    m = conf.selectExpr(
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        "tp * tn - fp * fn AS num",
+        "(tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) AS den",
+    )
+    return m.selectExpr(
+        "CAST(tp AS BIGINT) AS tp",
+        "CAST(fp AS BIGINT) AS fp",
+        "CAST(tn AS BIGINT) AS tn",
+        "CAST(fn AS BIGINT) AS fn",
+        "CAST(CASE WHEN den = 0 THEN 0"
+        " WHEN num < 0 THEN -((num * num * 1000000) div den)"
+        " ELSE (num * num * 1000000) div den END AS BIGINT)"
+        " AS mcc2_signed_micro",
+    )

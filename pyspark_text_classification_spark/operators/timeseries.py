@@ -407,3 +407,150 @@ def events_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "relation",
         "CAST(n_sessions AS BIGINT) AS n_sessions",
     )
+
+
+# --- Mann-Kendall trend test --------------------------------------------------
+DAY_US = 86_400_000_000
+
+_SQL_DAILY = f"""
+    evd AS (SELECT event_type, {SQL_TS_US} // {DAY_US} AS d FROM events),
+    db AS (SELECT min(d) AS d0, max(d) AS d1 FROM evd),
+    dgrid AS (SELECT unnest(range(d0, d1 + 1)) AS d FROM db),
+    dtypes AS (SELECT DISTINCT event_type FROM evd),
+    dcnt AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS y
+             FROM evd GROUP BY 1, 2),
+    dseries AS (
+      SELECT t.event_type, g.d, COALESCE(c.y, 0) AS y
+      FROM dtypes t CROSS JOIN dgrid g
+      LEFT JOIN dcnt c ON c.event_type = t.event_type AND c.d = g.d
+    )
+"""
+
+
+@query(
+    "events_mann_kendall",
+    oracle=f"""
+    WITH {_SQL_DAILY},
+    pairs AS (
+      SELECT a.event_type,
+             CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+                  ELSE 0 END AS sgn
+      FROM dseries a JOIN dseries b
+        ON b.event_type = a.event_type AND b.d > a.d
+    ),
+    s AS (
+      SELECT event_type, CAST(sum(sgn) AS HUGEINT) AS s_stat
+      FROM pairs GROUP BY 1
+    ),
+    nn AS (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS n
+      FROM dseries GROUP BY 1
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS HUGEINT) AS tie_term
+      FROM (
+        SELECT event_type, CAST(count(*) AS HUGEINT) AS t
+        FROM dseries GROUP BY event_type, y
+      ) tg GROUP BY 1
+    ),
+    v AS (
+      SELECT nn.event_type, nn.n, s.s_stat,
+             nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term AS var18
+      FROM nn JOIN s ON s.event_type = nn.event_type
+      JOIN ties ON ties.event_type = nn.event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           CAST(var18 AS BIGINT) AS var18,
+           CASE WHEN s_stat > 0 THEN 'increasing'
+                WHEN s_stat < 0 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend,
+           CAST(CASE WHEN var18 = 0 OR abs(s_stat) < 1 THEN 0
+                     ELSE (abs(s_stat) - 1) * (abs(s_stat) - 1) * 18000
+                          // var18 END AS BIGINT) AS zsq_milli
+    FROM v
+    """,
+)
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test (Mann 1945; Kendall 1975) on the
+    gap-filled DAILY count series per event type: S = sum over day
+    pairs i<j of sign(y_j - y_i), the tie-corrected variance times 18
+    (kept as the exact integer var18 = n(n-1)(2n+5) - sum t(t-1)(2t+5)),
+    and the continuity-corrected squared z statistic in milli-units
+    ((|S|-1)^2 * 18000 // var18 — the sqrt-free twin, same convention
+    as events_autocorr_lag's signed r^2).
+
+    The pair join is per-type over the WALL-CLOCK-bounded daily grid
+    (a decade is 3650 days -> 6.7M sign pairs per type, independent of
+    input row count; the per-day aggregate underneath is map-side
+    combined at fact scale), signs are a CASE shared verbatim by both
+    engines, and every accumulation runs in DECIMAL(38,0)/HUGEINT."""
+    ev = fan_out(load_table(spark, sf_dir, "events")).select(
+        "event_type", (ts_us() / DAY_US).cast("long").alias("d")
+    )
+    dcnt = ev.groupBy("event_type", "d").agg(F.count("*").alias("y"))
+    db = ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    dgrid = db.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d")
+    )
+    dtypes = ev.select("event_type").distinct()
+    dseries = (
+        dtypes.crossJoin(F.broadcast(dgrid))
+        .join(dcnt, ["event_type", "d"], "left")
+        .select(
+            "event_type", "d", F.coalesce(F.col("y"), F.lit(0)).alias("y")
+        )
+        .localCheckpoint(eager=True)  # bounded grid, consumed 3x below
+    )
+    d38 = "decimal(38,0)"
+    a = dseries.alias("a")
+    b = dseries.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.d") > F.col("a.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.expr(
+            "CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1"
+            " ELSE 0 END"
+        ).alias("sgn"),
+    )
+    s = pairs.groupBy("event_type").agg(
+        F.sum("sgn").cast(d38).alias("s_stat")
+    )
+    nn = dseries.groupBy("event_type").agg(F.count("*").cast(d38).alias("n"))
+    ties = (
+        dseries.groupBy("event_type", "y")
+        .agg(F.count("*").cast(d38).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.expr("t * (t - 1) * (2 * t + 5)")
+            ).alias("tie_term")
+        )
+    )
+    v = (
+        nn.join(s, "event_type")
+        .join(ties, "event_type")
+        .withColumn(
+            "var18",
+            F.expr("n * (n - 1) * (2 * n + 5) - tie_term"),
+        )
+    )
+    out = v.selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n_days",
+        "CAST(s_stat AS BIGINT) AS s_stat",
+        "CAST(var18 AS BIGINT) AS var18",
+        "CASE WHEN s_stat > 0 THEN 'increasing'"
+        " WHEN s_stat < 0 THEN 'decreasing'"
+        " ELSE 'no_trend' END AS trend",
+        "CAST(CASE WHEN var18 = 0 OR abs(s_stat) < 1 THEN 0"
+        " ELSE (abs(s_stat) - 1) * (abs(s_stat) - 1) * 18000"
+        " div var18 END AS BIGINT) AS zsq_milli",
+    ).localCheckpoint(eager=True)
+    dseries.unpersist()
+    return out
