@@ -520,6 +520,8 @@ def test_trained_codebook_matches_cold_build(spark, sf_dir):
     """The session-cached PQ codebook is row-identical to an uncached
     pq_codebook_refined build — the cache is a pure materialization."""
     from pyspark_text_classification_spark.operators.pq import (
+        PQ_K,
+        PQ_M,
         _quantized,
         pq_codebook_refined,
         trained_codebook,
@@ -537,4 +539,4 @@ def test_trained_codebook_matches_cold_build(spark, sf_dir):
         (r.m, r.code_id): tuple(r.cq)
         for r in pq_codebook_refined(_quantized(spark, sf_dir)).collect()
     }
-    assert cached == cold and len(cached) == 1024
+    assert cached == cold and len(cached) == PQ_M * PQ_K
