@@ -787,3 +787,50 @@ def test_round4_additions_plan_shapes(spark, sf_dir):
     assert uses_broadcast_join(chi2)
     ov = formatted_plan(QUERIES["events_interval_overlap"](spark, sf_dir))
     assert "TakeOrderedAndProject" in ov
+
+
+def test_round5_additions_plan_shapes(spark, sf_dir):
+    """Round-5 contracts: the time-series grids and the Allen/NDCG/RRF
+    joins broadcast their small sides (no shuffle joins of bounded
+    series against facts); k-center assignment never shuffles the
+    corpus (broadcast single-center rows only); Boruvka/coefficients
+    stay on the bounded backbone with no CartesianProduct; the
+    clustering-coefficient top-k is TakeOrdered, not a global window."""
+    from pyspark_text_classification_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    for name in (
+        "events_autocorr_lag",
+        "events_cusum_changepoint",
+        "events_allen_relations",
+        "events_mann_kendall",
+        "graph_boruvka_step",
+        "graph_clustering_coeff",
+        "retrieval_rrf_fusion",
+        "retrieval_ndcg_eval",
+        "ml_gini_feature_rank",
+        "ml_mcc_eval",
+        "similarity_kcenter_init",
+        "sketch_bloom_fpp",
+    ):
+        plan = formatted_plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+
+    # k-center: corpus-side scan is joined only by broadcast (the
+    # 1-row center tables); any shuffle join would mean the corpus
+    # moved to be assigned.
+    kc = formatted_plan(QUERIES["similarity_kcenter_init"](spark, sf_dir))
+    for bad in ("SortMergeJoin", "ShuffledHashJoin"):
+        assert bad not in kc, kc
+
+    # clustering coefficient: bounded top-k via TakeOrdered, no global
+    # row_number window.
+    cc = formatted_plan(QUERIES["graph_clustering_coeff"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in cc, cc
+
+    # MCC/Gini: pure aggregates — no joins against anything unbounded
+    # (Gini's only joins are the broadcast per-feature totals).
+    mcc = formatted_plan(QUERIES["ml_mcc_eval"](spark, sf_dir))
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert bad not in mcc, mcc
