@@ -219,6 +219,7 @@ HEADLINE = [
     "sketch_bloom_fpp",
     "events_mann_kendall",
     "ml_mcc_eval",
+    "events_stream_cusum",
 ]
 
 

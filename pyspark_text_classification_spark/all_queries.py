@@ -51,6 +51,7 @@ import pyspark_text_classification_spark.operators.udtfs  # noqa: F401
 import pyspark_text_classification_spark.streaming.funnel  # noqa: F401
 import pyspark_text_classification_spark.streaming.pattern  # noqa: F401
 import pyspark_text_classification_spark.operators.timeseries  # noqa: F401
+import pyspark_text_classification_spark.streaming.cusum  # noqa: F401
 from pyspark_text_classification_spark.registry import ORACLES, QUERIES  # noqa: F401
 
 # --- Driver-sweep ordering -------------------------------------------------

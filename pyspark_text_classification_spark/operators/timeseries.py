@@ -66,17 +66,18 @@ _SQL_SERIES = f"""
 """
 
 
-def _hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of _SQL_SERIES: the gap-filled (event_type, h, y) grid."""
-    ev = fan_out(load_table(spark, sf_dir, "events")).select(
-        "event_type", (ts_us() / HOUR_US).cast("long").alias("h")
-    )
-    cnt = ev.groupBy("event_type", "h").agg(F.count("*").alias("y"))
-    b = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+def series_from_counts(cnt: DataFrame) -> DataFrame:
+    """Gap-fill an (event_type, h, y) hourly-count table onto the full
+    contiguous [min h, max h] grid x distinct types — shared by the
+    batch queries and the streaming CUSUM twin (which drains the same
+    counts from a complete-mode stream aggregate).  The grid bounds
+    derive from the counts themselves (identical to deriving them from
+    the raw rows: every observed hour has a count row)."""
+    b = cnt.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     grid = b.select(
         F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
     )
-    types = ev.select("event_type").distinct()
+    types = cnt.select("event_type").distinct()
     return (
         types.crossJoin(F.broadcast(grid))
         .join(cnt, ["event_type", "h"], "left")
@@ -84,6 +85,19 @@ def _hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "h", F.coalesce(F.col("y"), F.lit(0)).alias("y")
         )
     )
+
+
+def hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, h, y): observed hourly event counts (no gap fill)."""
+    ev = fan_out(load_table(spark, sf_dir, "events")).select(
+        "event_type", (ts_us() / HOUR_US).cast("long").alias("h")
+    )
+    return ev.groupBy("event_type", "h").agg(F.count("*").alias("y"))
+
+
+def _hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _SQL_SERIES: the gap-filled (event_type, h, y) grid."""
+    return series_from_counts(hourly_counts(spark, sf_dir))
 
 
 @query(
@@ -236,7 +250,13 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data ingest feed.  One running-sum window per type over
     the BOUNDED hour grid (wall-clock hours, not input rows), then a
     (|S| desc, t asc) top-1 — no global window anywhere."""
-    series = _hourly_series(spark, sf_dir)
+    return cusum_peak(_hourly_series(spark, sf_dir))
+
+
+def cusum_peak(series: DataFrame) -> DataFrame:
+    """The CUSUM peak reduction over a gap-filled (event_type, h, y)
+    series — shared verbatim by the batch query and the streaming twin
+    so both are held to the identical statistic definition."""
     d38 = "decimal(38,0)"
     wrun = Window.partitionBy("event_type").orderBy("h")
     wall = Window.partitionBy("event_type")

@@ -64,6 +64,7 @@ EAGER_QUERIES = {
     "sketch_stream_cms", "events_stream_scd2", "source_python_stream",
     "dedup_stream_ingest", "events_stream_funnel",
     "events_stream_funnel_windowed", "events_stream_pattern_alert",
+    "events_stream_cusum",
     "ml_pca_power_iter",  # driver-loop iterate with bounded 64-row collects
     "pipeline_observed_metrics",  # Observation.get blocks on its action
     "graph_kcore_peel",  # driver-loop peeling with per-round checkpoints

@@ -944,3 +944,75 @@ def test_pattern_alert_window_spans_batches(spark, tmp_path):
     # exactly one alert: user 1's full window, completing at event 107,
     # exact match (d2 = 0) — discovered in batch 2 from carried state
     assert got == [(1, 107, 0)]
+
+
+def test_stream_cusum_counts_merge_across_batches(spark, sf_dir, tmp_path):
+    """Streaming CUSUM: with the event log split across two
+    micro-batches, the complete-mode hourly counts must equal the batch
+    counts over the union (the algebraic-aggregate property the monitor
+    rests on), and the shared peak reduction over them must equal the
+    batch CUSUM row for row."""
+    import uuid
+
+    from pyspark_text_classification_spark.operators.timeseries import (
+        cusum_peak,
+        series_from_counts,
+    )
+    from pyspark_text_classification_spark.sources.parquet import load_table
+    from pyspark_text_classification_spark.streaming.cusum import (
+        hourly_counts_frame,
+    )
+    from pyspark_text_classification_spark.streaming.events import (
+        EVENTS_STREAM_SCHEMA,
+    )
+
+    import pyarrow.parquet as pq
+
+    ev = load_table(spark, sf_dir, "events")
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    d = tmp_path / "events_stream"
+    os.makedirs(d)
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half), str(d / "a_first.parquet"))
+    pq.write_table(tbl.slice(half), str(d / "b_second.parquet"))
+    now = time.time()
+    os.utime(d / "a_first.parquet", (now - 100, now - 100))
+    os.utime(d / "b_second.parquet", (now, now))
+
+    src = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    sink = f"cusum_mb_{uuid.uuid4().hex[:8]}"
+    q = (
+        hourly_counts_frame(src)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    drained = spark.table(sink).localCheckpoint(eager=True)
+    got_counts = {
+        (r["event_type"], r["h"]): r["y"] for r in drained.collect()
+    }
+    want_counts = {
+        (r["event_type"], r["h"]): r["y"]
+        for r in hourly_counts_frame(ev).collect()
+    }
+    assert got_counts == want_counts
+
+    got = sorted(
+        tuple(r) for r in cusum_peak(series_from_counts(drained)).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in cusum_peak(
+            series_from_counts(hourly_counts_frame(ev))
+        ).collect()
+    )
+    assert got == want and len(got) > 0
