@@ -42,6 +42,7 @@ PANDAS_QUERIES = {
     "ml_infer_batch", "ml_calibration_bins", "multimodal_byte_features",
     "multimodal_frame_sample", "multimodal_resize", "multimodal_embed_topk",
     "multimodal_shot_boundaries",  # frame-feature decode stage
+    "multimodal_audio_energy_vad",  # sample-decode stage (declared codec)
     "pipeline_global_rank",  # declared Arrow enumerate-sorted-partitions stage
     "q41_customer_rfm",  # three total_order_rank enumerate stages (no window)
 }
