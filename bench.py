@@ -334,6 +334,9 @@ def main() -> None:
     ivf_pq_recall = _recall_of("similarity_ivf_pq_recall")
     rerank_recall = _recall_of("similarity_rerank_recall")
     knn_accuracy = _metric_of("similarity_knn_classify", "accuracy")
+    # Bloom false-positive rate in micro-units: a quality tripwire like
+    # the recalls — a hash-family or sizing regression shows up here.
+    bloom_fpp = _metric_of("sketch_bloom_fpp", "fpp_micro")
 
     # The grading driver keeps only the TAIL of stdout and front-truncates
     # long lines; round 2's single ~100-query JSON line lost its front
@@ -352,6 +355,7 @@ def main() -> None:
                 "ivf_pq_macro_recall": ivf_pq_recall,
                 "rerank_macro_recall": rerank_recall,
                 "knn_accuracy": knn_accuracy,
+                "bloom_fpp_micro": bloom_fpp,
                 "sf": sf,
             }
         )
