@@ -220,6 +220,7 @@ HEADLINE = [
     "events_mann_kendall",
     "ml_mcc_eval",
     "events_stream_cusum",
+    "events_holt_forecast",
 ]
 
 

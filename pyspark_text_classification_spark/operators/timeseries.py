@@ -574,3 +574,84 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     dseries.unpersist()
     return out
+
+
+# --- Holt linear-trend forecast ----------------------------------------------
+HOLT_LAGS = 8  # dyadic truncation depth (tail weight < 2^-8)
+
+
+def _holt_terms_sql(expr_fmt: str) -> str:
+    """Sum of dyadic-weighted lag terms via ARITHMETIC RIGHT SHIFT —
+    >> floors in BOTH engines (verified: -5 >> 1 = -3 on each), unlike
+    integer division, which truncates in Spark and floors in DuckDB and
+    so diverges on the signed trend diffs."""
+    return " + ".join(
+        f"({expr_fmt.format(j=j)} >> {j + 1})" for j in range(HOLT_LAGS)
+    )
+
+
+@query(
+    "events_holt_forecast",
+    oracle=f"""
+    WITH {_SQL_SERIES},
+    lagged AS (
+      SELECT event_type, h, y,
+             {", ".join(
+                 f"COALESCE(lag(y, {j}) OVER w, 0) AS l{j}"
+                 for j in range(HOLT_LAGS + 1)
+             )}
+      FROM series
+      WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    ),
+    sm AS (
+      SELECT event_type, h, y,
+             {_holt_terms_sql("l{j}")} AS level_s,
+             {" + ".join(
+                 f"((l{j} - l{j + 1}) >> {j + 1})" for j in range(HOLT_LAGS)
+             )} AS trend_s
+      FROM lagged
+    )
+    SELECT event_type, h, y,
+           CAST(level_s AS BIGINT) AS level_s,
+           CAST(trend_s AS BIGINT) AS trend_s,
+           CAST(level_s + trend_s AS BIGINT) AS forecast_next
+    FROM sm
+    """,
+)
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing (Holt 1957) as a
+    TRUNCATED DYADIC CONVOLUTION over the gap-filled hourly series:
+    level_t = sum_j y_(t-j) >> (j+1) (alpha = 1/2, {HOLT_LAGS} lags,
+    tail weight < 2^-{HOLT_LAGS}), trend_t = the same smoothing over
+    first differences, forecast_(t+1) = level_t + trend_t — the
+    recursive Holt form is sequential and float-fragile (the same
+    argument events_ewma_smooth makes); the windowed convolution is
+    one WindowExec per type and bit-identical cross-engine because
+    every weight is an ARITHMETIC SHIFT (>> floors identically in both
+    engines even on the signed trend diffs — integer div would not).
+
+    The per-(type, hour) forecast next to its actual is the backtest
+    table a capacity-planning monitor tracks.  Scale: all
+    {HOLT_LAGS + 1} lag columns share ONE window spec over the
+    wall-clock-bounded grid."""
+    series = _hourly_series(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("h")
+    lag_cols = [
+        F.coalesce(F.lag("y", j).over(w), F.lit(0)).alias(f"l{j}")
+        for j in range(HOLT_LAGS + 1)
+    ]
+    lagged = series.select("event_type", "h", "y", *lag_cols)
+    level = " + ".join(
+        f"(l{j} >> {j + 1})" for j in range(HOLT_LAGS)
+    )
+    trend = " + ".join(
+        f"((l{j} - l{j + 1}) >> {j + 1})" for j in range(HOLT_LAGS)
+    )
+    return lagged.selectExpr(
+        "event_type",
+        "h",
+        "y",
+        f"CAST({level} AS BIGINT) AS level_s",
+        f"CAST({trend} AS BIGINT) AS trend_s",
+        f"CAST(({level}) + ({trend}) AS BIGINT) AS forecast_next",
+    )
