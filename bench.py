@@ -221,6 +221,7 @@ HEADLINE = [
     "ml_mcc_eval",
     "events_stream_cusum",
     "events_holt_forecast",
+    "pipeline_ivm_merge",
 ]
 
 

@@ -1486,3 +1486,80 @@ def pipeline_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_seen LONG, sum_qty_fl LONG, n_returned LONG, n_pass LONG,"
         " pass_price_c LONG",
     )
+
+
+# --- incremental view maintenance (partial-aggregate merge) -------------------
+IVM_CUTOFF = "1999-01-01"  # base/delta split inside the data's date range
+
+
+@query(
+    "pipeline_ivm_merge",
+    oracle="""
+    SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+             AS yyyymm,
+           CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount))
+                               * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_c,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount))
+                               * 100.0 + 0.5) AS BIGINT))
+                // count(*) AS BIGINT) AS avg_rev_c
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def pipeline_ivm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of the monthly revenue rollup: the
+    BASE partition (shipped before {IVM_CUTOFF}) and the DELTA
+    partition are aggregated SEPARATELY and merged by summing partial
+    states — sum merges by +, count by +, avg re-derives from the
+    merged sums (the algebraic-aggregate decomposition every IVM /
+    materialized-view engine rests on, e.g. Gupta & Mumick's classic
+    survey, SIGMOD Record 1995).  The oracle is the FULL recompute
+    over base + delta, so the hash match IS the proof that
+    merge(agg(base), agg(delta)) = agg(base + delta) under this
+    engine's quantization.
+
+    At 100 TB this is the nightly pattern: yesterday's view state is a
+    few thousand (month, sums) rows; only the delta partition is
+    scanned, and the merge is a groupBy over view-grain rows.  Both
+    sub-aggregates here are map-side-combined int64-cents sums; the
+    merge shuffles view-grain rows only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.floor(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        * 100.0
+        + F.lit(0.5)
+    ).cast("long")
+    keyed = li.select(
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+        .cast("long")
+        .alias("yyyymm"),
+        rev.alias("rev_c"),
+        F.col("l_shipdate"),
+    )
+    cutoff = F.expr(f"TIMESTAMP_NTZ'{IVM_CUTOFF} 00:00:00'")
+    base = keyed.filter(F.col("l_shipdate") < cutoff)
+    delta = keyed.filter(F.col("l_shipdate") >= cutoff)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("yyyymm").agg(
+            F.sum("rev_c").alias("revenue_c"),
+            F.count("*").alias("n_items"),
+        )
+
+    merged = (
+        partial(base)
+        .unionByName(partial(delta))
+        .groupBy("yyyymm")
+        .agg(
+            F.sum("revenue_c").alias("revenue_c"),
+            F.sum("n_items").alias("n_items"),
+        )
+    )
+    return merged.selectExpr(
+        "CAST(yyyymm AS BIGINT) AS yyyymm",
+        "CAST(revenue_c AS BIGINT) AS revenue_c",
+        "CAST(n_items AS BIGINT) AS n_items",
+        "CAST(revenue_c div n_items AS BIGINT) AS avg_rev_c",
+    )
