@@ -540,3 +540,62 @@ def test_trained_codebook_matches_cold_build(spark, sf_dir):
         for r in pq_codebook_refined(_quantized(spark, sf_dir)).collect()
     }
     assert cached == cold and len(cached) == PQ_M * PQ_K
+
+
+def test_round5_statistic_invariants(spark, sf_dir):
+    """Mathematical bounds the round-5 statistics cannot violate on ANY
+    input — cheap cross-checks beyond the oracle hash (which only
+    proves engine agreement, not sanity of the definition)."""
+    from pyspark_text_classification_spark.all_queries import QUERIES
+    from pyspark_text_classification_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_K,
+    )
+    from pyspark_text_classification_spark.operators.timeseries import (
+        N_CAMPAIGNS,
+    )
+
+    # autocorrelation: |sign * r^2| <= 1 in micro-units
+    ac = QUERIES["events_autocorr_lag"](spark, sf_dir).collect()
+    assert ac and all(abs(r["r2_signed_micro"]) <= 1_000_000 for r in ac)
+
+    # Allen: the CASE is a partition — every (session, campaign) pair
+    # classified exactly once, so counts sum to n_sessions x campaigns
+    al = QUERIES["events_allen_relations"](spark, sf_dir).collect()
+    per_campaign = {}
+    for r in al:
+        per_campaign.setdefault(r["campaign_id"], 0)
+        per_campaign[r["campaign_id"]] += r["n_sessions"]
+    assert len(per_campaign) == N_CAMPAIGNS
+    assert len(set(per_campaign.values())) == 1  # same session total each
+
+    # MCC: bounded by 1, confusion cells partition the corpus
+    mcc = QUERIES["ml_mcc_eval"](spark, sf_dir).collect()[0]
+    assert abs(mcc["mcc2_signed_micro"]) <= 1_000_000
+    from pyspark_text_classification_spark.sources.parquet import load_table
+    nd = load_table(spark, sf_dir, "documents").count()
+    assert mcc["tp"] + mcc["fp"] + mcc["tn"] + mcc["fn"] == nd
+
+    # Mann-Kendall: |S| <= n(n-1)/2
+    mk = QUERIES["events_mann_kendall"](spark, sf_dir).collect()
+    assert mk and all(
+        abs(r["s_stat"]) <= r["n_days"] * (r["n_days"] - 1) // 2 for r in mk
+    )
+
+    # Bloom: false positives bounded by negatives; set bits bounded by
+    # insertions and by the filter size
+    bl = QUERIES["sketch_bloom_fpp"](spark, sf_dir).collect()[0]
+    assert 0 <= bl["n_false_pos"] <= bl["n_neg"]
+    assert bl["n_bits_set"] <= min(BLOOM_K * bl["n_members"], BLOOM_BITS)
+
+    # k-center: the farthest-point separation is non-increasing as the
+    # chosen set grows (min-dist to a SUPERSET can't be larger)
+    kc = {
+        r["round"]: r["sep_dist"]
+        for r in QUERIES["similarity_kcenter_init"](spark, sf_dir).collect()
+    }
+    assert kc[2] <= kc[1] and kc[1] > 0
+
+    # Gini: impurity reduction is non-negative for every feature split
+    gi = QUERIES["ml_gini_feature_rank"](spark, sf_dir).collect()
+    assert len(gi) == 3 and all(r["reduction_micro"] >= -1 for r in gi)
