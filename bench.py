@@ -222,6 +222,7 @@ HEADLINE = [
     "events_stream_cusum",
     "events_holt_forecast",
     "pipeline_ivm_merge",
+    "similarity_ann_ivf_auto",
 ]
 
 

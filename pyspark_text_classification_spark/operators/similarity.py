@@ -1648,3 +1648,110 @@ def similarity_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(center_id AS BIGINT) AS center_id",
         "CAST(sep_dist AS BIGINT) AS sep_dist",
     ), d1)
+
+
+# --- IVF with corpus-sized cell count (the scale-correct variant) ------------
+IVF_AUTO_MIN_CELLS = 16
+
+
+@query(
+    "similarity_ann_ivf_auto",
+    oracle=f"""
+    WITH n AS ({_SQL_NORMED}),
+    cc AS (
+      SELECT GREATEST({IVF_AUTO_MIN_CELLS},
+                      CAST(floor(sqrt(count(*))) AS BIGINT)) AS c
+      FROM n
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+      FROM n WHERE vec_id < (SELECT c FROM cc)
+    ),
+    ac AS (
+      SELECT n.vec_id, c.cent_id,
+             {_SQL_IVF_DOT.format(a='n.v', b='c.cv')} / (n.nrm * c.cnrm) AS cos
+      FROM n CROSS JOIN cents c
+    ),
+    ranked AS (
+      SELECT vec_id, cent_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id)
+               AS rk
+      FROM ac
+    ),
+    members AS (SELECT vec_id, cent_id FROM ranked WHERE rk = 1),
+    probes  AS (SELECT vec_id, cent_id FROM ranked WHERE rk <= {IVF_NPROBE}),
+    cand AS (
+      SELECT DISTINCT p.vec_id, m.vec_id AS neighbor_id
+      FROM probes p JOIN members m
+        ON p.cent_id = m.cent_id AND p.vec_id != m.vec_id
+    ),
+    p AS (
+      SELECT c.vec_id, c.neighbor_id,
+             {_SQL_IVF_DOT.format(a='x.v', b='y.v')} / (x.nrm * y.nrm) AS cos
+      FROM cand c
+      JOIN n x ON x.vec_id = c.vec_id
+      JOIN n y ON y.vec_id = c.neighbor_id
+    )
+    {_SQL_TOPK_TAIL}
+    """,
+)
+def similarity_ann_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the cell count SIZED FROM THE CORPUS: cells =
+    max({IVF_AUTO_MIN_CELLS}, floor(sqrt(n))) — the FAISS sizing rule
+    that similarity_ann_ivf's fixed {IVF_CELLS}-cell layout deliberately
+    forgoes for a smaller oracle.  Round 5's 10x stress measured the
+    fixed layout at ~20x cost for 10x vectors (the n^2/cells self-join
+    term with cells constant); sqrt-sizing restores ~n^1.5 total work,
+    and this registered variant is the measured proof.
+
+    Everything else is the ann_ivf plan verbatim: assignment broadcasts
+    O(sqrt(n)) centroids against the corpus (50 MB at n = 1e10 — still
+    a broadcast; past that the assignment becomes a bucketed join on a
+    coarse hash of the centroid id), candidates are cell-local
+    equi-joins, nprobe = {IVF_NPROBE}.  The cell count derives from ONE
+    count(*) (floor(sqrt(exact int)) is correctly rounded identically
+    in both engines for counts < 2^52), so the twin stays
+    hash-checkable with no literal to keep in sync."""
+    e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
+    cc = e.agg(
+        F.greatest(
+            F.lit(IVF_AUTO_MIN_CELLS),
+            F.floor(F.sqrt(F.count("*").cast("double"))).cast("long"),
+        ).alias("c")
+    )
+    cents = (
+        e.crossJoin(F.broadcast(cc))
+        .filter(F.col("vec_id") < F.col("c"))
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    dot_ac = _fold_sum(F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y))
+    ac = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        (dot_ac / (F.col("nrm") * F.col("cnrm"))).alias("cos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), "cent_id"
+    )
+    ranked = ac.select(
+        "vec_id", "cent_id", F.row_number().over(w_assign).alias("rk")
+    ).persist()
+    members = ranked.filter(F.col("rk") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cent_id"
+    )
+    probes = ranked.filter(F.col("rk") <= IVF_NPROBE).select(
+        "vec_id", "cent_id"
+    )
+    cand = (
+        probes.join(members, "cent_id")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+        .distinct()
+    )
+    pairs = candidate_cosines(e, cand)
+    topk = _rank_topk(pairs)
+    return _finalize(topk, e, ranked)
