@@ -223,6 +223,7 @@ HEADLINE = [
     "events_holt_forecast",
     "pipeline_ivm_merge",
     "similarity_ann_ivf_auto",
+    "dedup_semantic_auto",
 ]
 
 

@@ -1755,3 +1755,143 @@ def similarity_ann_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = candidate_cosines(e, cand)
     topk = _rank_topk(pairs)
     return _finalize(topk, e, ranked)
+
+
+# --- SemDeDup with corpus-sized cell count (the scale-correct variant) -------
+@query(
+    "dedup_semantic_auto",
+    oracle=f"""
+    WITH n AS ({_SQL_NORMED}),
+    cc AS (
+      SELECT GREATEST({IVF_AUTO_MIN_CELLS},
+                      CAST(floor(sqrt(count(*))) AS BIGINT)) AS c
+      FROM n
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+      FROM n WHERE vec_id < (SELECT c FROM cc)
+    ),
+    ac AS (
+      SELECT n.vec_id, c.cent_id,
+             {_SQL_IVF_DOT.format(a='n.v', b='c.cv')} / (n.nrm * c.cnrm) AS cos
+      FROM n CROSS JOIN cents c
+    ),
+    members AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
+        FROM ac
+      ) WHERE rk = 1
+    ),
+    m AS (
+      SELECT members.vec_id, members.cent_id, n.v, n.nrm
+      FROM members JOIN n ON members.vec_id = n.vec_id
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id, b.cent_id
+      FROM m a JOIN m b
+        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      WHERE {sql_round_half_up(
+          _SQL_IVF_DOT.format(a='a.v', b='b.v') + ' / (a.nrm * b.nrm)', 4)}
+          >= {NEAR_DUP_THRESHOLD}
+    )
+    SELECT m.cent_id AS cell_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(dropped.vec_id) AS BIGINT) AS n_dropped,
+           CAST(count(*) - count(dropped.vec_id) AS BIGINT) AS n_kept
+    FROM m LEFT JOIN dropped
+      ON m.vec_id = dropped.vec_id AND m.cent_id = dropped.cent_id
+    GROUP BY 1
+    """,
+)
+def dedup_semantic_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the cell count SIZED FROM THE CORPUS: cells =
+    max({IVF_AUTO_MIN_CELLS}, floor(sqrt(n))) — the same FAISS-style
+    sizing rule similarity_ann_ivf_auto registered for ANN, applied to
+    dedup_semantic's fixed {IVF_CELLS}-cell layout.  SemDeDup's scale
+    story IS the cell count: pair work is sum(|cell|^2), so a fixed cell
+    count degrades toward n^2/cells as the corpus grows (the paper runs
+    ~50k clusters on LAION for exactly this reason), while cells ~ sqrt(n)
+    bounds expected in-cell pair work at ~n^1.5 total.  The cell count
+    derives from ONE count(*) inside both engines (floor(sqrt(exact
+    int)) rounds identically for counts < 2^52), so the twin stays
+    hash-checkable with no literal to keep in sync.
+
+    Plan shape is dedup_semantic verbatim: O(sqrt(n))-row centroid table
+    broadcast against the corpus for assignment (corpus never shuffles),
+    near-identical pairs (cos >= {NEAR_DUP_THRESHOLD}) found ONLY via the
+    cell-local equi-join, greedy lowest-vec_id keep, per-cell keep/drop
+    audit counts out."""
+    e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
+    cc = e.agg(
+        F.greatest(
+            F.lit(IVF_AUTO_MIN_CELLS),
+            F.floor(F.sqrt(F.count("*").cast("double"))).cast("long"),
+        ).alias("c")
+    )
+    cents = (
+        e.crossJoin(F.broadcast(cc))
+        .filter(F.col("vec_id") < F.col("c"))
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    dot_ac = _fold_sum(F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y))
+    ac = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        (dot_ac / (F.col("nrm") * F.col("cnrm"))).alias("cos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), "cent_id"
+    )
+    m = (
+        ac.select(
+            "vec_id", "cent_id", F.row_number().over(w_assign).alias("rk")
+        )
+        .filter(F.col("rk") == 1)
+        .join(e, "vec_id")
+        .select("vec_id", "cent_id", "v", "nrm")
+        .persist()
+    )
+    a = m.alias("a")
+    b = m.alias("b")
+    dot_ab = _fold_sum(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y)
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cent_id") == F.col("b.cent_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            round_half_up(
+                dot_ab / (F.col("a.nrm") * F.col("b.nrm")), 4
+            )
+            >= NEAR_DUP_THRESHOLD
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    out = (
+        m.join(dropped, "vec_id", "left")
+        .groupBy(F.col("cent_id").alias("cell_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.coalesce(F.col("is_dropped"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            (
+                F.count("*")
+                - F.sum(F.coalesce(F.col("is_dropped"), F.lit(0)))
+            )
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+    return _finalize(out, e, m)

@@ -599,3 +599,46 @@ def test_round5_statistic_invariants(spark, sf_dir):
     # Gini: impurity reduction is non-negative for every feature split
     gi = QUERIES["ml_gini_feature_rank"](spark, sf_dir).collect()
     assert len(gi) == 3 and all(r["reduction_micro"] >= -1 for r in gi)
+
+
+def test_sqrt_cell_auto_variants_invariants(spark, sf_dir):
+    """The corpus-sized-cell variants (cells = max(16, floor(sqrt(n))))
+    must honor the derived cell count, conserve membership, and keep
+    the fixed-cell twins' semantics — the invariants that make the
+    FAISS/SemDeDup sizing rule safe to apply without re-deriving the
+    oracle: sizing changes WHERE pairs are compared, never the
+    bookkeeping identities."""
+    import math
+
+    from pyspark_text_classification_spark.all_queries import QUERIES
+    from pyspark_text_classification_spark.operators.similarity import (
+        IVF_AUTO_MIN_CELLS,
+        TOP_K,
+    )
+    from pyspark_text_classification_spark.sources.parquet import load_table
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    c = max(IVF_AUTO_MIN_CELLS, math.isqrt(n))
+
+    sem = QUERIES["dedup_semantic_auto"](spark, sf_dir).collect()
+    # centroids are the c lowest vec_ids, so every cell id < c
+    assert sem and all(0 <= r["cell_id"] < c for r in sem)
+    assert len(sem) <= c
+    # membership conservation: every vector lands in exactly one cell,
+    # and each cell's keep/drop split partitions its members
+    assert sum(r["n_members"] for r in sem) == n
+    assert all(r["n_kept"] + r["n_dropped"] == r["n_members"] for r in sem)
+    # at least one vector survives per non-empty cell (the greedy
+    # lowest-id rule never drops a cell's minimum member)
+    assert all(r["n_kept"] >= 1 for r in sem)
+
+    ivf = QUERIES["similarity_ann_ivf_auto"](spark, sf_dir).collect()
+    per_vec = {}
+    for r in ivf:
+        assert r["vec_id"] != r["neighbor_id"]
+        per_vec.setdefault(r["vec_id"], []).append(r["rank"])
+    # ranks are a dense 1..k prefix per vector, never more than TOP_K
+    assert per_vec and all(
+        sorted(rs) == list(range(1, len(rs) + 1)) and len(rs) <= TOP_K
+        for rs in per_vec.values()
+    )
