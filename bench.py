@@ -224,6 +224,7 @@ HEADLINE = [
     "pipeline_ivm_merge",
     "similarity_ann_ivf_auto",
     "dedup_semantic_auto",
+    "similarity_ivf_pq_auto",
 ]
 
 

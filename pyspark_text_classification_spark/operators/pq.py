@@ -628,14 +628,19 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _ivf_pq_scored(spark: SparkSession, sf_dir: str):
+def _ivf_pq_scored(spark: SparkSession, sf_dir: str, auto_cells: bool = False):
     """The composed system's ADC-scored candidate pairs (q_id,
     neighbor_id, adc_d2).  Returns (scored, persisted) — the caller
     ranks/limits, eagerly checkpoints its result, then unpersists each
     frame in ``persisted`` (the dedup.py cache-release pattern).  Shared
     by similarity_ivf_pq (top-k straight off ADC) and
-    similarity_ivf_pq_rerank (wider shortlist, exact rescore)."""
+    similarity_ivf_pq_rerank (wider shortlist, exact rescore).
+
+    ``auto_cells`` swaps the fixed {IVF_CELLS}-cell coarse layer for the
+    corpus-sized cells = max(16, floor(sqrt(n))) rule (see
+    similarity_ann_ivf_auto); the fine PQ layer is identical."""
     from pyspark_text_classification_spark.operators.similarity import (
+        IVF_AUTO_MIN_CELLS,
         IVF_CELLS,
         _fold_sum,
         with_norms,
@@ -643,15 +648,32 @@ def _ivf_pq_scored(spark: SparkSession, sf_dir: str):
 
     # ---- coarse layer: cosine cells over seed centroids ----
     n = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
-    cents = (
-        n.orderBy("vec_id")
-        .limit(IVF_CELLS)
-        .select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("cnrm"),
+    if auto_cells:
+        cc = n.agg(
+            F.greatest(
+                F.lit(IVF_AUTO_MIN_CELLS),
+                F.floor(F.sqrt(F.count("*").cast("double"))).cast("long"),
+            ).alias("c")
         )
-    )
+        cents = (
+            n.crossJoin(F.broadcast(cc))
+            .filter(F.col("vec_id") < F.col("c"))
+            .select(
+                F.col("vec_id").alias("cent_id"),
+                F.col("v").alias("cv"),
+                F.col("nrm").alias("cnrm"),
+            )
+        )
+    else:
+        cents = (
+            n.orderBy("vec_id")
+            .limit(IVF_CELLS)
+            .select(
+                F.col("vec_id").alias("cent_id"),
+                F.col("v").alias("cv"),
+                F.col("nrm").alias("cnrm"),
+            )
+        )
     dot_ac = _fold_sum(F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y))
     ac = n.crossJoin(F.broadcast(cents)).select(
         "vec_id",
@@ -738,12 +760,29 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _sql_ivf_pq_ctes() -> str:
+def _sql_ivf_pq_ctes(auto_cells: bool = False) -> str:
     from pyspark_text_classification_spark.operators.similarity import (
+        IVF_AUTO_MIN_CELLS,
         IVF_CELLS,
         _SQL_IVF_DOT,
         _SQL_NORMED,
     )
+
+    if auto_cells:
+        cents_sql = f"""cc AS (
+      SELECT GREATEST({IVF_AUTO_MIN_CELLS},
+                      CAST(floor(sqrt(count(*))) AS BIGINT)) AS c
+      FROM nv
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+      FROM nv WHERE vec_id < (SELECT c FROM cc)
+    )"""
+    else:
+        cents_sql = f"""cents AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+      FROM nv ORDER BY vec_id LIMIT {IVF_CELLS}
+    )"""
 
     return f"""
     {_SQL_PQ_PRELUDE},
@@ -751,10 +790,7 @@ def _sql_ivf_pq_ctes() -> str:
       SELECT vec_id AS neighbor_id, m, key % {PQ_K} AS code FROM assigned
     ),
     nv AS ({_SQL_NORMED}),
-    cents AS (
-      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
-      FROM nv ORDER BY vec_id LIMIT {IVF_CELLS}
-    ),
+    {cents_sql},
     ac AS (
       SELECT nv.vec_id, c.cent_id,
              {_SQL_IVF_DOT.format(a='nv.v', b='c.cv')} / (nv.nrm * c.cnrm) AS cos
@@ -810,6 +846,51 @@ def _sql_ivf_pq() -> str:
 from pyspark_text_classification_spark.registry import ORACLES as _PQ_ORACLES  # noqa: E402
 
 _PQ_ORACLES["similarity_ivf_pq"] = _sql_ivf_pq()
+
+
+@query("similarity_ivf_pq_auto", oracle=None)  # assembled below
+def similarity_ivf_pq_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity_ivf_pq with the coarse layer SIZED FROM THE CORPUS:
+    cells = max(16, floor(sqrt(n))) — the third and last fixed-cell
+    operator closed by the sizing rule (after similarity_ann_ivf_auto
+    and dedup_semantic_auto).  The composed system's scale term is the
+    candidate mass |sample| x nprobe x n/cells: with the query sample a
+    fixed FRACTION of the corpus (1/{PQ_QUERY_MOD}, this instance's
+    self-probe stress shape) and cells FIXED, that is ~n^2; cells ~
+    sqrt(n) restores ~n^1.5, and a production deployment with a BOUNDED
+    query batch gets ~sqrt(n) per query.  The fine PQ layer (trained
+    codebook, 12-byte codes, per-query LUT) is byte-identical to the
+    fixed-cell twin — sizing moves only WHERE candidates come from."""
+    scored, persisted = _ivf_pq_scored(spark, sf_dir, auto_cells=True)
+    w = Window.partitionBy("q_id").orderBy("adc_d2", "neighbor_id")
+    out = (
+        scored.select(
+            "q_id", "neighbor_id", "adc_d2",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= PQ_NN_K)
+        .localCheckpoint(eager=True)
+    )
+    for df in persisted:
+        df.unpersist()
+    return out
+
+
+def _sql_ivf_pq_auto() -> str:
+    return f"""
+    {_sql_ivf_pq_ctes(auto_cells=True)}
+    SELECT q_id, neighbor_id, adc_d2, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT q_id, neighbor_id, adc_d2,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY adc_d2, neighbor_id
+             ) AS rnk
+      FROM scored
+    ) WHERE rnk <= {PQ_NN_K}
+    """
+
+
+_PQ_ORACLES["similarity_ivf_pq_auto"] = _sql_ivf_pq_auto()
 
 
 @query("similarity_ivf_pq_recall", oracle=None)  # assembled below

@@ -642,3 +642,22 @@ def test_sqrt_cell_auto_variants_invariants(spark, sf_dir):
         sorted(rs) == list(range(1, len(rs) + 1)) and len(rs) <= TOP_K
         for rs in per_vec.values()
     )
+
+    # the composed IVF+PQ system under the same sizing rule: every
+    # answered query is from the deterministic 1/PQ_QUERY_MOD sample,
+    # never its own neighbor, with a dense 1..k rank prefix
+    from pyspark_text_classification_spark.operators.pq import (
+        PQ_NN_K,
+        PQ_QUERY_MOD,
+    )
+
+    ivfpq = QUERIES["similarity_ivf_pq_auto"](spark, sf_dir).collect()
+    per_q = {}
+    for r in ivfpq:
+        assert r["q_id"] % PQ_QUERY_MOD == 0
+        assert r["q_id"] != r["neighbor_id"]
+        per_q.setdefault(r["q_id"], []).append(r["rank"])
+    assert per_q and all(
+        sorted(rs) == list(range(1, len(rs) + 1)) and len(rs) <= PQ_NN_K
+        for rs in per_q.values()
+    )
