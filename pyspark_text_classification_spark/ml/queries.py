@@ -1048,9 +1048,15 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = cand.withColumn(
         "score",
+        # the numerators are accumulated in DECIMAL(38,0) (2*lp*ln*1e6
+        # wraps int64 past ~2.1M docs per class) to mirror DuckDB's
+        # HUGEINT promotion of the window sums — the ml_auc_rank /
+        # ml_linreg_normal_eq convention; the QUOTIENT is bounded by
+        # 2*min(lp,ln)*1e6 so the div's BIGINT result stays exact
         F.expr(
-            "(2 * lp * ln * 1000000) div (lp + ln)"
-            " + (2 * rp * rn * 1000000) div (rp + rn)"
+            "(CAST(2 AS DECIMAL(38,0)) * lp * ln * 1000000) div (lp + ln)"
+            " + (CAST(2 AS DECIMAL(38,0)) * rp * rn * 1000000)"
+            " div (rp + rn)"
         ),
     )
     w_min = Window.orderBy("score", "v")

@@ -1440,9 +1440,16 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_name",
         F.explode(
             F.array_distinct(
+                # CASE guard: sequence(1, 0) is descending in Spark, so a
+                # name shorter than q would emit bogus substring grams
+                # where the oracle's range() is empty (the documented
+                # len >= 6 losslessness contract already excludes such
+                # names, but gram generation must still be well-defined)
                 F.expr(
-                    f"transform(sequence(1, length(p_name) - {FUZZY_Q - 1}),"
+                    f"CASE WHEN length(p_name) >= {FUZZY_Q} THEN"
+                    f" transform(sequence(1, length(p_name) - {FUZZY_Q - 1}),"
                     f" i -> substring(p_name, i, {FUZZY_Q}))"
+                    f" ELSE array() END"
                 )
             )
         ).alias("g"),

@@ -22,8 +22,8 @@ relational engine can express:
 
 Determinism: PageRank ranks are integer micro-units (initial rank =
 10^12 // N; per-edge contribution = 85 * rank // (100 * outdeg)) — all
-operands positive, so Spark's truncating ``div`` equals DuckDB's
-flooring ``//``.  Adamic-Adar's 1/ln(deg) weight is NOT computed with
+operands positive, where floor == truncate (both engines' integer
+division in fact truncates toward zero; verified -7 div 2 = -3 = -7 // 2).  Adamic-Adar's 1/ln(deg) weight is NOT computed with
 engine libm at query time: the hub cap bounds deg to [2, 64], so the 63
 possible weights are precomputed ONCE in Python (floor(1e6/ln(d)+0.5))
 and embedded in BOTH engines as a literal lookup table — bit-identical

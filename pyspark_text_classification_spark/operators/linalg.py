@@ -17,8 +17,8 @@ Determinism: vectors quantize to integer ten-thousandths once; the start
 vector is the literal alternating (+1, -1, ...) pattern; the renorm
 between iterations is the integer prescale v <- floordiv(w, max|w| //
 SCALE + 1) instead of a float L2 norm (floor division realized as
-subtract-nonneg-remainder-then-exact-divide, identical under Spark's
-truncating ``div`` and DuckDB's flooring ``//``) — every intermediate is
+subtract-nonneg-remainder-then-exact-divide — exact in both engines
+regardless of their shared truncate-toward-zero ``div``/``//`` semantics) — every intermediate is
 exact int64 on both engines, so the iterate itself is hash-checked, not
 just its sign pattern.  Overflow headroom with |x| < 0.6 (TESTDATA
 contract), QUANT=1e4, SCALE=1e3: |s_r| <= 64 * 6e3 * 1e3 < 4e8 and

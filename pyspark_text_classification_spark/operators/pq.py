@@ -139,9 +139,11 @@ def pq_codebook_refined(e: DataFrame) -> DataFrame:
     the floored integer mean of its assigned subvectors; codewords that
     attracted nothing keep their previous value.  The floored mean is
     computed with an explicit positive modulus — ``(s - ((s % n) + n)
-    % n) div n`` — which makes Spark's truncating ``div`` equal DuckDB's
-    flooring ``//`` even for negative component sums (the remainder sign
-    convention IS shared, dividend-signed, in both engines).
+    % n) div n`` — which pins FLOOR semantics explicitly for negative
+    component sums: both engines' bare integer division TRUNCATES toward
+    zero (verified -7 div 2 = -3 = DuckDB -7 // 2), which is not the
+    floored mean on negatives; the remainder sign convention IS shared
+    (dividend-signed) in both engines, so the formula is exact.
 
     Scale shape: assignment is the broadcast-join argmin (corpus never
     shuffles for it); the centroid update aggregates at (m, code) grain —
@@ -640,30 +642,16 @@ def _ivf_pq_scored(spark: SparkSession, sf_dir: str, auto_cells: bool = False):
     corpus-sized cells = max(16, floor(sqrt(n))) rule (see
     similarity_ann_ivf_auto); the fine PQ layer is identical."""
     from pyspark_text_classification_spark.operators.similarity import (
-        IVF_AUTO_MIN_CELLS,
         IVF_CELLS,
         _fold_sum,
+        auto_centroids,
         with_norms,
     )
 
     # ---- coarse layer: cosine cells over seed centroids ----
     n = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
     if auto_cells:
-        cc = n.agg(
-            F.greatest(
-                F.lit(IVF_AUTO_MIN_CELLS),
-                F.floor(F.sqrt(F.count("*").cast("double"))).cast("long"),
-            ).alias("c")
-        )
-        cents = (
-            n.crossJoin(F.broadcast(cc))
-            .filter(F.col("vec_id") < F.col("c"))
-            .select(
-                F.col("vec_id").alias("cent_id"),
-                F.col("v").alias("cv"),
-                F.col("nrm").alias("cnrm"),
-            )
-        )
+        cents = auto_centroids(n)
     else:
         cents = (
             n.orderBy("vec_id")
@@ -762,22 +750,14 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_ivf_pq_ctes(auto_cells: bool = False) -> str:
     from pyspark_text_classification_spark.operators.similarity import (
-        IVF_AUTO_MIN_CELLS,
         IVF_CELLS,
         _SQL_IVF_DOT,
         _SQL_NORMED,
+        sql_auto_cells_cte,
     )
 
     if auto_cells:
-        cents_sql = f"""cc AS (
-      SELECT GREATEST({IVF_AUTO_MIN_CELLS},
-                      CAST(floor(sqrt(count(*))) AS BIGINT)) AS c
-      FROM nv
-    ),
-    cents AS (
-      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
-      FROM nv WHERE vec_id < (SELECT c FROM cc)
-    )"""
+        cents_sql = sql_auto_cells_cte("nv")
     else:
         cents_sql = f"""cents AS (
       SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
@@ -859,7 +839,7 @@ def similarity_ivf_pq_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-probe stress shape) and cells FIXED, that is ~n^2; cells ~
     sqrt(n) restores ~n^1.5, and a production deployment with a BOUNDED
     query batch gets ~sqrt(n) per query.  The fine PQ layer (trained
-    codebook, 12-byte codes, per-query LUT) is byte-identical to the
+    codebook, 24-byte codes, per-query LUT) is byte-identical to the
     fixed-cell twin — sizing moves only WHERE candidates come from."""
     scored, persisted = _ivf_pq_scored(spark, sf_dir, auto_cells=True)
     w = Window.partitionBy("q_id").orderBy("adc_d2", "neighbor_id")

@@ -27,8 +27,8 @@ avgdl is written as L/N — with k1 = 6/5 and b = 3/4,
   = 22*tf*L / (10*L*tf + 3*L + 9*N*dl)        (multiply through by 10*L/N)
 
 so the per-term score is idf_micro * 22*tf*L // (10*L*tf + 3*L + 9*N*dl)
-in pure int64 (all operands positive, so Spark's truncating ``div`` and
-DuckDB's flooring ``//`` agree); idf is quantized to integer micro-nats
+in pure int64 (all operands positive, where floor == truncate — both engines'
+integer division truncates toward zero anyway); idf is quantized to integer micro-nats
 (floor(ln(.)*1e6+0.5), the text_lm_logprob pattern) before the multiply.
 int64 bound: idf_micro(<=~2e7) * 22 * tf * L stays under 2^63 while
 tf*L < ~2e10 — comfortable at bundled scale factors; at 100 TB shard the

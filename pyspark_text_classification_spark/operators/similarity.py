@@ -1654,19 +1654,54 @@ def similarity_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_AUTO_MIN_CELLS = 16
 
 
+def sql_auto_cells_cte(src: str) -> str:
+    """The shared cc + cents CTE pair for the corpus-sized coarse layer:
+    cells = max({IVF_AUTO_MIN_CELLS}, floor(sqrt(n))), centroids = the c
+    lowest vec_ids PRESENT in ``src`` (ORDER BY/LIMIT — the fixed-cell
+    twins' semantics, no dense-id assumption).  One definition serves
+    similarity_ann_ivf_auto, dedup_semantic_auto and the IVF+PQ auto
+    oracle so the sizing rule can never fork between them."""
+    return f"""cc AS (
+      SELECT GREATEST({IVF_AUTO_MIN_CELLS},
+                      CAST(floor(sqrt(count(*))) AS BIGINT)) AS c
+      FROM {src}
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+      FROM {src} ORDER BY vec_id LIMIT (SELECT c FROM cc)
+    )"""
+
+
+def auto_centroids(e: DataFrame) -> DataFrame:
+    """(cent_id, cv, cnrm): the corpus-sized centroid set — the Spark
+    twin of sql_auto_cells_cte, shared by every *_auto operator.
+
+    c = max({IVF_AUTO_MIN_CELLS}, floor(sqrt(count))) comes from ONE
+    bounded count() action (math.isqrt == the engines' correctly-rounded
+    floor(sqrt(double)) for counts < 2^52), and the centroids are the c
+    LOWEST ids actually present via a distributed TakeOrdered — ids need
+    not start at 0 or be dense, matching the fixed twins' orderBy/limit
+    rather than a ``vec_id < c`` filter that would silently shrink (or
+    empty) the centroid set on offset or gappy id spaces."""
+    import math
+
+    c = max(IVF_AUTO_MIN_CELLS, math.isqrt(e.count()))
+    return (
+        e.orderBy("vec_id")
+        .limit(c)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+
+
 @query(
     "similarity_ann_ivf_auto",
     oracle=f"""
     WITH n AS ({_SQL_NORMED}),
-    cc AS (
-      SELECT GREATEST({IVF_AUTO_MIN_CELLS},
-                      CAST(floor(sqrt(count(*))) AS BIGINT)) AS c
-      FROM n
-    ),
-    cents AS (
-      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
-      FROM n WHERE vec_id < (SELECT c FROM cc)
-    ),
+    {sql_auto_cells_cte('n')},
     ac AS (
       SELECT n.vec_id, c.cent_id,
              {_SQL_IVF_DOT.format(a='n.v', b='c.cv')} / (n.nrm * c.cnrm) AS cos
@@ -1713,21 +1748,7 @@ def similarity_ann_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines for counts < 2^52), so the twin stays
     hash-checkable with no literal to keep in sync."""
     e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
-    cc = e.agg(
-        F.greatest(
-            F.lit(IVF_AUTO_MIN_CELLS),
-            F.floor(F.sqrt(F.count("*").cast("double"))).cast("long"),
-        ).alias("c")
-    )
-    cents = (
-        e.crossJoin(F.broadcast(cc))
-        .filter(F.col("vec_id") < F.col("c"))
-        .select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("cnrm"),
-        )
-    )
+    cents = auto_centroids(e)
     dot_ac = _fold_sum(F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y))
     ac = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
@@ -1762,15 +1783,7 @@ def similarity_ann_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_semantic_auto",
     oracle=f"""
     WITH n AS ({_SQL_NORMED}),
-    cc AS (
-      SELECT GREATEST({IVF_AUTO_MIN_CELLS},
-                      CAST(floor(sqrt(count(*))) AS BIGINT)) AS c
-      FROM n
-    ),
-    cents AS (
-      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
-      FROM n WHERE vec_id < (SELECT c FROM cc)
-    ),
+    {sql_auto_cells_cte('n')},
     ac AS (
       SELECT n.vec_id, c.cent_id,
              {_SQL_IVF_DOT.format(a='n.v', b='c.cv')} / (n.nrm * c.cnrm) AS cos
@@ -1824,21 +1837,7 @@ def dedup_semantic_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-local equi-join, greedy lowest-vec_id keep, per-cell keep/drop
     audit counts out."""
     e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
-    cc = e.agg(
-        F.greatest(
-            F.lit(IVF_AUTO_MIN_CELLS),
-            F.floor(F.sqrt(F.count("*").cast("double"))).cast("long"),
-        ).alias("c")
-    )
-    cents = (
-        e.crossJoin(F.broadcast(cc))
-        .filter(F.col("vec_id") < F.col("c"))
-        .select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("cnrm"),
-        )
-    )
+    cents = auto_centroids(e)
     dot_ac = _fold_sum(F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y))
     ac = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",

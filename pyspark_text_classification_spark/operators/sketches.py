@@ -665,6 +665,19 @@ def _bloom_pos_sql(j: int) -> str:
     return f"(({a} * h + {b}) % {HASH_MOD}) % {BLOOM_BITS}"
 
 
+# In-row bigram keys over a token array column named ts.  The CASE guard
+# (not greatest()) matters: Spark's sequence(1, 0) is the DESCENDING
+# [1, 0] (step defaults to -1), which would index ts[-1] — an ANSI error
+# on any doc under 2 tokens — while the oracle's range(1, len) is simply
+# empty.  Unit-asserted on 0/1/2/3-token docs in test_operators_unit.
+BIGRAM_KEYS_SQL = (
+    "CASE WHEN size(ts) >= 2 THEN"
+    " transform(sequence(1, size(ts) - 1),"
+    " i -> concat(ts[i - 1], ' ', ts[i]))"
+    " ELSE array() END"
+)
+
+
 @query(
     "sketch_bloom_fpp",
     oracle=f"""
@@ -753,12 +766,7 @@ def sketch_bloom_fpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = (
         docs.select(ts.alias("ts"))
         .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, greatest(size(ts) - 1, 0)),"
-                    " i -> concat(ts[i - 1], ' ', ts[i]))"
-                )
-            ).alias("key")
+            F.explode(F.expr(BIGRAM_KEYS_SQL)).alias("key")
         )
         .distinct()
         .localCheckpoint(eager=True)

@@ -96,8 +96,25 @@ def hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of _SQL_SERIES: the gap-filled (event_type, h, y) grid."""
-    return series_from_counts(hourly_counts(spark, sf_dir))
+    """Spark twin of _SQL_SERIES: the gap-filled (event_type, h, y) grid.
+
+    Session-cached (plans.shared): the grid is types x wall-clock hours
+    by construction — thousands of rows at any corpus size — and three
+    queries (autocorr, CUSUM, Holt) would otherwise each rescan the
+    events fact table to rebuild the identical series (the same rebuild
+    waste the retrieval family's postings slot eliminated).  The
+    streaming CUSUM twin deliberately does NOT use this slot: its
+    series derives from drained stream state, not the batch scan."""
+    from pyspark_text_classification_spark.plans.shared import (
+        shared_intermediate,
+    )
+
+    return shared_intermediate(
+        spark,
+        sf_dir,
+        "timeseries_hourly_series",
+        lambda: series_from_counts(hourly_counts(spark, sf_dir)),
+    )
 
 
 @query(
@@ -154,8 +171,11 @@ def events_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type (h) window spec, the events_ewma_smooth pattern), a stack
     unpivots them to (lag, y, x) pairs, and one map-side-combined
     aggregate produces the six sufficient statistics per (type, lag).
-    The division's operands are made positive first (abs + CASE sign),
-    so Spark's truncating ``div`` and DuckDB's flooring ``//`` agree."""
+    The division's operands are made positive first (abs + CASE sign);
+    both engines truncate integer division toward zero (verified:
+    -7 div 2 = -3 = DuckDB -7 // 2), so this is belt-and-braces — it
+    also keeps the quotient independent of any future rounding-mode
+    drift, since floor == truncate on non-negatives."""
     series = _hourly_series(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("h")
     lag_cols = [
@@ -582,9 +602,13 @@ HOLT_LAGS = 8  # dyadic truncation depth (tail weight < 2^-8)
 
 def _holt_terms_sql(expr_fmt: str) -> str:
     """Sum of dyadic-weighted lag terms via ARITHMETIC RIGHT SHIFT —
-    >> floors in BOTH engines (verified: -5 >> 1 = -3 on each), unlike
-    integer division, which truncates in Spark and floors in DuckDB and
-    so diverges on the signed trend diffs."""
+    >> floors in BOTH engines (verified: -5 >> 1 = -3 on each).
+    Integer division also agrees cross-engine (both truncate toward
+    zero; verified -7 div 2 = -3 = DuckDB -7 // 2), but truncation is
+    NOT division by 2^k on negative trend diffs — the shift IS the
+    exact floored dyadic weight, so no sign-CASE is needed.  Never mix
+    >> and div on signed values in one statistic: floor vs truncate
+    differ by 1 on negative odd operands."""
     return " + ".join(
         f"({expr_fmt.format(j=j)} >> {j + 1})" for j in range(HOLT_LAGS)
     )

@@ -25,13 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_text_classification_spark.operators.timeseries import (
-    _SQL_SERIES,
     HOUR_US,
     cusum_peak,
     series_from_counts,
 )
 from pyspark_text_classification_spark.functions.time import ts_us
-from pyspark_text_classification_spark.registry import query
+from pyspark_text_classification_spark.registry import ORACLES, query
 from pyspark_text_classification_spark.streaming.events import (
     EVENTS_STREAM_SCHEMA,
 )
@@ -79,38 +78,9 @@ def stream_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 query(
     "events_stream_cusum",
-    oracle=f"""
-    WITH {_SQL_SERIES},
-    pre AS (
-      SELECT event_type, h, y,
-             CAST(sum(y) OVER (PARTITION BY event_type ORDER BY h)
-                  AS HUGEINT) AS prefix,
-             CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
-                  AS HUGEINT) AS t,
-             CAST(sum(y) OVER (PARTITION BY event_type) AS HUGEINT) AS tot,
-             CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT) AS n
-      FROM series
-    ),
-    s AS (
-      SELECT event_type, h, t, n, tot,
-             abs(n * prefix - t * tot) AS s_abs
-      FROM pre
-    ),
-    peak AS (
-      SELECT event_type, h, t, n, tot, s_abs,
-             row_number() OVER (PARTITION BY event_type
-                                ORDER BY s_abs DESC, t) AS rk
-      FROM s
-    )
-    SELECT event_type,
-           CAST(n AS BIGINT) AS n_hours,
-           CAST(tot AS BIGINT) AS total_events,
-           CAST(t AS BIGINT) AS peak_t,
-           CAST(h AS BIGINT) AS peak_hour,
-           CAST(s_abs AS BIGINT) AS s_abs_peak,
-           CAST(CASE WHEN tot = 0 THEN 0
-                     ELSE s_abs * 1000000 // (n * tot) END AS BIGINT)
-             AS cusum_micro
-    FROM peak WHERE rk = 1
-    """,
+    # the batch query's oracle BY REFERENCE, not a copied string — any
+    # future change to the batch CUSUM definition (tiebreak, gap-fill
+    # bounds, normalization) flows to the twin automatically, keeping
+    # the "held to the batch statistic verbatim" guarantee structural
+    oracle=ORACLES["events_cusum_changepoint"],
 )(stream_cusum_changepoint)

@@ -661,3 +661,37 @@ def test_sqrt_cell_auto_variants_invariants(spark, sf_dir):
         sorted(rs) == list(range(1, len(rs) + 1)) and len(rs) <= PQ_NN_K
         for rs in per_q.values()
     )
+
+
+def test_bigram_keys_guard_short_docs(spark):
+    """Bigram generation must be well-defined on ANY token count:
+    Spark's sequence(1, 0) is the DESCENDING [1, 0], so an unguarded
+    transform would index ts[-1] (ANSI error) on 0/1-token docs while
+    the DuckDB oracle's range(1, len) is empty — the exact silent-
+    divergence class the round-4 ADVICE flagged for decimal sums."""
+    from pyspark.sql import functions as F
+
+    from pyspark_text_classification_spark.operators.sketches import (
+        BIGRAM_KEYS_SQL,
+    )
+
+    # force ANSI so an out-of-range index would raise, not NULL out
+    with_ansi = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        df = spark.createDataFrame(
+            [([],), (["one"],), (["a", "b"],), (["x", "y", "z"],)],
+            "ts array<string>",
+        )
+        rows = df.select(
+            F.size("ts").alias("n"),
+            F.expr(BIGRAM_KEYS_SQL).alias("bg"),
+        ).collect()
+        got = {r["n"]: list(r["bg"]) for r in rows}
+        assert got[0] == [] and got[1] == []
+        assert got[2] == ["a b"] and got[3] == ["x y", "y z"]
+    finally:
+        if with_ansi is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", with_ansi)
