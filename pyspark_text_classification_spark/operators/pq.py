@@ -651,7 +651,7 @@ def _ivf_pq_scored(spark: SparkSession, sf_dir: str, auto_cells: bool = False):
     # ---- coarse layer: cosine cells over seed centroids ----
     n = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
     if auto_cells:
-        cents = auto_centroids(n)
+        cents = auto_centroids(n, load_table(spark, sf_dir, "embeddings"))
     else:
         cents = (
             n.orderBy("vec_id")

@@ -1672,7 +1672,7 @@ def sql_auto_cells_cte(src: str) -> str:
     )"""
 
 
-def auto_centroids(e: DataFrame) -> DataFrame:
+def auto_centroids(e: DataFrame, count_src: DataFrame | None = None) -> DataFrame:
     """(cent_id, cv, cnrm): the corpus-sized centroid set — the Spark
     twin of sql_auto_cells_cte, shared by every *_auto operator.
 
@@ -1682,10 +1682,16 @@ def auto_centroids(e: DataFrame) -> DataFrame:
     LOWEST ids actually present via a distributed TakeOrdered — ids need
     not start at 0 or be dense, matching the fixed twins' orderBy/limit
     rather than a ``vec_id < c`` filter that would silently shrink (or
-    empty) the centroid set on offset or gappy id spaces."""
+    empty) the centroid set on offset or gappy id spaces.
+
+    ``count_src``: run the count against this frame instead of ``e``
+    (callers pass the RAW pruned scan so the count action does not
+    serially materialize e's freshly-pinned norms cache before the
+    first real job — the job overlap the pre-count layout had)."""
     import math
 
-    c = max(IVF_AUTO_MIN_CELLS, math.isqrt(e.count()))
+    n = (count_src if count_src is not None else e).count()
+    c = max(IVF_AUTO_MIN_CELLS, math.isqrt(n))
     return (
         e.orderBy("vec_id")
         .limit(c)
@@ -1748,7 +1754,7 @@ def similarity_ann_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines for counts < 2^52), so the twin stays
     hash-checkable with no literal to keep in sync."""
     e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
-    cents = auto_centroids(e)
+    cents = auto_centroids(e, load_table(spark, sf_dir, "embeddings"))
     dot_ac = _fold_sum(F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y))
     ac = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
@@ -1837,7 +1843,7 @@ def dedup_semantic_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-local equi-join, greedy lowest-vec_id keep, per-cell keep/drop
     audit counts out."""
     e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
-    cents = auto_centroids(e)
+    cents = auto_centroids(e, load_table(spark, sf_dir, "embeddings"))
     dot_ac = _fold_sum(F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y))
     ac = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
