@@ -175,7 +175,17 @@ def events_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines truncate integer division toward zero (verified:
     -7 div 2 = -3 = DuckDB -7 // 2), so this is belt-and-braces — it
     also keeps the quotient independent of any future rounding-mode
-    drift, since floor == truncate on non-negatives."""
+    drift, since floor == truncate on non-negatives.
+
+    Magnitude bound (the ml_auc_rank documentation convention): the
+    hour count n is wall-clock-bounded (~1e5 over a decade), but
+    ``den = vx * vy <= (n * ymax)^4`` must stay inside DECIMAL(38,0) /
+    HUGEINT, i.e. n * max-hourly-count < ~3e9 — both engines fail
+    together (HUGEINT errors, ANSI decimal errors) rather than
+    diverging, and the per-row x*y products bound ymax < ~3e9 in int64
+    the same way.  Past that, PRE-SCALE the counts (y div 10^k before
+    the statistic): Pearson r^2 is scale-invariant, so the reported
+    micro-units are unchanged up to the integer-division quantum."""
     series = _hourly_series(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("h")
     lag_cols = [
