@@ -992,7 +992,8 @@ STUMP_BUCKET_W = 50  # n_chars bucket width — bounds the candidate set
     )
     SELECT CAST(v * {STUMP_BUCKET_W} AS BIGINT) AS threshold_chars,
            CAST(score AS BIGINT) AS gini_sum_micro,
-           lp AS left_pos, ln AS left_neg, rp AS right_pos, rn AS right_neg
+           CAST(lp AS BIGINT) AS left_pos, CAST(ln AS BIGINT) AS left_neg,
+           CAST(rp AS BIGINT) AS right_pos, CAST(rn AS BIGINT) AS right_neg
     FROM (
       SELECT *, row_number() OVER (ORDER BY score, v) AS rk FROM scored
     ) WHERE rk = 1

@@ -219,8 +219,8 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM edges e JOIN outdeg o ON o.src = e.src CROSS JOIN nn
     )
     SELECT c.node,
-           ({PR_DAMP_DEN} - {PR_DAMP_NUM}) * ({PR_SCALE} // nn.n)
-             // {PR_DAMP_DEN} + sum(c.ci) AS rank_micro
+           CAST(({PR_DAMP_DEN} - {PR_DAMP_NUM}) * ({PR_SCALE} // nn.n)
+             // {PR_DAMP_DEN} + sum(c.ci) AS BIGINT) AS rank_micro
     FROM contrib c CROSS JOIN nn
     GROUP BY c.node, nn.n
     """,
@@ -299,7 +299,7 @@ def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM small a JOIN small b ON a.c = b.c AND a.s < b.s
       GROUP BY 1, 2
     )
-    SELECT s1, s2, aa_micro, common_customers
+    SELECT s1, s2, CAST(aa_micro AS BIGINT) AS aa_micro, common_customers
     FROM pairs
     ORDER BY aa_micro DESC, s1, s2
     LIMIT {AA_TOPK}

@@ -116,7 +116,8 @@ _SQL_BM25_CTES = f"""
     "retrieval_bm25_topk",
     oracle=f"""
     WITH {_SQL_BM25_CTES}
-    SELECT query_id, doc_id, score_micro, CAST(rnk AS INT) AS rank
+    SELECT query_id, doc_id, CAST(score_micro AS BIGINT) AS score_micro,
+           CAST(rnk AS INT) AS rank
     FROM topk
     """,
 )

@@ -1102,7 +1102,7 @@ def q55_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT sum(value_cents) AS total_cents,
                    CAST(count(*) AS BIGINT) AS n_parts FROM pv)
-    SELECT pv.l_partkey, pv.value_cents
+    SELECT pv.l_partkey, CAST(pv.value_cents AS BIGINT) AS value_cents
     FROM pv, tot
     WHERE pv.value_cents * tot.n_parts > tot.total_cents
     """,

@@ -61,7 +61,24 @@ def rows_signature(columns, rows):
     return hash(tuple(canon_rows)), canon_rows
 
 
+def assert_no_decimal_outputs(spark_df, name=""):
+    """Hasher-portability gate: no query may RETURN a DecimalType column.
+
+    decimal.Decimal cells repr differently across hashers (Decimal('5') vs 5
+    vs 5.0 under pandas conversion) — DECIMAL(38,0) belongs INSIDE sums, cast
+    back to BIGINT in the final select.  The DuckDB-side twin of this gate is
+    tests/test_correctness_queries.py::test_oracle_output_types_are_hasher_portable.
+    """
+    from pyspark.sql.types import DecimalType
+
+    bad = [f.name for f in spark_df.schema.fields if isinstance(f.dataType, DecimalType)]
+    assert not bad, (
+        f"{name}: DecimalType output columns {bad} — cast to BIGINT in the final select"
+    )
+
+
 def assert_matches_oracle(spark_df, oracle_con, sql, name=""):
+    assert_no_decimal_outputs(spark_df, name=name)
     sdf = spark_df.toPandas()
     odf = oracle_con.execute(sql).fetchdf()
     assert len(sdf) == len(odf), (
