@@ -225,6 +225,8 @@ HEADLINE = [
     "similarity_ann_ivf_auto",
     "dedup_semantic_auto",
     "similarity_ivf_pq_auto",
+    "similarity_ivf_pq_auto_recall",
+    "events_theil_sen",
 ]
 
 
@@ -337,6 +339,7 @@ def main() -> None:
     ann_recall = _recall_of("similarity_recall_eval")
     pq_recall = _recall_of("similarity_pq_recall")
     ivf_pq_recall = _recall_of("similarity_ivf_pq_recall")
+    ivf_pq_auto_recall = _recall_of("similarity_ivf_pq_auto_recall")
     rerank_recall = _recall_of("similarity_rerank_recall")
     knn_accuracy = _metric_of("similarity_knn_classify", "accuracy")
     # Bloom false-positive rate in micro-units: a quality tripwire like
@@ -358,9 +361,15 @@ def main() -> None:
                 "ann_macro_recall": ann_recall,
                 "pq_macro_recall": pq_recall,
                 "ivf_pq_macro_recall": ivf_pq_recall,
+                "ivf_pq_auto_macro_recall": ivf_pq_auto_recall,
                 "rerank_macro_recall": rerank_recall,
                 "knn_accuracy": knn_accuracy,
                 "bloom_fpp_micro": bloom_fpp,
+                # Host weather: same-plan totals swing ~±10-20% with
+                # co-tenant load (driver 213s vs idle 178s in round 5).
+                # loadavg at bench END lets a reader separate plan cost
+                # from machine noise without re-running.
+                "loadavg1": round(os.getloadavg()[0], 2),
                 "sf": sf,
             }
         )

@@ -640,8 +640,13 @@ def _ivf_pq_scored(spark: SparkSession, sf_dir: str, auto_cells: bool = False):
 
     ``auto_cells`` swaps the fixed {IVF_CELLS}-cell coarse layer for the
     corpus-sized cells = max(16, floor(sqrt(n))) rule (see
-    similarity_ann_ivf_auto); the fine PQ layer is identical."""
+    similarity_ann_ivf_auto); the fine PQ layer is identical.  The
+    fixed-cell path is the capped small-corpus baseline (vec_id <
+    FIXED_CELL_MAX_VECTORS on both engines — constant cells make in-cell
+    pair work n^2/cells, measured 5.9x at the 10x fixture; below the cap,
+    i.e. every bundled sf, results are unchanged); auto is uncapped."""
     from pyspark_text_classification_spark.operators.similarity import (
+        FIXED_CELL_MAX_VECTORS,
         IVF_CELLS,
         _fold_sum,
         auto_centroids,
@@ -649,7 +654,10 @@ def _ivf_pq_scored(spark: SparkSession, sf_dir: str, auto_cells: bool = False):
     )
 
     # ---- coarse layer: cosine cells over seed centroids ----
-    n = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
+    emb = load_table(spark, sf_dir, "embeddings")
+    if not auto_cells:
+        emb = emb.filter(F.col("vec_id") < FIXED_CELL_MAX_VECTORS)
+    n = with_norms(emb).persist()
     if auto_cells:
         cents = auto_centroids(n, load_table(spark, sf_dir, "embeddings"))
     else:
@@ -750,6 +758,7 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_ivf_pq_ctes(auto_cells: bool = False) -> str:
     from pyspark_text_classification_spark.operators.similarity import (
+        FIXED_CELL_MAX_VECTORS,
         IVF_CELLS,
         _SQL_IVF_DOT,
         _SQL_NORMED,
@@ -758,18 +767,23 @@ def _sql_ivf_pq_ctes(auto_cells: bool = False) -> str:
 
     if auto_cells:
         cents_sql = sql_auto_cells_cte("nv")
+        nv_sql = _SQL_NORMED
     else:
         cents_sql = f"""cents AS (
       SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
       FROM nv ORDER BY vec_id LIMIT {IVF_CELLS}
     )"""
+        nv_sql = (
+            f"SELECT * FROM ({_SQL_NORMED}) "
+            f"WHERE vec_id < {FIXED_CELL_MAX_VECTORS}"
+        )
 
     return f"""
     {_SQL_PQ_PRELUDE},
     codes AS (
       SELECT vec_id AS neighbor_id, m, key % {PQ_K} AS code FROM assigned
     ),
-    nv AS ({_SQL_NORMED}),
+    nv AS ({nv_sql}),
     {cents_sql},
     ac AS (
       SELECT nv.vec_id, c.cent_id,
@@ -905,6 +919,41 @@ def _sql_ivf_pq_recall() -> str:
 
 
 _PQ_ORACLES["similarity_ivf_pq_recall"] = _sql_ivf_pq_recall()
+
+
+@query("similarity_ivf_pq_auto_recall", oracle=None)  # assembled below
+def similarity_ivf_pq_auto_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the SCALE-PATH serving system (sqrt-sized IVF cells +
+    PQ/ADC) against the exact cosine top-k — the quality gate that keeps
+    the sizing rule honest: similarity_ivf_pq_recall tracks the capped
+    fixed-cell baseline, this tracks the uncapped cells =
+    max(16, floor(sqrt(n))) variant a 100 TB deployment actually runs.
+    More cells at fixed nprobe prune harder, so this bound is expected
+    at-or-below the fixed-cell recall at small n and is the number to
+    watch when tuning nprobe upward with corpus growth."""
+    ann = similarity_ivf_pq_auto(spark, sf_dir).select(
+        F.col("q_id").alias("vec_id"), "neighbor_id"
+    )
+    return _recall_vs_exact(spark, sf_dir, ann)
+
+
+def _sql_ivf_pq_auto_recall() -> str:
+    return f"""
+    {_sql_ivf_pq_ctes(auto_cells=True)},
+    annq AS (
+      SELECT q_id AS vec_id, neighbor_id FROM (
+        SELECT q_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q_id ORDER BY adc_d2, neighbor_id
+               ) AS rnk
+        FROM scored
+      ) WHERE rnk <= {PQ_NN_K}
+    ),
+    {_SQL_RECALL_TAIL}
+    """
+
+
+_PQ_ORACLES["similarity_ivf_pq_auto_recall"] = _sql_ivf_pq_auto_recall()
 
 
 # --------------------------------------------------------------------------

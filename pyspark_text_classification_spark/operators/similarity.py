@@ -78,6 +78,18 @@ TOP_K = 5
 # engines so the oracle hash is unaffected.
 EXACT_TOPK_MAX_VECTORS = 20_000
 
+# Hard input cap for the FIXED-CELL baselines (similarity_ann_ivf,
+# dedup_semantic, similarity_ivf_pq + its recall/rerank consumers): with a
+# CONSTANT {IVF_CELLS}-cell coarse layer, in-cell pair work grows n^2/cells
+# — the round-5 10x audit measured 10.4x/22x/5.9x cost ratios.  4096 vectors
+# x 16 cells = ~256/cell = ~1M in-cell pairs worst case, bounded forever.
+# Applied as vec_id < cap on BOTH engines, so below the cap (every bundled
+# sf: 500 at sf0.01, 2000 at sf0.1) results and hashes are unchanged.  The
+# UNCAPPED scale paths are the _auto twins (cells = max(16, floor(sqrt(n))),
+# the FAISS sizing rule) — the originals stay registered as the small-corpus
+# oracle baselines the recall gates measure against.
+FIXED_CELL_MAX_VECTORS = 4096
+
 
 def _as_double_vec(col: str = "embedding") -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -625,7 +637,9 @@ _SQL_IVF_DOT = (
 @query(
     "similarity_ann_ivf",
     oracle=f"""
-    WITH n AS ({_SQL_NORMED}),
+    WITH n AS (
+      SELECT * FROM ({_SQL_NORMED}) WHERE vec_id < {FIXED_CELL_MAX_VECTORS}
+    ),
     cents AS (
       SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
       FROM n ORDER BY vec_id LIMIT {IVF_CELLS}
@@ -667,8 +681,16 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     swaps in seeded KMeans centroids — same three joins, better cells. The
     scale shape: assignment is a broadcast of O(cells) centroids against
     the corpus (no shuffle of the big side), the candidate join is
-    cell-local, and nprobe trades recall for cost without new plumbing."""
-    e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
+    cell-local, and nprobe trades recall for cost without new plumbing.
+
+    FIXED-CELL BASELINE, capped at FIXED_CELL_MAX_VECTORS (the constant
+    cell count makes in-cell pair work n^2/cells — measured 10.4x at the
+    10x fixture); the uncapped scale path is similarity_ann_ivf_auto."""
+    e = with_norms(
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < FIXED_CELL_MAX_VECTORS
+        )
+    ).persist()
     cents = (
         e.orderBy("vec_id")
         .limit(IVF_CELLS)
@@ -1212,7 +1234,9 @@ def similarity_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_semantic",
     oracle=f"""
-    WITH n AS ({_SQL_NORMED}),
+    WITH n AS (
+      SELECT * FROM ({_SQL_NORMED}) WHERE vec_id < {FIXED_CELL_MAX_VECTORS}
+    ),
     cents AS (
       SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
       FROM n ORDER BY vec_id LIMIT {IVF_CELLS}
@@ -1267,8 +1291,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checkable end to end.  The greedy lowest-id rule makes the
     kept set deterministic without iterating to a fixpoint (duplicates
     of duplicates still drop: any member of a dup pair with a lower
-    partner is dropped)."""
-    e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
+    partner is dropped).
+
+    FIXED-CELL BASELINE, capped at FIXED_CELL_MAX_VECTORS (constant cell
+    count -> n^2/cells pair work — measured 22x at the 10x fixture); the
+    uncapped scale path is dedup_semantic_auto (sqrt-sized cells)."""
+    e = with_norms(
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < FIXED_CELL_MAX_VECTORS
+        )
+    ).persist()
     cents = (
         e.orderBy("vec_id")
         .limit(IVF_CELLS)

@@ -724,12 +724,22 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y"),
     )
+    # Moment accumulation convention (ml_auc_rank pattern): factors cast
+    # to DECIMAL(19,0) so the x*y product is DECIMAL(38,0) and the sum is
+    # exact at any vocabulary size (int64 sums of ~1.7e9 products wrap
+    # near 5e9 vocab terms); DuckDB's sum promotes to HUGEINT natively.
+    # The final double cast rounds the same exact integer on both engines.
+    d19 = "decimal(19,0)"
     s = q.agg(
         F.count("*").cast("double").alias("n"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x").cast(d19)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(d19)).cast("double").alias("sy"),
+        F.sum(F.col("x").cast(d19) * F.col("y").cast(d19))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("x").cast(d19) * F.col("x").cast(d19))
+        .cast("double")
+        .alias("sxx"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx = F.col("sxy"), F.col("sxx")

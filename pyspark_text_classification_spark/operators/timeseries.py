@@ -141,9 +141,9 @@ def _hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, lag,
              CAST(count(*) AS HUGEINT) AS n,
              CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
-             CAST(sum(x * x) AS HUGEINT) AS sxx,
-             CAST(sum(y * y) AS HUGEINT) AS syy,
-             CAST(sum(x * y) AS HUGEINT) AS sxy
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy
       FROM pairs GROUP BY 1, 2
     ),
     parts AS (
@@ -201,13 +201,20 @@ def events_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"stack({AC_LAGS}, {stack_expr}) AS (lag, x)"),
     ).filter(F.col("x").isNotNull())
     d38 = "decimal(38,0)"
+    # Convention (module-wide, the ml_auc_rank pattern): cast each FACTOR
+    # to DECIMAL(19,0) before multiplying so the product itself is decimal
+    # (d19 * d19 -> DECIMAL(38,0)) — never form an int64 product of two
+    # row-level counts and cast afterwards.  Oracle twin: CAST(x AS
+    # HUGEINT) * y inside the sum.  Values are unchanged below the int64
+    # bound; above it both engines stay exact instead of failing together.
+    d19 = "decimal(19,0)"
     stats = pairs.groupBy("event_type", "lag").agg(
         F.count("*").cast(d38).alias("n"),
         F.sum(F.col("x").cast(d38)).alias("sx"),
         F.sum(F.col("y").cast(d38)).alias("sy"),
-        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
-        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        F.sum(F.col("x").cast(d19) * F.col("x").cast(d19)).alias("sxx"),
+        F.sum(F.col("y").cast(d19) * F.col("y").cast(d19)).alias("syy"),
+        F.sum(F.col("x").cast(d19) * F.col("y").cast(d19)).alias("sxy"),
     )
     parts = stats.select(
         "event_type",
@@ -293,9 +300,9 @@ def cusum_peak(series: DataFrame) -> DataFrame:
     pre = series.select(
         "event_type",
         "h",
-        F.sum("y").over(wrun).cast(d38).alias("prefix"),
+        F.sum(F.col("y").cast(d38)).over(wrun).alias("prefix"),
         F.row_number().over(wrun).cast(d38).alias("t"),
-        F.sum("y").over(wall).cast(d38).alias("tot"),
+        F.sum(F.col("y").cast(d38)).over(wall).alias("tot"),
         F.count("*").over(wall).cast(d38).alias("n"),
     )
     s = pre.select(
@@ -477,6 +484,30 @@ _SQL_DAILY = f"""
 """
 
 
+def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled (event_type, d, y) DAILY count series — the Spark twin
+    of _SQL_DAILY, shared by events_mann_kendall and events_theil_sen.
+    Wall-clock-bounded (a decade is 3650 days x |types|), so it is
+    localCheckpointed eagerly; each caller unpersists its own copy."""
+    ev = fan_out(load_table(spark, sf_dir, "events")).select(
+        "event_type", (ts_us() / DAY_US).cast("long").alias("d")
+    )
+    dcnt = ev.groupBy("event_type", "d").agg(F.count("*").alias("y"))
+    db = ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    dgrid = db.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d")
+    )
+    dtypes = ev.select("event_type").distinct()
+    return (
+        dtypes.crossJoin(F.broadcast(dgrid))
+        .join(dcnt, ["event_type", "d"], "left")
+        .select(
+            "event_type", "d", F.coalesce(F.col("y"), F.lit(0)).alias("y")
+        )
+        .localCheckpoint(eager=True)  # bounded grid, consumed repeatedly
+    )
+
+
 @query(
     "events_mann_kendall",
     oracle=f"""
@@ -537,23 +568,7 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     input row count; the per-day aggregate underneath is map-side
     combined at fact scale), signs are a CASE shared verbatim by both
     engines, and every accumulation runs in DECIMAL(38,0)/HUGEINT."""
-    ev = fan_out(load_table(spark, sf_dir, "events")).select(
-        "event_type", (ts_us() / DAY_US).cast("long").alias("d")
-    )
-    dcnt = ev.groupBy("event_type", "d").agg(F.count("*").alias("y"))
-    db = ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
-    dgrid = db.select(
-        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d")
-    )
-    dtypes = ev.select("event_type").distinct()
-    dseries = (
-        dtypes.crossJoin(F.broadcast(dgrid))
-        .join(dcnt, ["event_type", "d"], "left")
-        .select(
-            "event_type", "d", F.coalesce(F.col("y"), F.lit(0)).alias("y")
-        )
-        .localCheckpoint(eager=True)  # bounded grid, consumed 3x below
-    )
+    dseries = _daily_series(spark, sf_dir)
     d38 = "decimal(38,0)"
     a = dseries.alias("a")
     b = dseries.alias("b")
@@ -569,7 +584,7 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sgn"),
     )
     s = pairs.groupBy("event_type").agg(
-        F.sum("sgn").cast(d38).alias("s_stat")
+        F.sum(F.col("sgn").cast(d38)).alias("s_stat")
     )
     nn = dseries.groupBy("event_type").agg(F.count("*").cast(d38).alias("n"))
     ties = (
@@ -602,6 +617,117 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE (abs(s_stat) - 1) * (abs(s_stat) - 1) * 18000"
         " div var18 END AS BIGINT) AS zsq_milli",
     ).localCheckpoint(eager=True)
+    dseries.unpersist()
+    return out
+
+
+# --- Theil-Sen robust trend slope ---------------------------------------------
+SEN_SCALE = 1_000_000  # slope reported in micro-counts per day
+
+
+@query(
+    "events_theil_sen",
+    oracle=f"""
+    WITH {_SQL_DAILY},
+    spairs AS (
+      SELECT a.event_type,
+             ((b.y - a.y) * {SEN_SCALE}) // (b.d - a.d) AS slope_micro,
+             a.d AS da, b.d AS db2
+      FROM dseries a JOIN dseries b
+        ON b.event_type = a.event_type AND b.d > a.d
+    ),
+    rankeds AS (
+      SELECT event_type, slope_micro,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY slope_micro, da, db2) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS m
+      FROM spairs
+    ),
+    med AS (
+      SELECT event_type, slope_micro, CAST(m AS BIGINT) AS n_pairs
+      FROM rankeds WHERE rk = (m + 1) // 2
+    ),
+    dn AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+      FROM dseries GROUP BY 1
+    )
+    SELECT dn.event_type, dn.n_days, med.n_pairs,
+           CAST(med.slope_micro AS BIGINT) AS sen_slope_micro,
+           CASE WHEN med.slope_micro > 0 THEN 'increasing'
+                WHEN med.slope_micro < 0 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM dn JOIN med ON med.event_type = dn.event_type
+    """,
+)
+def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator (Theil 1950; Sen 1968) on the
+    gap-filled daily count series per event type: the median of all
+    pairwise slopes (y_j - y_i)/(d_j - d_i), i < j — the outlier-proof
+    companion to events_mann_kendall's S test (up to ~29% of the days
+    can be corrupted before the estimate moves, vs one bad day for OLS).
+
+    Integer-exact cross-engine: slopes are quantized to micro-counts/day
+    with truncating division (Spark `div` == DuckDB `//` toward zero,
+    module convention), and the median is the LOWER median — the row at
+    rank (m+1) div 2 under the total order (slope, da, db) — so both
+    engines pick the identical element; no averaging, no floats.  The
+    per-row product (y_j - y_i) * 1e6 bounds the daily count < ~9.2e12
+    in int64 (the events_autocorr_lag magnitude-bound convention; past
+    that, pre-scale y — the slope ranking is scale-invariant up to the
+    division quantum).  Pair work is per-type over the WALL-CLOCK-bounded
+    day grid exactly like Mann-Kendall (a decade -> 6.7M pairs/type,
+    independent of fact rows); the fact table itself only feeds the
+    map-side-combined per-day aggregate."""
+    dseries = _daily_series(spark, sf_dir)
+    a = dseries.alias("a")
+    b = dseries.alias("b")
+    spairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.d") > F.col("a.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.expr(f"((b.y - a.y) * {SEN_SCALE}) div (b.d - a.d)").alias(
+            "slope_micro"
+        ),
+        F.col("a.d").alias("da"),
+        F.col("b.d").alias("db2"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        "slope_micro", "da", "db2"
+    )
+    w_all = Window.partitionBy("event_type")
+    med = (
+        spairs.select(
+            "event_type",
+            "slope_micro",
+            F.row_number().over(w_rank).alias("rk"),
+            F.count("*").over(w_all).alias("m"),
+        )
+        .filter(F.col("rk") == F.expr("(m + 1) div 2"))
+        .select(
+            "event_type",
+            "slope_micro",
+            F.col("m").cast("long").alias("n_pairs"),
+        )
+    )
+    dn = dseries.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days")
+    )
+    out = (
+        dn.join(med, "event_type")
+        .selectExpr(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            "CAST(slope_micro AS BIGINT) AS sen_slope_micro",
+            "CASE WHEN slope_micro > 0 THEN 'increasing'"
+            " WHEN slope_micro < 0 THEN 'decreasing'"
+            " ELSE 'no_trend' END AS trend",
+        )
+        .localCheckpoint(eager=True)
+    )
     dseries.unpersist()
     return out
 
