@@ -261,6 +261,9 @@ CORE_50 = [
 
 
 def main() -> None:
+    # Sample host load BEFORE any work starts: the 1-min loadavg at this
+    # point is co-tenant noise, not the bench's own footprint.
+    loadavg1_start = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -367,9 +370,10 @@ def main() -> None:
                 "bloom_fpp_micro": bloom_fpp,
                 # Host weather: same-plan totals swing ~±10-20% with
                 # co-tenant load (driver 213s vs idle 178s in round 5).
-                # loadavg at bench END lets a reader separate plan cost
-                # from machine noise without re-running.
-                "loadavg1": round(os.getloadavg()[0], 2),
+                # loadavg sampled at bench START (pre-warmup) lets a
+                # reader separate plan cost from machine noise without
+                # re-running.
+                "loadavg1": loadavg1_start,
                 "sf": sf,
             }
         )
