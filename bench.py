@@ -227,6 +227,7 @@ HEADLINE = [
     "similarity_ivf_pq_auto",
     "similarity_ivf_pq_auto_recall",
     "events_theil_sen",
+    "similarity_kmeans_auto",
 ]
 
 

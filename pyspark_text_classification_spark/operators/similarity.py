@@ -1816,6 +1816,98 @@ def similarity_ann_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(topk, e, ranked)
 
 
+# --- Lloyd step with corpus-sized k (the sizing rule applied to clustering) --
+@query(
+    "similarity_kmeans_auto",
+    oracle=f"""
+    WITH n AS ({_SQL_NORMED}),
+    {sql_auto_cells_cte('n')},
+    ac AS (
+      SELECT n.vec_id, c.cent_id,
+             {_SQL_KM_DOT.format(a='n.v', b='c.cv')} / (n.nrm * c.cnrm) AS cos
+      FROM n CROSS JOIN cents c
+    ),
+    ranked AS (
+      SELECT vec_id, cent_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id)
+               AS rk
+      FROM ac
+    ),
+    members AS (SELECT vec_id, cent_id FROM ranked WHERE rk = 1),
+    x AS (
+      SELECT cent_id, u.dim AS dim,
+             CAST(floor(u.val * {KM_SCALE}.0 + 0.5) AS BIGINT) AS q
+      FROM (
+        SELECT m.cent_id,
+               unnest(list_transform(range(1, length(n.v) + 1),
+                 i -> {{'dim': i - 1, 'val': n.v[i]}})) AS u
+        FROM members m JOIN n ON n.vec_id = m.vec_id
+      )
+    )
+    SELECT cent_id, CAST(dim AS INT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_members,
+           {sql_round_half_up(
+               f'CAST(sum(q) AS DOUBLE) / ({KM_SCALE}.0 * count(*))', 4)}
+             AS centroid_val
+    FROM x GROUP BY cent_id, dim
+    """,
+)
+def similarity_kmeans_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration with the cluster count SIZED FROM THE CORPUS:
+    k = max({IVF_AUTO_MIN_CELLS}, floor(sqrt(n))) — the same rule the
+    *_auto ANN/dedup/serving operators share (auto_centroids /
+    sql_auto_cells_cte, so it cannot fork), applied to the clustering
+    family: similarity_kmeans_step runs the fixed-{IVF_CELLS} small
+    oracle, this is the shape a web-scale partitioner actually trains
+    (SemDeDup's ~50k clusters on LAION is exactly sqrt-order sizing).
+
+    The plan is kmeans_step's verbatim with a bigger broadcast: the
+    argmax-cosine assignment stays MAP-SIDE ONLY over a window-ranked
+    broadcast join (k rows ~ sqrt(n) — 50 MB at n = 1e10, still a
+    broadcast), and the mean recompute shuffles only O(k x dims)
+    map-side-combined integer partial sums.  Assignment here uses the
+    window-rank form rather than kmeans_step's in-row fold because k is
+    no longer a compile-time constant; both rank (cos DESC, cent_id) and
+    are hash-verified against the same oracle shape."""
+    e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
+    cents = auto_centroids(e, load_table(spark, sf_dir, "embeddings"))
+    dot_ac = _fold_sum(F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y))
+    ac = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        (dot_ac / (F.col("nrm") * F.col("cnrm"))).alias("cos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), "cent_id"
+    )
+    members = (
+        ac.select(
+            "vec_id", "cent_id", F.row_number().over(w_assign).alias("rk")
+        )
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cent_id")
+    )
+    x = (
+        members.join(e, "vec_id")
+        .select("cent_id", F.posexplode("v"))
+        .select(
+            "cent_id",
+            F.col("pos").alias("dim"),
+            F.floor(F.col("col") * KM_SCALE + F.lit(0.5))
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    out = x.groupBy("cent_id", "dim").agg(
+        F.count("*").alias("n_members"),
+        round_half_up(
+            F.sum("q").cast("double") / (F.lit(float(KM_SCALE)) * F.count("*")),
+            4,
+        ).alias("centroid_val"),
+    )
+    return _finalize(out, e)
+
+
 # --- SemDeDup with corpus-sized cell count (the scale-correct variant) -------
 @query(
     "dedup_semantic_auto",
