@@ -836,3 +836,69 @@ def test_round5_additions_plan_shapes(spark, sf_dir):
     mcc = formatted_plan(QUERIES["ml_mcc_eval"](spark, sf_dir))
     for bad in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
         assert bad not in mcc, mcc
+
+
+def test_round6_additions_plan_contracts(spark, sf_dir, monkeypatch):
+    """The three round-6 additions keep their promised 100 TB shapes:
+
+    - similarity_kmeans_auto: assignment joins the corpus ONLY by
+      broadcast (sqrt-sized centroid table), never a shuffle join — the
+      corpus is never moved to be assigned;
+    - events_theil_sen: every window over the pair stream is PARTITIONED
+      (by event_type); no unpartitioned row window anywhere (the day
+      grid is wall-clock-bounded, but the contract keeps it honest);
+    - similarity_ivf_pq_auto_recall is eager by construction (checkpointed
+      shortlist), covered by its oracle hash instead.
+    """
+    import re
+
+    from pyspark_text_classification_spark.operators import similarity
+    from pyspark_text_classification_spark.plans.explain import formatted_plan
+
+    monkeypatch.setattr(similarity, "EAGER_RELEASE", False)
+    km = formatted_plan(QUERIES["similarity_kmeans_auto"](spark, sf_dir))
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert bad not in km, km
+
+    # theil_sen eagerly checkpoints its bounded result (the dedup.py
+    # release pattern), so the registered query's plan is the checkpoint
+    # readout; inspect the LAZY construction it checkpoints instead.
+    from pyspark.sql import Window, functions as F
+
+    from pyspark_text_classification_spark.operators import timeseries
+
+    dseries = timeseries._daily_series(spark, sf_dir)
+    a, b = dseries.alias("a"), dseries.alias("b")
+    spairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.d") > F.col("a.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.expr(
+            f"((b.y - a.y) * {timeseries.SEN_SCALE}) div (b.d - a.d)"
+        ).alias("slope_micro"),
+        F.col("a.d").alias("da"),
+        F.col("b.d").alias("db2"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        "slope_micro", "da", "db2"
+    )
+    w_all = Window.partitionBy("event_type")
+    ranked = spairs.select(
+        "event_type",
+        "slope_micro",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count("*").over(w_all).alias("m"),
+    )
+    ts = formatted_plan(ranked)
+    assert ts.count("Window") >= 1, ts  # the window stage is really there
+    unpartitioned = [
+        s
+        for s in re.findall(
+            r"Arguments: \[[^\]]*\], \[([^\]]*)\], \[[^\]]*\]", ts
+        )
+        if s.strip() == ""
+    ]
+    assert not unpartitioned, f"unpartitioned window in theil_sen: {ts}"
+    dseries.unpersist()
