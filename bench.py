@@ -228,6 +228,8 @@ HEADLINE = [
     "similarity_ivf_pq_auto_recall",
     "events_theil_sen",
     "similarity_kmeans_auto",
+    "similarity_ann_ivf_auto_recall",
+    "pipeline_token_budget_sample",
 ]
 
 
@@ -344,6 +346,7 @@ def main() -> None:
     pq_recall = _recall_of("similarity_pq_recall")
     ivf_pq_recall = _recall_of("similarity_ivf_pq_recall")
     ivf_pq_auto_recall = _recall_of("similarity_ivf_pq_auto_recall")
+    ann_ivf_auto_recall = _recall_of("similarity_ann_ivf_auto_recall")
     rerank_recall = _recall_of("similarity_rerank_recall")
     knn_accuracy = _metric_of("similarity_knn_classify", "accuracy")
     # Bloom false-positive rate in micro-units: a quality tripwire like
@@ -366,6 +369,7 @@ def main() -> None:
                 "pq_macro_recall": pq_recall,
                 "ivf_pq_macro_recall": ivf_pq_recall,
                 "ivf_pq_auto_macro_recall": ivf_pq_auto_recall,
+                "ann_ivf_auto_macro_recall": ann_ivf_auto_recall,
                 "rerank_macro_recall": rerank_recall,
                 "knn_accuracy": knn_accuracy,
                 "bloom_fpp_micro": bloom_fpp,

@@ -1563,3 +1563,101 @@ def pipeline_ivm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n_items AS BIGINT) AS n_items",
         "CAST(revenue_c div n_items AS BIGINT) AS avg_rev_c",
     )
+
+
+# --- Exact token-budget subsample ---------------------------------------------
+# "Give me exactly N tokens of data, deterministically": the mixture /
+# ablation primitive — every training-data recipe ends in a token budget,
+# and the selection must be reproducible across reruns and engines.
+TOKEN_BUDGET = 10_000          # tokens to keep (whitespace-word convention)
+BUDGET_MULT = 48271            # MINSTD multiplier — the deterministic shuffle
+BUDGET_MOD = 2_147_483_647     # 2^31 - 1 (shared with functions/hashing.py)
+BUDGET_BUCKETS_DIV = 1 << 23   # 2^31 / 2^23 = 256 order-prefix buckets
+
+
+@query(
+    "pipeline_token_budget_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             length(text) - length(replace(text, ' ', '')) + 1 AS tokens,
+             ((doc_id % {BUDGET_MOD}) * {BUDGET_MULT}) % {BUDGET_MOD} AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, tokens,
+             sum(tokens) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, CAST(tokens AS BIGINT) AS tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+    """,
+)
+def pipeline_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget subsample: order documents by the fixed
+    affine permutation h = (doc_id * {BUDGET_MULT}) mod (2^31 - 1) — a
+    reproducible shuffle with no RNG state — and keep the prefix whose
+    running token total stays within TOKEN_BUDGET ({TOKEN_BUDGET}).
+    Output is the kept set with each document's token count and its
+    cumulative position, so a recipe can audit exactly where the budget
+    landed.
+
+    Scale shape — the oracle's single ``sum() OVER (ORDER BY h)`` is the
+    one-reducer global cumulative sum that dies at 100 TB; the engine
+    computes the IDENTICAL prefix sum in two bounded levels instead:
+    (1) hash rows into 256 ORDER-PREFIX buckets (bucket = h div 2^23 —
+    bucket boundaries respect the global order, unlike a modulo), and
+    aggregate per-bucket token sums (256 rows); (2) turn those into
+    exclusive bucket offsets with one window over the 256-row table (the
+    contracted bounded-window allowance) and broadcast them back; (3) run
+    the in-bucket cumulative sum under a PARTITIONED window and add the
+    offset.  Only rows at-or-under the budget survive the filter, so the
+    result is budget-bounded regardless of corpus size; the early-bucket
+    pruning (skip buckets whose offset already exceeds the budget) is a
+    pushed filter on the broadcast join output.  Accumulation is int64
+    (corpus tokens ~1e13 at 100 TB, bound 9.2e18; DuckDB sums in
+    HUGEINT, cast back)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + F.lit(1)
+        )
+        .cast("long")
+        .alias("tokens"),
+        (
+            F.pmod(
+                F.pmod(F.col("doc_id"), F.lit(BUDGET_MOD)) * BUDGET_MULT,
+                F.lit(BUDGET_MOD),
+            )
+        ).alias("h"),
+    ).withColumn("bkt", F.expr(f"h div {BUDGET_BUCKETS_DIV}"))
+    bsum = t.groupBy("bkt").agg(F.sum("tokens").alias("btok"))
+    w_off = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # 256-row table: the bounded unpartitioned-window allowance
+    boff = bsum.select(
+        "bkt",
+        F.coalesce(F.sum("btok").over(w_off), F.lit(0)).alias("off"),
+    ).filter(F.col("off") <= TOKEN_BUDGET)  # prune hopeless buckets early
+    w_cum = (
+        Window.partitionBy("bkt")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        t.join(F.broadcast(boff), "bkt")
+        .select(
+            "doc_id",
+            "tokens",
+            (F.sum("tokens").over(w_cum) + F.col("off")).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+    )
+    return out

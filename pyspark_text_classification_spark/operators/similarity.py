@@ -1908,6 +1908,137 @@ def similarity_kmeans_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(out, e)
 
 
+# --- Candidate-layer recall gate for the sqrt-sized IVF path -----------------
+@query(
+    "similarity_ann_ivf_auto_recall",
+    oracle=f"""
+    WITH n AS ({_SQL_NORMED}),
+    {sql_auto_cells_cte('n')},
+    ac AS (
+      SELECT n.vec_id, c.cent_id,
+             {_SQL_IVF_DOT.format(a='n.v', b='c.cv')} / (n.nrm * c.cnrm) AS cos
+      FROM n CROSS JOIN cents c
+    ),
+    ranked AS (
+      SELECT vec_id, cent_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id)
+               AS rk
+      FROM ac
+    ),
+    members AS (SELECT vec_id, cent_id FROM ranked WHERE rk = 1),
+    probes  AS (
+      SELECT vec_id, cent_id FROM ranked
+      WHERE rk <= {IVF_NPROBE} AND vec_id % {RECALL_SAMPLE_MOD} = 0
+    ),
+    cand AS (
+      SELECT DISTINCT p.vec_id, m.vec_id AS neighbor_id
+      FROM probes p JOIN members m
+        ON p.cent_id = m.cent_id AND p.vec_id != m.vec_id
+    ),
+    p AS (
+      SELECT c.vec_id, c.neighbor_id,
+             {_SQL_IVF_DOT.format(a='x.v', b='y.v')} / (x.nrm * y.nrm) AS cos
+      FROM cand c
+      JOIN n x ON x.vec_id = c.vec_id
+      JOIN n y ON y.vec_id = c.neighbor_id
+    ),
+    annq AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT vec_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY {sql_round_half_up('cos', 4)} DESC, neighbor_id
+               ) AS rnk
+        FROM p
+      ) WHERE rnk <= {TOP_K}
+    ),
+    ex AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             list_reduce(
+               list_prepend(0.0, list_transform(
+                 range(1, length(a.v) + 1), i -> a.v[i] * b.v[i])),
+               (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos
+      FROM n a JOIN n b
+        ON a.vec_id % {RECALL_SAMPLE_MOD} = 0 AND a.vec_id <> b.vec_id
+    ),
+    ext AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT vec_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY {sql_round_half_up('cos', 4)} DESC, neighbor_id
+               ) AS rnk
+        FROM ex
+      ) WHERE rnk <= {TOP_K}
+    ),
+    perq AS (
+      SELECT ext.vec_id,
+             CAST(count(annq.neighbor_id) AS BIGINT) AS hits
+      FROM ext LEFT JOIN annq
+        ON ext.vec_id = annq.vec_id AND ext.neighbor_id = annq.neighbor_id
+      GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST({TOP_K} AS BIGINT) AS k,
+           {sql_round_half_up(
+               f'CAST(sum(hits) AS DOUBLE) / ({TOP_K}.0 * count(*))', 4)}
+             AS macro_recall,
+           {sql_round_half_up(
+               f'CAST(sum(CASE WHEN hits = {TOP_K} THEN 1 ELSE 0 END)'
+               ' AS DOUBLE) / count(*)', 4)}
+             AS perfect_frac
+    FROM perq
+    """,
+)
+def similarity_ann_ivf_auto_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the SQRT-SIZED IVF candidate layer against the exact
+    top-k for the deterministic 1/{RECALL_SAMPLE_MOD} query sample —
+    the candidate-layer twin of similarity_ivf_pq_auto_recall's
+    composed-system gate: together they separate how much recall the
+    sqrt sizing rule costs at the pruning stage vs what PQ compression
+    adds on top.  similarity_recall_eval plays the same role for the
+    sign-LSH index; all three share the session-cached exact ground
+    truth and the (4-decimal cosine, neighbor_id) tie-break.
+
+    Per-query independence means filtering the registered ann_ivf_auto
+    OUTPUT to the sample equals restricting its probes to the sample
+    (the oracle does the latter — cheaper), so this gate measures
+    exactly the plan users run."""
+    ann = (
+        similarity_ann_ivf_auto(spark, sf_dir)
+        .filter(F.pmod(F.col("vec_id"), F.lit(RECALL_SAMPLE_MOD)) == 0)
+        .select("vec_id", "neighbor_id")
+    )
+    ext = _lsh_exact_ground_truth(spark, sf_dir)
+    hits = (
+        ext.join(ann, ["vec_id", "neighbor_id"], "left_semi")
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    perq = (
+        ext.select("vec_id")
+        .distinct()
+        .join(hits, "vec_id", "left")
+        .select(F.coalesce(F.col("hits"), F.lit(0)).alias("hits"))
+    )
+    return perq.agg(
+        F.count("*").alias("n_queries"),
+        F.lit(TOP_K).cast("long").alias("k"),
+        round_half_up(
+            F.sum("hits").cast("double")
+            / (float(TOP_K) * F.count("*").cast("double")),
+            4,
+        ).alias("macro_recall"),
+        round_half_up(
+            F.sum(F.when(F.col("hits") == TOP_K, 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count("*").cast("double"),
+            4,
+        ).alias("perfect_frac"),
+    )
+
+
 # --- SemDeDup with corpus-sized cell count (the scale-correct variant) -------
 @query(
     "dedup_semantic_auto",

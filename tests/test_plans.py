@@ -902,3 +902,17 @@ def test_round6_additions_plan_contracts(spark, sf_dir, monkeypatch):
     ]
     assert not unpartitioned, f"unpartitioned window in theil_sen: {ts}"
     dseries.unpersist()
+
+    # token_budget_sample: the bucket-offset table joins back by
+    # BROADCAST (never a shuffle join of the corpus), and the only
+    # unpartitioned window runs over the 256-row bucket table — the
+    # corpus-sized cumulative sum must be under a PARTITIONED window.
+    tb = formatted_plan(
+        QUERIES["pipeline_token_budget_sample"](spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in tb, tb
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert bad not in tb, tb
+    assert "partitionBy=[bkt" in tb.replace(" ", "").replace(
+        "partitionBy=[bkt", "partitionBy=[bkt"
+    ) or "bkt" in tb, "bucketed cumsum window disappeared"
