@@ -657,3 +657,143 @@ def test_levenshtein_three_way(spark, pairs):
         for a, b in pairs
     ]
     assert got_spark == py and got_duck == py
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10_000_000_000),  # doc_id (incl. sfbig offsets)
+            st.integers(1, 500),             # tokens
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 3_000),                   # budget
+)
+def test_token_budget_two_level_prefix_equals_global_cumsum(spark, rows, budget):
+    """pipeline_token_budget_sample's two-level prefix sum (bucket offsets
+    + partitioned in-bucket cumsum) must equal the single global
+    cumulative sum it replaces, on ARBITRARY id spaces and budgets —
+    including ids past 2^31 (where the mod wraps and h can collide) and
+    budgets that land exactly on a document boundary."""
+    from pyspark.sql import Window
+
+    from pyspark_text_classification_spark.operators.pipeline import (
+        BUDGET_BUCKETS_DIV,
+        BUDGET_MOD,
+        BUDGET_MULT,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id LONG, tokens LONG").withColumn(
+        "h",
+        F.pmod(
+            F.pmod(F.col("doc_id"), F.lit(BUDGET_MOD)) * BUDGET_MULT,
+            F.lit(BUDGET_MOD),
+        ),
+    ).withColumn("bkt", F.expr(f"h div {BUDGET_BUCKETS_DIV}"))
+    bsum = df.groupBy("bkt").agg(F.sum("tokens").alias("btok"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bsum.select(
+        "bkt", F.coalesce(F.sum("btok").over(w_off), F.lit(0)).alias("off")
+    ).filter(F.col("off") <= budget)
+    w_cum = (
+        Window.partitionBy("bkt")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        (r.doc_id, r.cum)
+        for r in df.join(F.broadcast(boff), "bkt")
+        .select(
+            "doc_id",
+            (F.sum("tokens").over(w_cum) + F.col("off")).alias("cum"),
+        )
+        .filter(F.col("cum") <= budget)
+        .collect()
+    }
+    # brute force: one global cumulative sum over the (h, doc_id) order
+    def h_of(doc_id: int) -> int:
+        return ((doc_id % BUDGET_MOD) * BUDGET_MULT) % BUDGET_MOD
+
+    cum, brute = 0, set()
+    for doc_id, tokens in sorted(rows, key=lambda t: (h_of(t[0]), t[0])):
+        cum += tokens
+        if cum <= budget:
+            brute.add((doc_id, cum))
+    assert got == brute
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """C-style integer division truncating toward zero — the semantics
+    Spark's `div` and DuckDB's `//` share on integers (Python's // floors,
+    which differs on negatives)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.integers(0, 1_000), min_size=2, max_size=25),  # daily y
+)
+def test_theil_sen_lower_median_matches_reference_and_shift_invariant(
+    spark, ys
+):
+    """events_theil_sen's windowed lower-median must equal the Python
+    reference (sort all pairwise truncated slopes by (slope, da, db),
+    take element (m+1) div 2) on ARBITRARY daily series, and adding a
+    constant to every y must leave the slope unchanged (the estimator is
+    shift-invariant by construction — slopes depend only on differences)."""
+    from pyspark.sql import Window
+
+    from pyspark_text_classification_spark.operators.timeseries import (
+        SEN_SCALE,
+    )
+
+    def spark_sen(series):
+        rows = [("t", d, y) for d, y in enumerate(series)]
+        ds = spark.createDataFrame(rows, "event_type STRING, d LONG, y LONG")
+        a, b = ds.alias("a"), ds.alias("b")
+        spairs = a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.d") > F.col("a.d")),
+        ).select(
+            F.col("a.event_type").alias("event_type"),
+            F.expr(f"((b.y - a.y) * {SEN_SCALE}) div (b.d - a.d)").alias(
+                "slope_micro"
+            ),
+            F.col("a.d").alias("da"),
+            F.col("b.d").alias("db2"),
+        )
+        w_rank = Window.partitionBy("event_type").orderBy(
+            "slope_micro", "da", "db2"
+        )
+        w_all = Window.partitionBy("event_type")
+        out = (
+            spairs.select(
+                "slope_micro",
+                F.row_number().over(w_rank).alias("rk"),
+                F.count("*").over(w_all).alias("m"),
+            )
+            .filter(F.col("rk") == F.expr("(m + 1) div 2"))
+            .collect()
+        )
+        assert len(out) == 1
+        return out[0].slope_micro
+
+    def py_sen(series):
+        slopes = sorted(
+            (_trunc_div((yj - yi) * SEN_SCALE, dj - di), di, dj)
+            for di, yi in enumerate(series)
+            for dj, yj in enumerate(series)
+            if dj > di
+        )
+        return slopes[(len(slopes) + 1) // 2 - 1][0]
+
+    base = spark_sen(ys)
+    assert base == py_sen(ys)
+    assert spark_sen([y + 137 for y in ys]) == base  # shift invariance
