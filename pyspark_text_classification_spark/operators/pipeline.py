@@ -1575,6 +1575,50 @@ BUDGET_MOD = 2_147_483_647     # 2^31 - 1 (shared with functions/hashing.py)
 BUDGET_BUCKETS_DIV = 1 << 23   # 2^31 / 2^23 = 256 order-prefix buckets
 
 
+def with_budget_keys(df: DataFrame) -> DataFrame:
+    """Add the deterministic shuffle key h = (doc_id * mult) mod p and its
+    ORDER-PREFIX bucket (bkt = h div 2^23 — bucket boundaries respect the
+    global (h, doc_id) order, unlike a modulo).  Shared by the operator
+    and the property test so both exercise the same key derivation."""
+    return df.withColumn(
+        "h",
+        F.pmod(
+            F.pmod(F.col("doc_id"), F.lit(BUDGET_MOD)) * BUDGET_MULT,
+            F.lit(BUDGET_MOD),
+        ),
+    ).withColumn("bkt", F.expr(f"h div {BUDGET_BUCKETS_DIV}"))
+
+
+def two_level_budget_prefix(t: DataFrame, budget: int) -> DataFrame:
+    """(doc_id, tokens, cum_tokens) for rows whose running token total
+    under the global (h, doc_id) order stays within ``budget`` — computed
+    as 256 bucket offsets (one bounded unpartitioned window) broadcast
+    over PARTITIONED in-bucket cumulative sums, never a global window.
+    Shared by pipeline_token_budget_sample and its property test."""
+    bsum = t.groupBy("bkt").agg(F.sum("tokens").alias("btok"))
+    w_off = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # 256-row table: the bounded unpartitioned-window allowance
+    boff = bsum.select(
+        "bkt",
+        F.coalesce(F.sum("btok").over(w_off), F.lit(0)).alias("off"),
+    ).filter(F.col("off") <= budget)  # prune hopeless buckets early
+    w_cum = (
+        Window.partitionBy("bkt")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.join(F.broadcast(boff), "bkt")
+        .select(
+            "doc_id",
+            "tokens",
+            (F.sum("tokens").over(w_cum) + F.col("off")).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
 @query(
     "pipeline_token_budget_sample",
     oracle=f"""
@@ -1622,42 +1666,16 @@ def pipeline_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (corpus tokens ~1e13 at 100 TB, bound 9.2e18; DuckDB sums in
     HUGEINT, cast back)."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id",
-        (
-            F.length("text")
-            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-            + F.lit(1)
-        )
-        .cast("long")
-        .alias("tokens"),
-        (
-            F.pmod(
-                F.pmod(F.col("doc_id"), F.lit(BUDGET_MOD)) * BUDGET_MULT,
-                F.lit(BUDGET_MOD),
-            )
-        ).alias("h"),
-    ).withColumn("bkt", F.expr(f"h div {BUDGET_BUCKETS_DIV}"))
-    bsum = t.groupBy("bkt").agg(F.sum("tokens").alias("btok"))
-    w_off = Window.orderBy("bkt").rowsBetween(
-        Window.unboundedPreceding, -1
-    )  # 256-row table: the bounded unpartitioned-window allowance
-    boff = bsum.select(
-        "bkt",
-        F.coalesce(F.sum("btok").over(w_off), F.lit(0)).alias("off"),
-    ).filter(F.col("off") <= TOKEN_BUDGET)  # prune hopeless buckets early
-    w_cum = (
-        Window.partitionBy("bkt")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    out = (
-        t.join(F.broadcast(boff), "bkt")
-        .select(
+    t = with_budget_keys(
+        docs.select(
             "doc_id",
-            "tokens",
-            (F.sum("tokens").over(w_cum) + F.col("off")).alias("cum_tokens"),
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                + F.lit(1)
+            )
+            .cast("long")
+            .alias("tokens"),
         )
-        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
     )
-    return out
+    return two_level_budget_prefix(t, TOKEN_BUDGET)

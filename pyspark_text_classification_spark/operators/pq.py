@@ -428,7 +428,9 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _exact_topk_ground_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _exact_topk_ground_truth(
+    spark: SparkSession, sf_dir: str, max_vec: int | None = None
+) -> DataFrame:
     """Exact cosine top-{PQ_NN_K} for the deterministic 1/32 query sample
     — the ground truth every recall evaluator measures against.
 
@@ -436,7 +438,14 @@ def _exact_topk_ground_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction, while building it is the expensive |sample| x n
     D-dim fold.  An index-quality dashboard computes this once per corpus
     snapshot and scores every index variant against it — exactly how the
-    three recall queries here consume it."""
+    three recall queries here consume it.
+
+    ``max_vec``: restrict BOTH the query sample and the neighbor universe
+    to vec_id < max_vec — the ground truth for the CAPPED fixed-cell
+    baselines (their index only covers the capped corpus, so scoring them
+    against uncapped truth would measure coverage, not quality, above the
+    cap).  Below the cap — every bundled sf — the two truths are
+    identical."""
     from pyspark_text_classification_spark.operators.similarity import (
         _fold_sum,
         _rank_topk,
@@ -447,7 +456,10 @@ def _exact_topk_ground_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build() -> DataFrame:
-        e = with_norms(load_table(spark, sf_dir, "embeddings"))
+        emb = load_table(spark, sf_dir, "embeddings")
+        if max_vec is not None:
+            emb = emb.filter(F.col("vec_id") < max_vec)
+        e = with_norms(emb)
         sampled = F.pmod(F.col("vec_id"), F.lit(PQ_QUERY_MOD)) == 0
         a = e.filter(sampled).select(
             "vec_id", F.col("v").alias("xv"), F.col("nrm").alias("xn")
@@ -471,17 +483,26 @@ def _exact_topk_ground_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return _rank_topk(ex, k=PQ_NN_K).select("vec_id", "neighbor_id")
 
-    return shared_intermediate(spark, sf_dir, "pq_exact_topk", build)
+    slot = (
+        "pq_exact_topk" if max_vec is None else f"pq_exact_topk_lt{max_vec}"
+    )
+    return shared_intermediate(spark, sf_dir, slot, build)
 
 
-def _recall_vs_exact(spark: SparkSession, sf_dir: str, ann: DataFrame) -> DataFrame:
+def _recall_vs_exact(
+    spark: SparkSession,
+    sf_dir: str,
+    ann: DataFrame,
+    max_vec: int | None = None,
+) -> DataFrame:
     """One-row recall@k summary of ANY (vec_id, neighbor_id) ANN result
     against the exact cosine top-k for the deterministic 1/32 query
     sample — the Spark twin of _SQL_RECALL_TAIL, shared by every recall
-    query in this module."""
+    query in this module.  ``max_vec`` selects the capped ground truth —
+    pass it for ANN results whose index covers only vec_id < max_vec."""
     from pyspark_text_classification_spark.functions.text import round_half_up
 
-    ext = _exact_topk_ground_truth(spark, sf_dir)
+    ext = _exact_topk_ground_truth(spark, sf_dir, max_vec=max_vec)
 
     hits = (
         ext.join(ann, ["vec_id", "neighbor_id"], "left_semi")
@@ -514,7 +535,14 @@ def _recall_vs_exact(spark: SparkSession, sf_dir: str, ann: DataFrame) -> DataFr
 # Exact-ground-truth CTEs (n -> ex -> ext): the DuckDB twin of
 # _exact_topk_ground_truth, shared by every recall oracle in this module
 # and by the kNN label-vote classifier so the exact side is defined once.
-_SQL_EXACT_TOPK_CTES = f"""
+def _sql_exact_topk_ctes(max_vec: int | None = None) -> str:
+    """The n/ex/ext exact-ground-truth CTEs; ``max_vec`` emits the capped
+    variant (queries AND neighbors restricted to vec_id < max_vec) — the
+    DuckDB twin of _exact_topk_ground_truth(max_vec=...)."""
+    src = "embeddings" if max_vec is None else (
+        f"(SELECT * FROM embeddings WHERE vec_id < {max_vec})"
+    )
+    return f"""
     n AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -523,7 +551,7 @@ _SQL_EXACT_TOPK_CTES = f"""
                  list_transform(embedding, x -> CAST(x AS DOUBLE)),
                  x -> x * x)),
                (acc, x) -> acc + x)) AS nrm
-      FROM embeddings
+      FROM {src}
     ),
     ex AS (
       SELECT a.vec_id, b.vec_id AS neighbor_id,
@@ -547,11 +575,16 @@ _SQL_EXACT_TOPK_CTES = f"""
 """
 
 
+_SQL_EXACT_TOPK_CTES = _sql_exact_topk_ctes()
+
+
 # Generic on-engine recall evaluation: compares an ``annq(vec_id,
 # neighbor_id)`` CTE against the exact cosine top-k for the same
-# deterministic query sample.
-_SQL_RECALL_TAIL = f"""
-    {_SQL_EXACT_TOPK_CTES},
+# deterministic query sample.  ``max_vec`` selects the capped ground
+# truth for the fixed-cell baselines.
+def _sql_recall_tail(max_vec: int | None = None) -> str:
+    return f"""
+    {_sql_exact_topk_ctes(max_vec)},
     perq AS (
       SELECT ext.vec_id, CAST(count(annq.neighbor_id) AS BIGINT) AS hits
       FROM ext LEFT JOIN annq
@@ -569,6 +602,9 @@ _SQL_RECALL_TAIL = f"""
              AS perfect_frac
     FROM perq
 """
+
+
+_SQL_RECALL_TAIL = _sql_recall_tail()
 
 
 @query(
@@ -895,14 +931,31 @@ def similarity_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     outside the probed cells (IVF pruning) and code-reconstruction error
     (PQ).  similarity_recall_eval isolates the candidate layer and
     similarity_pq_recall the compression layer; this closes the
-    triangle.  Tracked per round in the bench summary line."""
+    triangle.  Tracked per round in the bench summary line.
+
+    Measured against the CAPPED ground truth (vec_id <
+    FIXED_CELL_MAX_VECTORS, matching the capped fixed-cell index) so it
+    reports index QUALITY at any scale — against uncapped truth, queries
+    above the cap would get zero candidates by construction and the
+    number would measure coverage instead.  Below the cap (every bundled
+    sf) the two truths are identical."""
+    from pyspark_text_classification_spark.operators.similarity import (
+        FIXED_CELL_MAX_VECTORS,
+    )
+
     ann = similarity_ivf_pq(spark, sf_dir).select(
         F.col("q_id").alias("vec_id"), "neighbor_id"
     )
-    return _recall_vs_exact(spark, sf_dir, ann)
+    return _recall_vs_exact(
+        spark, sf_dir, ann, max_vec=FIXED_CELL_MAX_VECTORS
+    )
 
 
 def _sql_ivf_pq_recall() -> str:
+    from pyspark_text_classification_spark.operators.similarity import (
+        FIXED_CELL_MAX_VECTORS,
+    )
+
     return f"""
     {_sql_ivf_pq_ctes()},
     annq AS (
@@ -914,7 +967,7 @@ def _sql_ivf_pq_recall() -> str:
         FROM scored
       ) WHERE rnk <= {PQ_NN_K}
     ),
-    {_SQL_RECALL_TAIL}
+    {_sql_recall_tail(FIXED_CELL_MAX_VECTORS)}
     """
 
 
@@ -1044,14 +1097,28 @@ def similarity_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the FULL two-stage stack (IVF probe -> ADC shortlist
     -> exact re-rank) against the exact top-k — the number that shows
     what re-ranking buys back over similarity_ivf_pq_recall's raw
-    composition.  Tracked per round in the bench summary line."""
+    composition.  Tracked per round in the bench summary line.
+    Measured against the CAPPED ground truth (see
+    similarity_ivf_pq_recall) — the rerank stack serves the capped
+    fixed-cell index, so its quality gate must share that corpus."""
+    from pyspark_text_classification_spark.operators.similarity import (
+        FIXED_CELL_MAX_VECTORS,
+    )
+
     ann = similarity_ivf_pq_rerank(spark, sf_dir).select(
         "vec_id", "neighbor_id"
     )
-    return _recall_vs_exact(spark, sf_dir, ann)
+    return _recall_vs_exact(
+        spark, sf_dir, ann, max_vec=FIXED_CELL_MAX_VECTORS
+    )
 
 
-_PQ_ORACLES["similarity_rerank_recall"] = f"""
+def _sql_rerank_recall() -> str:
+    from pyspark_text_classification_spark.operators.similarity import (
+        FIXED_CELL_MAX_VECTORS,
+    )
+
+    return f"""
     {_sql_rerank_ctes()},
     annq AS (
       SELECT vec_id, neighbor_id FROM (
@@ -1063,8 +1130,11 @@ _PQ_ORACLES["similarity_rerank_recall"] = f"""
         FROM rcos
       ) WHERE rnk <= {PQ_NN_K}
     ),
-    {_SQL_RECALL_TAIL}
+    {_sql_recall_tail(FIXED_CELL_MAX_VECTORS)}
     """
+
+
+_PQ_ORACLES["similarity_rerank_recall"] = _sql_rerank_recall()
 
 
 # --------------------------------------------------------------------------

@@ -487,25 +487,33 @@ _SQL_DAILY = f"""
 def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled (event_type, d, y) DAILY count series — the Spark twin
     of _SQL_DAILY, shared by events_mann_kendall and events_theil_sen.
-    Wall-clock-bounded (a decade is 3650 days x |types|), so it is
-    localCheckpointed eagerly; each caller unpersists its own copy."""
-    ev = fan_out(load_table(spark, sf_dir, "events")).select(
-        "event_type", (ts_us() / DAY_US).cast("long").alias("d")
+    Wall-clock-bounded (a decade is 3650 days x |types|), deterministic,
+    and consumed by two trend queries per session — exactly the
+    build-once-serve-many shape plans/shared.py exists for, so the
+    fact-scale events scan behind it runs once per (session, sf_dir)."""
+    from pyspark_text_classification_spark.plans.shared import (
+        shared_intermediate,
     )
-    dcnt = ev.groupBy("event_type", "d").agg(F.count("*").alias("y"))
-    db = ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
-    dgrid = db.select(
-        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d")
-    )
-    dtypes = ev.select("event_type").distinct()
-    return (
-        dtypes.crossJoin(F.broadcast(dgrid))
-        .join(dcnt, ["event_type", "d"], "left")
-        .select(
-            "event_type", "d", F.coalesce(F.col("y"), F.lit(0)).alias("y")
+
+    def build() -> DataFrame:
+        ev = fan_out(load_table(spark, sf_dir, "events")).select(
+            "event_type", (ts_us() / DAY_US).cast("long").alias("d")
         )
-        .localCheckpoint(eager=True)  # bounded grid, consumed repeatedly
-    )
+        dcnt = ev.groupBy("event_type", "d").agg(F.count("*").alias("y"))
+        db = ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        dgrid = db.select(
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d")
+        )
+        dtypes = ev.select("event_type").distinct()
+        return (
+            dtypes.crossJoin(F.broadcast(dgrid))
+            .join(dcnt, ["event_type", "d"], "left")
+            .select(
+                "event_type", "d", F.coalesce(F.col("y"), F.lit(0)).alias("y")
+            )
+        )
+
+    return shared_intermediate(spark, sf_dir, "daily_series", build)
 
 
 @query(
@@ -617,12 +625,58 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE (abs(s_stat) - 1) * (abs(s_stat) - 1) * 18000"
         " div var18 END AS BIGINT) AS zsq_milli",
     ).localCheckpoint(eager=True)
-    dseries.unpersist()
+    # dseries is the session-shared slot (plans/shared.py) — never
+    # unpersisted by a consumer; the slot owns its lifetime.
     return out
 
 
 # --- Theil-Sen robust trend slope ---------------------------------------------
 SEN_SCALE = 1_000_000  # slope reported in micro-counts per day
+
+
+def sen_ranked_slopes(dseries: DataFrame) -> DataFrame:
+    """All pairwise daily slopes, ranked per type under the total order
+    (slope_micro, da, db) with the per-type pair count — the lazy core
+    of events_theil_sen, shared by the registered query, the plan
+    contract, and the property test so they all exercise ONE plan."""
+    a = dseries.alias("a")
+    b = dseries.alias("b")
+    spairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.d") > F.col("a.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.expr(f"((b.y - a.y) * {SEN_SCALE}) div (b.d - a.d)").alias(
+            "slope_micro"
+        ),
+        F.col("a.d").alias("da"),
+        F.col("b.d").alias("db2"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        "slope_micro", "da", "db2"
+    )
+    w_all = Window.partitionBy("event_type")
+    return spairs.select(
+        "event_type",
+        "slope_micro",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count("*").over(w_all).alias("m"),
+    )
+
+
+def sen_median_slopes(dseries: DataFrame) -> DataFrame:
+    """(event_type, slope_micro, n_pairs): the LOWER median — the row at
+    rank (m+1) div 2 — of the ranked pairwise slopes."""
+    return (
+        sen_ranked_slopes(dseries)
+        .filter(F.col("rk") == F.expr("(m + 1) div 2"))
+        .select(
+            "event_type",
+            "slope_micro",
+            F.col("m").cast("long").alias("n_pairs"),
+        )
+    )
 
 
 @query(
@@ -680,38 +734,7 @@ def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of fact rows); the fact table itself only feeds the
     map-side-combined per-day aggregate."""
     dseries = _daily_series(spark, sf_dir)
-    a = dseries.alias("a")
-    b = dseries.alias("b")
-    spairs = a.join(
-        b,
-        (F.col("a.event_type") == F.col("b.event_type"))
-        & (F.col("b.d") > F.col("a.d")),
-    ).select(
-        F.col("a.event_type").alias("event_type"),
-        F.expr(f"((b.y - a.y) * {SEN_SCALE}) div (b.d - a.d)").alias(
-            "slope_micro"
-        ),
-        F.col("a.d").alias("da"),
-        F.col("b.d").alias("db2"),
-    )
-    w_rank = Window.partitionBy("event_type").orderBy(
-        "slope_micro", "da", "db2"
-    )
-    w_all = Window.partitionBy("event_type")
-    med = (
-        spairs.select(
-            "event_type",
-            "slope_micro",
-            F.row_number().over(w_rank).alias("rk"),
-            F.count("*").over(w_all).alias("m"),
-        )
-        .filter(F.col("rk") == F.expr("(m + 1) div 2"))
-        .select(
-            "event_type",
-            "slope_micro",
-            F.col("m").cast("long").alias("n_pairs"),
-        )
-    )
+    med = sen_median_slopes(dseries)
     dn = dseries.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_days")
     )
@@ -728,7 +751,7 @@ def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    dseries.unpersist()
+    # dseries is the session-shared slot — consumers never unpersist it.
     return out
 
 

@@ -679,40 +679,17 @@ def test_token_budget_two_level_prefix_equals_global_cumsum(spark, rows, budget)
     cumulative sum it replaces, on ARBITRARY id spaces and budgets —
     including ids past 2^31 (where the mod wraps and h can collide) and
     budgets that land exactly on a document boundary."""
-    from pyspark.sql import Window
-
     from pyspark_text_classification_spark.operators.pipeline import (
-        BUDGET_BUCKETS_DIV,
         BUDGET_MOD,
         BUDGET_MULT,
+        two_level_budget_prefix,
+        with_budget_keys,
     )
 
-    df = spark.createDataFrame(rows, "doc_id LONG, tokens LONG").withColumn(
-        "h",
-        F.pmod(
-            F.pmod(F.col("doc_id"), F.lit(BUDGET_MOD)) * BUDGET_MULT,
-            F.lit(BUDGET_MOD),
-        ),
-    ).withColumn("bkt", F.expr(f"h div {BUDGET_BUCKETS_DIV}"))
-    bsum = df.groupBy("bkt").agg(F.sum("tokens").alias("btok"))
-    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    boff = bsum.select(
-        "bkt", F.coalesce(F.sum("btok").over(w_off), F.lit(0)).alias("off")
-    ).filter(F.col("off") <= budget)
-    w_cum = (
-        Window.partitionBy("bkt")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    t = with_budget_keys(spark.createDataFrame(rows, "doc_id LONG, tokens LONG"))
     got = {
-        (r.doc_id, r.cum)
-        for r in df.join(F.broadcast(boff), "bkt")
-        .select(
-            "doc_id",
-            (F.sum("tokens").over(w_cum) + F.col("off")).alias("cum"),
-        )
-        .filter(F.col("cum") <= budget)
-        .collect()
+        (r.doc_id, r.cum_tokens)
+        for r in two_level_budget_prefix(t, budget).collect()
     }
     # brute force: one global cumulative sum over the (h, doc_id) order
     def h_of(doc_id: int) -> int:
@@ -747,41 +724,15 @@ def test_theil_sen_lower_median_matches_reference_and_shift_invariant(
     take element (m+1) div 2) on ARBITRARY daily series, and adding a
     constant to every y must leave the slope unchanged (the estimator is
     shift-invariant by construction — slopes depend only on differences)."""
-    from pyspark.sql import Window
-
     from pyspark_text_classification_spark.operators.timeseries import (
         SEN_SCALE,
+        sen_median_slopes,
     )
 
     def spark_sen(series):
         rows = [("t", d, y) for d, y in enumerate(series)]
         ds = spark.createDataFrame(rows, "event_type STRING, d LONG, y LONG")
-        a, b = ds.alias("a"), ds.alias("b")
-        spairs = a.join(
-            b,
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("b.d") > F.col("a.d")),
-        ).select(
-            F.col("a.event_type").alias("event_type"),
-            F.expr(f"((b.y - a.y) * {SEN_SCALE}) div (b.d - a.d)").alias(
-                "slope_micro"
-            ),
-            F.col("a.d").alias("da"),
-            F.col("b.d").alias("db2"),
-        )
-        w_rank = Window.partitionBy("event_type").orderBy(
-            "slope_micro", "da", "db2"
-        )
-        w_all = Window.partitionBy("event_type")
-        out = (
-            spairs.select(
-                "slope_micro",
-                F.row_number().over(w_rank).alias("rk"),
-                F.count("*").over(w_all).alias("m"),
-            )
-            .filter(F.col("rk") == F.expr("(m + 1) div 2"))
-            .collect()
-        )
+        out = sen_median_slopes(ds).collect()
         assert len(out) == 1
         return out[0].slope_micro
 
