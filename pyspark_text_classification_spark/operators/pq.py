@@ -684,8 +684,12 @@ def _ivf_pq_scored(spark: SparkSession, sf_dir: str, auto_cells: bool = False):
     from pyspark_text_classification_spark.operators.similarity import (
         FIXED_CELL_MAX_VECTORS,
         IVF_CELLS,
-        _fold_sum,
+        IVFPQ_AUTO_NPROBE_MIN,
+        IVFPQ_AUTO_NPROBE_MULT,
         auto_centroids,
+        auto_cells as sized_cells,
+        auto_nprobe,
+        ivf_assignment,
         with_norms,
     )
 
@@ -695,8 +699,18 @@ def _ivf_pq_scored(spark: SparkSession, sf_dir: str, auto_cells: bool = False):
         emb = emb.filter(F.col("vec_id") < FIXED_CELL_MAX_VECTORS)
     n = with_norms(emb).persist()
     if auto_cells:
-        cents = auto_centroids(n, load_table(spark, sf_dir, "embeddings"))
+        # One count sizes BOTH the cell count and the probe count; the
+        # composed system probes max(6, 3*isqrt(cells)) cells — measured
+        # against PQ loss stacking on IVF pruning (see similarity.py's
+        # IVFPQ_AUTO_NPROBE_* rationale: end-to-end recall 0.543 at 3x
+        # vs 0.470 at 2x and the fixed-cell baseline's 0.502 at sf0.1).
+        c = sized_cells(load_table(spark, sf_dir, "embeddings"))
+        nprobe = auto_nprobe(
+            c, IVFPQ_AUTO_NPROBE_MULT, IVFPQ_AUTO_NPROBE_MIN
+        )
+        cents = auto_centroids(n, cells=c)
     else:
+        nprobe = IVFPQ_NPROBE
         cents = (
             n.orderBy("vec_id")
             .limit(IVF_CELLS)
@@ -706,24 +720,12 @@ def _ivf_pq_scored(spark: SparkSession, sf_dir: str, auto_cells: bool = False):
                 F.col("nrm").alias("cnrm"),
             )
         )
-    dot_ac = _fold_sum(F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y))
-    ac = n.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cent_id",
-        (dot_ac / (F.col("nrm") * F.col("cnrm"))).alias("cos"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), "cent_id"
-    )
-    ranked = ac.select(
-        "vec_id", "cent_id", F.row_number().over(w_assign).alias("rk")
-    ).persist()
+    ranked = ivf_assignment(n, cents, nprobe).persist()
     members = ranked.filter(F.col("rk") == 1).select(
         F.col("vec_id").alias("neighbor_id"), "cent_id"
     )
     probes = ranked.filter(
-        (F.col("rk") <= IVFPQ_NPROBE)
-        & (F.pmod(F.col("vec_id"), F.lit(PQ_QUERY_MOD)) == 0)
+        F.pmod(F.col("vec_id"), F.lit(PQ_QUERY_MOD)) == 0
     ).select(F.col("vec_id").alias("q_id"), "cent_id")
     cand = (
         probes.join(members, "cent_id")
@@ -796,15 +798,22 @@ def _sql_ivf_pq_ctes(auto_cells: bool = False) -> str:
     from pyspark_text_classification_spark.operators.similarity import (
         FIXED_CELL_MAX_VECTORS,
         IVF_CELLS,
+        IVFPQ_AUTO_NPROBE_MIN,
+        IVFPQ_AUTO_NPROBE_MULT,
         _SQL_IVF_DOT,
         _SQL_NORMED,
         sql_auto_cells_cte,
+        sql_auto_nprobe,
     )
 
     if auto_cells:
         cents_sql = sql_auto_cells_cte("nv")
         nv_sql = _SQL_NORMED
+        nprobe_sql = sql_auto_nprobe(
+            IVFPQ_AUTO_NPROBE_MULT, IVFPQ_AUTO_NPROBE_MIN
+        )
     else:
+        nprobe_sql = str(IVFPQ_NPROBE)
         cents_sql = f"""cents AS (
       SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
       FROM nv ORDER BY vec_id LIMIT {IVF_CELLS}
@@ -835,7 +844,7 @@ def _sql_ivf_pq_ctes(auto_cells: bool = False) -> str:
     mem AS (SELECT vec_id AS neighbor_id, cent_id FROM rankedc WHERE rk = 1),
     probes AS (
       SELECT vec_id AS q_id, cent_id FROM rankedc
-      WHERE rk <= {IVFPQ_NPROBE} AND vec_id % {PQ_QUERY_MOD} = 0
+      WHERE rk <= {nprobe_sql} AND vec_id % {PQ_QUERY_MOD} = 0
     ),
     cand AS (
       SELECT DISTINCT p.q_id, mem.neighbor_id

