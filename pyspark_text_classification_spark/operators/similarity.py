@@ -2218,3 +2218,203 @@ def dedup_semantic_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _finalize(out, m)
+
+
+# --- nprobe sweep: the table that justifies the auto probe rule ---------------
+SWEEP_LEVELS = (1, 2, 4, 8, 16)
+_SWEEP_MAX = max(SWEEP_LEVELS)
+
+
+@query(
+    "similarity_nprobe_sweep",
+    oracle=f"""
+    WITH n AS ({_SQL_NORMED}),
+    {sql_auto_cells_cte('n')},
+    ac AS (
+      SELECT n.vec_id, c.cent_id,
+             {_SQL_IVF_DOT.format(a='n.v', b='c.cv')} / (n.nrm * c.cnrm) AS cos
+      FROM n CROSS JOIN cents c
+    ),
+    ranked AS (
+      SELECT vec_id, cent_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id)
+               AS rk
+      FROM ac
+    ),
+    members AS (SELECT vec_id, cent_id FROM ranked WHERE rk = 1),
+    probes  AS (
+      SELECT vec_id, cent_id, rk FROM ranked
+      WHERE rk <= {_SWEEP_MAX} AND vec_id % {RECALL_SAMPLE_MOD} = 0
+    ),
+    cand AS (
+      SELECT p.vec_id, m.vec_id AS neighbor_id,
+             CAST(min(p.rk) AS BIGINT) AS entry_rk
+      FROM probes p JOIN members m
+        ON p.cent_id = m.cent_id AND p.vec_id != m.vec_id
+      GROUP BY 1, 2
+    ),
+    pr AS (
+      SELECT c.vec_id, c.neighbor_id, c.entry_rk,
+             {_SQL_IVF_DOT.format(a='x.v', b='y.v')} / (x.nrm * y.nrm) AS cos
+      FROM cand c
+      JOIN n x ON x.vec_id = c.vec_id
+      JOIN n y ON y.vec_id = c.neighbor_id
+    ),
+    lv AS (SELECT unnest([{', '.join(str(x) for x in SWEEP_LEVELS)}]) AS nprobe),
+    annq AS (
+      SELECT nprobe, vec_id, neighbor_id FROM (
+        SELECT lv.nprobe, pr.vec_id, pr.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY lv.nprobe, pr.vec_id
+                 ORDER BY {sql_round_half_up('pr.cos', 4)} DESC, pr.neighbor_id
+               ) AS rnk
+        FROM pr JOIN lv ON pr.entry_rk <= lv.nprobe
+      ) WHERE rnk <= {TOP_K}
+    ),
+    ex AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             list_reduce(
+               list_prepend(0.0, list_transform(
+                 range(1, length(a.v) + 1), i -> a.v[i] * b.v[i])),
+               (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos
+      FROM n a JOIN n b
+        ON a.vec_id % {RECALL_SAMPLE_MOD} = 0 AND a.vec_id <> b.vec_id
+    ),
+    ext AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT vec_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY {sql_round_half_up('cos', 4)} DESC, neighbor_id
+               ) AS rnk
+        FROM ex
+      ) WHERE rnk <= {TOP_K}
+    ),
+    tl AS (SELECT lv.nprobe, ext.vec_id, ext.neighbor_id FROM lv CROSS JOIN ext),
+    perq AS (
+      SELECT tl.nprobe, tl.vec_id,
+             CAST(count(annq.neighbor_id) AS BIGINT) AS hits
+      FROM tl LEFT JOIN annq
+        ON annq.nprobe = tl.nprobe AND annq.vec_id = tl.vec_id
+       AND annq.neighbor_id = tl.neighbor_id
+      GROUP BY 1, 2
+    ),
+    nc AS (
+      SELECT lv.nprobe, CAST(count(*) AS BIGINT) AS n_candidates
+      FROM cand JOIN lv ON cand.entry_rk <= lv.nprobe
+      GROUP BY 1
+    )
+    SELECT CAST(perq.nprobe AS INT) AS nprobe,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(max(nc.n_candidates) AS BIGINT) AS n_candidates,
+           {sql_round_half_up(
+               f'CAST(sum(perq.hits) AS DOUBLE) / ({TOP_K}.0 * count(*))', 4)}
+             AS macro_recall
+    FROM perq JOIN nc ON nc.nprobe = perq.nprobe
+    GROUP BY perq.nprobe
+    """,
+)
+def similarity_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} and candidate mass per nprobe level — the measured
+    table that justifies the auto probe rule (auto_nprobe's
+    2*isqrt(cells) multiplier), the IVF twin of dedup_threshold_sweep:
+    one row per nprobe in {SWEEP_LEVELS} with the candidate-layer
+    macro recall on the shared 1/{RECALL_SAMPLE_MOD} query sample and
+    the candidate-pair count that recall costs.  Reading it top-down
+    shows the knee a deployment tunes to; the auto rule's values at
+    sf0.01/sf0.1 (8 and 12) land between the 8 and 16 rows.
+
+    One pass prices every level: candidates are built ONCE at the
+    maximum level with their ENTRY RANK (the smallest nprobe that
+    admits the pair = min over shared cells of the probe's rank), so a
+    level's candidate set is just entry_rk <= nprobe — no per-level
+    re-probing, and the {_SWEEP_MAX}-level superset reuses
+    ivf_assignment's WindowGroupLimit-Partial shape.  The level table
+    is a 5-row broadcast; the exact ground truth is the session-cached
+    sample top-{TOP_K} every recall gate shares."""
+    e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
+    cells = auto_cells(load_table(spark, sf_dir, "embeddings"))
+    cents = auto_centroids(e, cells=cells)
+    ranked = ivf_assignment(e, cents, _SWEEP_MAX).persist()
+    members = ranked.filter(F.col("rk") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cent_id"
+    )
+    probes = ranked.filter(
+        F.pmod(F.col("vec_id"), F.lit(RECALL_SAMPLE_MOD)) == 0
+    ).select("vec_id", "cent_id", "rk")
+    cand = (
+        probes.join(members, "cent_id")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .groupBy("vec_id", "neighbor_id")
+        .agg(F.min("rk").cast("long").alias("entry_rk"))
+    )
+    x = e.select(
+        "vec_id", F.col("v").alias("xv"), F.col("nrm").alias("xn")
+    )
+    y = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("yv"),
+        F.col("nrm").alias("yn"),
+    )
+    dot = _fold_sum(F.zip_with(F.col("xv"), F.col("yv"), lambda p, q: p * q))
+    pr = (
+        cand.join(x, "vec_id")
+        .join(y, "neighbor_id")
+        .select(
+            "vec_id",
+            "neighbor_id",
+            "entry_rk",
+            (dot / (F.col("xn") * F.col("yn"))).alias("cos"),
+        )
+    )
+    levels = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(int(x_)) for x_ in SWEEP_LEVELS])
+        ).alias("nprobe")
+    )
+    swept = pr.join(F.broadcast(levels), F.col("entry_rk") <= F.col("nprobe"))
+    cos4 = round_half_up(F.col("cos"), 4)
+    w = Window.partitionBy("nprobe", "vec_id").orderBy(
+        cos4.desc(), "neighbor_id"
+    )
+    ann = (
+        swept.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("nprobe", "vec_id", "neighbor_id")
+    )
+    truth_lv = _lsh_exact_ground_truth(spark, sf_dir).crossJoin(
+        F.broadcast(levels)
+    )
+    hits = (
+        truth_lv.join(ann, ["nprobe", "vec_id", "neighbor_id"], "left_semi")
+        .groupBy("nprobe", "vec_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    perq = (
+        truth_lv.select("nprobe", "vec_id")
+        .distinct()
+        .join(hits, ["nprobe", "vec_id"], "left")
+        .select(
+            "nprobe", F.coalesce(F.col("hits"), F.lit(0)).alias("hits")
+        )
+    )
+    ncand = (
+        cand.join(F.broadcast(levels), F.col("entry_rk") <= F.col("nprobe"))
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("n_candidates"))
+    )
+    rec = perq.groupBy("nprobe").agg(
+        F.count("*").alias("n_queries"),
+        round_half_up(
+            F.sum("hits").cast("double")
+            / (float(TOP_K) * F.count("*").cast("double")),
+            4,
+        ).alias("macro_recall"),
+    )
+    out = rec.join(ncand, "nprobe").select(
+        F.col("nprobe").cast("int").alias("nprobe"),
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        "macro_recall",
+    )
+    return _finalize(out, e, ranked)
