@@ -779,16 +779,21 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cost vs similarity_pq_adc_topk: the scored pair count drops ~4x for the
     price of the coarse probe — recall loss is exactly the IVF pruning
     (vectors whose true neighbors live outside the probed cells)."""
+    from pyspark_text_classification_spark.operators.similarity import (
+        FIXED_CELL_MAX_VECTORS,
+        with_n_indexed,
+    )
+
     scored, persisted = _ivf_pq_scored(spark, sf_dir)
     w = Window.partitionBy("q_id").orderBy("adc_d2", "neighbor_id")
-    out = (
+    out = with_n_indexed(
         scored.select(
             "q_id", "neighbor_id", "adc_d2",
             F.row_number().over(w).alias("rank"),
-        )
-        .filter(F.col("rank") <= PQ_NN_K)
-        .localCheckpoint(eager=True)
-    )
+        ).filter(F.col("rank") <= PQ_NN_K),
+        load_table(spark, sf_dir, "embeddings"),
+        FIXED_CELL_MAX_VECTORS,
+    ).localCheckpoint(eager=True)
     for df in persisted:
         df.unpersist()
     return out
@@ -869,9 +874,15 @@ def _sql_ivf_pq_ctes(auto_cells: bool = False) -> str:
 
 
 def _sql_ivf_pq() -> str:
+    from pyspark_text_classification_spark.operators.similarity import (
+        FIXED_CELL_MAX_VECTORS,
+        sql_n_indexed,
+    )
+
     return f"""
     {_sql_ivf_pq_ctes()}
-    SELECT q_id, neighbor_id, adc_d2, CAST(rnk AS INT) AS rank
+    SELECT q_id, neighbor_id, adc_d2, CAST(rnk AS INT) AS rank,
+           {sql_n_indexed(FIXED_CELL_MAX_VECTORS)} AS n_indexed
     FROM (
       SELECT q_id, neighbor_id, adc_d2,
              row_number() OVER (
@@ -1057,8 +1068,17 @@ def similarity_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for df in persisted:
         df.unpersist()
+    from pyspark_text_classification_spark.operators.similarity import (
+        FIXED_CELL_MAX_VECTORS,
+        with_n_indexed,
+    )
+
     e = with_norms(load_table(spark, sf_dir, "embeddings"))
-    return _rank_topk(candidate_cosines(e, shortlist), PQ_NN_K)
+    return with_n_indexed(
+        _rank_topk(candidate_cosines(e, shortlist), PQ_NN_K),
+        load_table(spark, sf_dir, "embeddings"),
+        FIXED_CELL_MAX_VECTORS,
+    )
 
 
 def _sql_rerank_ctes() -> str:
@@ -1086,10 +1106,16 @@ def _sql_rerank_ctes() -> str:
     """
 
 
+from pyspark_text_classification_spark.operators.similarity import (  # noqa: E402
+    FIXED_CELL_MAX_VECTORS as _FC_CAP,
+    sql_n_indexed as _sql_ni,
+)
+
 _PQ_ORACLES["similarity_ivf_pq_rerank"] = f"""
     {_sql_rerank_ctes()}
     SELECT vec_id, neighbor_id,
-           {sql_round_half_up('cos', 4)} AS cos_sim, CAST(rnk AS INT) AS rank
+           {sql_round_half_up('cos', 4)} AS cos_sim, CAST(rnk AS INT) AS rank,
+           {_sql_ni(_FC_CAP)} AS n_indexed
     FROM (
       SELECT vec_id, neighbor_id, cos,
              row_number() OVER (

@@ -91,6 +91,24 @@ EXACT_TOPK_MAX_VECTORS = 20_000
 FIXED_CELL_MAX_VECTORS = 4096
 
 
+def with_n_indexed(out: "DataFrame", raw: "DataFrame", cap: int) -> "DataFrame":
+    """Stamp every result row with n_indexed = least(corpus size, cap) so
+    a capped baseline's output CARRIES its own coverage: above the cap a
+    consumer sees n_indexed < the corpus count and cannot mistake the
+    capped answer for full-corpus output (ADVICE r6 — the caps were
+    documented in docstrings only).  The stamp is a 1-row aggregate
+    crossJoin-broadcast, no driver action; sql_n_indexed is the oracle
+    twin."""
+    ni = raw.agg(
+        F.least(F.count("*"), F.lit(cap)).cast("long").alias("n_indexed")
+    )
+    return out.crossJoin(F.broadcast(ni))
+
+
+def sql_n_indexed(cap: int, src: str = "embeddings") -> str:
+    return f"(SELECT LEAST(CAST(count(*) AS BIGINT), {cap}) FROM {src})"
+
+
 def _as_double_vec(col: str = "embedding") -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -669,7 +687,8 @@ _SQL_IVF_DOT = (
       JOIN n x ON x.vec_id = c.vec_id
       JOIN n y ON y.vec_id = c.neighbor_id
     )
-    {_SQL_TOPK_TAIL}
+    SELECT t.*, {sql_n_indexed(FIXED_CELL_MAX_VECTORS)} AS n_indexed
+    FROM ({_SQL_TOPK_TAIL}) t
     """,
 )
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -712,7 +731,11 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     pairs = candidate_cosines(e, cand)
-    topk = _rank_topk(pairs)
+    topk = with_n_indexed(
+        _rank_topk(pairs),
+        load_table(spark, sf_dir, "embeddings"),
+        FIXED_CELL_MAX_VECTORS,
+    )
     return _finalize(topk, e, ranked)
 
 
@@ -1234,7 +1257,8 @@ def similarity_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT m.cent_id AS cell_id,
            CAST(count(*) AS BIGINT) AS n_members,
            CAST(count(dropped.vec_id) AS BIGINT) AS n_dropped,
-           CAST(count(*) - count(dropped.vec_id) AS BIGINT) AS n_kept
+           CAST(count(*) - count(dropped.vec_id) AS BIGINT) AS n_kept,
+           {sql_n_indexed(FIXED_CELL_MAX_VECTORS)} AS n_indexed
     FROM m LEFT JOIN dropped
       ON m.vec_id = dropped.vec_id AND m.cent_id = dropped.cent_id
     GROUP BY 1
@@ -1329,6 +1353,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_kept"),
         )
+    )
+    out = with_n_indexed(
+        out, load_table(spark, sf_dir, "embeddings"), FIXED_CELL_MAX_VECTORS
     )
     return _finalize(out, e, m)
 
