@@ -1572,21 +1572,52 @@ def pipeline_ivm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_BUDGET = 10_000          # tokens to keep (whitespace-word convention)
 BUDGET_MULT = 48271            # MINSTD multiplier — the deterministic shuffle
 BUDGET_MOD = 2_147_483_647     # 2^31 - 1 (shared with functions/hashing.py)
-BUDGET_BUCKETS_DIV = 1 << 23   # 2^31 / 2^23 = 256 order-prefix buckets
+BUDGET_MIN_BUCKETS = 256       # order-prefix bucket floor (fixture scale)
 
 
-def with_budget_keys(df: DataFrame) -> DataFrame:
+def budget_bucket_div(n: int) -> int:
+    """Order-prefix divisor for b = max({BUDGET_MIN_BUCKETS}, isqrt(n))
+    buckets over the h key space [0, 2^31-1): bkt = h div THIS.  Any
+    positive divisor preserves the order-prefix property (bucket
+    boundaries respect the global (h, doc_id) order), so the bucket
+    count can scale with the corpus — the shared sqrt sizing rule —
+    without touching the oracle, whose global-window spec is
+    bucket-free.  At a fixed 256 buckets a single task cumulative-sums
+    n/256 rows (~4e9 at n = 1e12); sqrt sizing bounds both levels at
+    ~sqrt(n): the offset window sees b rows, each in-bucket window
+    ~n/b.  Ceil so the bucket count never exceeds b."""
+    import math
+
+    b = max(BUDGET_MIN_BUCKETS, math.isqrt(max(n, 1)))
+    return max(1, -(-BUDGET_MOD // b))
+
+
+def with_budget_keys(df: DataFrame, bucket_div: int | None = None) -> DataFrame:
     """Add the deterministic shuffle key h = (doc_id * mult) mod p and its
-    ORDER-PREFIX bucket (bkt = h div 2^23 — bucket boundaries respect the
-    global (h, doc_id) order, unlike a modulo).  Shared by the operator
-    and the property test so both exercise the same key derivation."""
+    ORDER-PREFIX bucket (bkt = h div bucket_div — bucket boundaries
+    respect the global (h, doc_id) order, unlike a modulo).  Shared by
+    the operator and the property test so both exercise the same key
+    derivation.
+
+    doc_id must be non-negative: Spark's pmod and the oracle's ``%``
+    agree only for non-negative dividends (DuckDB ``%`` is
+    sign-of-dividend), so a negative id would order differently on the
+    two engines — asserted here rather than silently diverging."""
+    div = bucket_div if bucket_div is not None else budget_bucket_div(0)
+    neg_guard = F.when(
+        F.assert_true(
+            F.col("doc_id") >= 0,
+            F.lit("with_budget_keys requires doc_id >= 0"),
+        ).isNull(),
+        F.col("doc_id"),
+    )
     return df.withColumn(
         "h",
         F.pmod(
-            F.pmod(F.col("doc_id"), F.lit(BUDGET_MOD)) * BUDGET_MULT,
+            F.pmod(neg_guard, F.lit(BUDGET_MOD)) * BUDGET_MULT,
             F.lit(BUDGET_MOD),
         ),
-    ).withColumn("bkt", F.expr(f"h div {BUDGET_BUCKETS_DIV}"))
+    ).withColumn("bkt", F.expr(f"h div {div}"))
 
 
 def two_level_budget_prefix(t: DataFrame, budget: int) -> DataFrame:
@@ -1625,7 +1656,8 @@ def two_level_budget_prefix(t: DataFrame, budget: int) -> DataFrame:
     WITH t AS (
       SELECT doc_id,
              length(text) - length(replace(text, ' ', '')) + 1 AS tokens,
-             ((doc_id % {BUDGET_MOD}) * {BUDGET_MULT}) % {BUDGET_MOD} AS h
+             ((((doc_id % {BUDGET_MOD}) + {BUDGET_MOD}) % {BUDGET_MOD})
+               * {BUDGET_MULT}) % {BUDGET_MOD} AS h
       FROM documents
     ),
     c AS (
@@ -1653,11 +1685,13 @@ def pipeline_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape — the oracle's single ``sum() OVER (ORDER BY h)`` is the
     one-reducer global cumulative sum that dies at 100 TB; the engine
     computes the IDENTICAL prefix sum in two bounded levels instead:
-    (1) hash rows into 256 ORDER-PREFIX buckets (bucket = h div 2^23 —
-    bucket boundaries respect the global order, unlike a modulo), and
-    aggregate per-bucket token sums (256 rows); (2) turn those into
-    exclusive bucket offsets with one window over the 256-row table (the
-    contracted bounded-window allowance) and broadcast them back; (3) run
+    (1) hash rows into b = max(256, isqrt(n)) ORDER-PREFIX buckets
+    (bucket = h div ceil(2^31 / b) — bucket boundaries respect the
+    global order, unlike a modulo; b sized from one count so both
+    levels stay ~sqrt(n)), and aggregate per-bucket token sums (b
+    rows); (2) turn those into exclusive bucket offsets with one window
+    over the b-row table (the contracted bounded-window allowance) and
+    broadcast them back; (3) run
     the in-bucket cumulative sum under a PARTITIONED window and add the
     offset.  Only rows at-or-under the budget survive the filter, so the
     result is budget-bounded regardless of corpus size; the early-bucket
@@ -1666,6 +1700,12 @@ def pipeline_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (corpus tokens ~1e13 at 100 TB, bound 9.2e18; DuckDB sums in
     HUGEINT, cast back)."""
     docs = load_table(spark, sf_dir, "documents")
+    # One bounded count() sizes the bucket divisor (buckets =
+    # max(256, isqrt(n)), the shared sqrt sizing rule) so no single task
+    # ever cumulative-sums more than ~sqrt(n) rows; the oracle is
+    # bucket-free (its global window IS the semantic spec), so the
+    # bucket count is engine-internal and the hash is unaffected.
+    n = docs.count()
     t = with_budget_keys(
         docs.select(
             "doc_id",
@@ -1676,6 +1716,7 @@ def pipeline_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("tokens"),
-        )
+        ),
+        budget_bucket_div(n),
     )
     return two_level_budget_prefix(t, TOKEN_BUDGET)
