@@ -2,9 +2,11 @@
 
 Extension surface (north star, BASELINE.json:6): image/audio/video are
 carried as ``binary`` columns plus a metadata struct; decode / resize /
-frame-sample are Pandas-UDF stages over ``mapInPandas``. The image/audio
-codec libraries are NOT in this environment, so the decode step is an
-explicit stub (NotImplementedError with the integration point documented),
+frame-sample are Pandas-UDF stages over ``mapInPandas``. decode_media is
+REAL for the uncompressed public byte layouts (binary PPM, 24-bit BMP,
+PCM16 WAV — pure numpy, exercised end-to-end by multimodal_decode_stats);
+compressed codecs (JPEG/PNG/MP3/H.264) need libraries NOT in this
+environment and remain a documented NotImplementedError dispatch arm,
 while everything Spark-side — schema, Arrow binary transfer, batch shape,
 partition-local execution — is real and tested.
 
@@ -53,18 +55,101 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(payload_bytes: bytes, mime: str) -> object:
-    """Decode an image/audio/video payload. STUB: codec libraries (PIL,
-    torchaudio, av) are not available in this build; wire them here.
+def _decode_ppm(b: bytes) -> "np.ndarray":
+    """Binary PPM (P6): ASCII header 'P6\\n{w} {h}\\n{maxval}\\n' then
+    w*h*3 raw RGB bytes — the netpbm byte layout (public spec)."""
+    if not b.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":  # comment line
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        fields.append(int(b[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i)
+    return px.reshape(h, w, 3)
 
-    Integration point: called per payload inside ``extract_features``-style
-    mapInPandas stages; return a numpy array (HxWxC image, waveform, or
-    frame stack) for downstream feature UDFs.
-    """
+
+def _decode_bmp(b: bytes) -> "np.ndarray":
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER): little-endian header
+    fields, bottom-up BGR rows padded to 4-byte multiples — decoded to
+    a top-down HxWx3 RGB array (the public Windows DIB layout)."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        b, dtype=np.uint8, count=stride * abs(h), offset=off
+    ).reshape(abs(h), stride)[:, : w * 3]
+    img = rows.reshape(abs(h), w, 3)
+    if h > 0:  # positive height = bottom-up storage
+        img = img[::-1]
+    return img[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def _decode_wav(b: bytes) -> tuple[int, "np.ndarray"]:
+    """16-bit PCM mono/stereo RIFF WAVE: walk the chunk list to 'fmt '
+    and 'data' (the public RIFF layout); returns (sample_rate,
+    int16 samples)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF WAVE payload")
+    i, rate, bits, data = 12, None, None, None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt ":
+            rate = int.from_bytes(b[i + 12 : i + 16], "little")
+            bits = int.from_bytes(b[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data = b[i + 8 : i + 8 + size]
+        i += 8 + size + (size & 1)
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16:
+        raise ValueError("only 16-bit PCM supported")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def decode_media(payload_bytes: bytes, mime: str) -> object:
+    """Decode an image/audio payload to a numpy array.
+
+    REAL for the uncompressed public byte layouts — pure numpy, no
+    codec libraries: binary PPM (P6) and 24-bit BMP return an HxWx3
+    RGB uint8 array; 16-bit PCM WAV returns (sample_rate, int16
+    samples).  Compressed formats (JPEG/PNG/MP3/H.264 ...) still
+    require codec libraries absent from this build — plug PIL /
+    torchaudio / av into the dispatch below; the surrounding
+    mapInPandas plumbing (schema, Arrow binary batches, stats) is
+    complete and exercised end-to-end by multimodal_decode_stats."""
+    b = bytes(payload_bytes)
+    if mime == "image/x-portable-pixmap":
+        return _decode_ppm(b)
+    if mime == "image/bmp":
+        return _decode_bmp(b)
+    if mime == "audio/wav":
+        return _decode_wav(b)
     raise NotImplementedError(
-        "media decode requires codec libraries not present in this build; "
-        "plug PIL/torchaudio/av into decode_media() — the surrounding "
-        "mapInPandas plumbing (schema, Arrow binary batches) is complete"
+        f"decode for {mime!r} requires codec libraries not present in "
+        "this build; plug PIL/torchaudio/av into decode_media() — the "
+        "uncompressed formats (PPM/BMP/WAV-PCM) decode natively"
     )
 
 
@@ -886,3 +971,223 @@ def multimodal_audio_energy_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_frames"),
         F.sum("energy").cast("long").alias("energy_sum"),
     ).drop("island")
+
+
+# --------------------------------------------------------------------------
+# Real decode: deterministic uncompressed payloads (PPM/BMP/WAV — public
+# byte layouts, pure numpy) flowing through decode_media, with a DuckDB
+# twin that recomputes the same stats from the generative formulas.
+# --------------------------------------------------------------------------
+DECODE_SCHEMA = (
+    "doc_id LONG, mime STRING, width LONG, height LONG, "
+    "sample_rate LONG, n_units LONG, sig_sum LONG, first_val LONG"
+)
+# Generative formulas (all non-negative, mirrored verbatim in the oracle):
+#   doc_id % 3 = 0 -> P6 PPM,   w = 4 + doc_id % 5, h = 3,
+#                     byte(i) = (doc_id*31 + i*7) % 256   (row-major RGB)
+#   doc_id % 3 = 1 -> 24b BMP,  w = 3 + doc_id % 4, h = 2,
+#                     byte(i) = (doc_id*17 + i*11) % 256  (logical top-down
+#                     RGB; the FILE stores bottom-up BGR + row padding,
+#                     which the decoder must undo — that asymmetry is what
+#                     proves the decode is real, not an echo)
+#   doc_id % 3 = 2 -> PCM16 WAV, rate = 8000 + 250*(doc_id % 7),
+#                     n = 16 + doc_id % 17,
+#                     s(i) = ((doc_id*13 + i*5) % 65536) - 32768
+
+
+def _encode_bmp(img: "np.ndarray") -> bytes:
+    """Encode a top-down HxWx3 RGB array as an uncompressed 24-bit BMP
+    (bottom-up BGR rows padded to 4 bytes — the public DIB layout)."""
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # flip + BGR
+    data = rows.tobytes()
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    head = (
+        b"BM"
+        + (14 + 40 + len(data)).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (54).to_bytes(4, "little")
+    )
+    return head + info + data
+
+
+def _encode_wav(rate: int, samples: "np.ndarray") -> bytes:
+    """Encode int16 mono samples as a PCM RIFF WAVE (public layout)."""
+    data = samples.astype("<i2").tobytes()
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunk = b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(fmt) + len(chunk)).to_bytes(4, "little") + b"WAVE" + fmt + chunk
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, mime, payload binary): deterministic uncompressed media
+    payloads (the generative formulas above) via mapInPandas — real
+    header-carrying bytes in Arrow binary batches, the write half of
+    the decode round-trip."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                m = d % 3
+                if m == 0:
+                    w, h = 4 + d % 5, 3
+                    px = (
+                        (d * 31 + np.arange(w * h * 3, dtype=np.int64) * 7)
+                        % 256
+                    ).astype(np.uint8)
+                    payload = b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+                    mime = "image/x-portable-pixmap"
+                elif m == 1:
+                    w, h = 3 + d % 4, 2
+                    px = (
+                        (d * 17 + np.arange(w * h * 3, dtype=np.int64) * 11)
+                        % 256
+                    ).astype(np.uint8)
+                    payload = _encode_bmp(px.reshape(h, w, 3))
+                    mime = "image/bmp"
+                else:
+                    rate = 8000 + 250 * (d % 7)
+                    n = 16 + d % 17
+                    s = (
+                        (d * 13 + np.arange(n, dtype=np.int64) * 5) % 65536
+                    ) - 32768
+                    payload = _encode_wav(rate, s.astype(np.int16))
+                    mime = "audio/wav"
+                rows.append((doc_id, mime, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "mime", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id LONG, mime STRING, payload BINARY"
+    )
+
+
+def decode_stats(bin_df: DataFrame) -> DataFrame:
+    """Per-payload stats computed FROM THE DECODED ARRAYS (every value
+    flows through decode_media's header parse + numpy decode): images
+    report (width, height, n_pixels, sum of RGB bytes, first pixel as
+    R*65536+G*256+B); audio reports (sample_rate, n_samples, sum of
+    squared samples, first sample).  Exact integers throughout — no
+    float to diverge cross-engine."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mime, buf in zip(
+                pdf["doc_id"], pdf["mime"], pdf["payload"]
+            ):
+                if mime == "audio/wav":
+                    rate, s = decode_media(buf, mime)
+                    s64 = s.astype(np.int64)
+                    rows.append(
+                        (
+                            doc_id, mime, -1, -1, rate, int(s.size),
+                            int((s64 * s64).sum()), int(s[0]),
+                        )
+                    )
+                else:
+                    img = decode_media(buf, mime)
+                    h, w, _ = img.shape
+                    rows.append(
+                        (
+                            doc_id, mime, w, h, -1, w * h,
+                            int(img.sum(dtype=np.int64)),
+                            int(img[0, 0, 0]) * 65536
+                            + int(img[0, 0, 1]) * 256
+                            + int(img[0, 0, 2]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "mime", "width", "height",
+                    "sample_rate", "n_units", "sig_sum", "first_val",
+                ],
+            )
+
+    return bin_df.mapInPandas(stats, schema=DECODE_SCHEMA)
+
+
+def _sql_img_stats(mime: str, w: str, h: str, mult: int, step: int) -> str:
+    return f"""
+      SELECT doc_id, '{mime}' AS mime,
+             CAST({w} AS BIGINT) AS width, CAST({h} AS BIGINT) AS height,
+             CAST(-1 AS BIGINT) AS sample_rate,
+             CAST(({w}) * ({h}) AS BIGINT) AS n_units,
+             CAST(list_sum(list_transform(range(0, ({w}) * ({h}) * 3),
+                  i -> (doc_id * {mult} + i * {step}) % 256)) AS BIGINT)
+               AS sig_sum,
+             CAST(((doc_id * {mult}) % 256) * 65536
+                  + ((doc_id * {mult} + {step}) % 256) * 256
+                  + ((doc_id * {mult} + 2 * {step}) % 256) AS BIGINT)
+               AS first_val
+    """
+
+
+@query(
+    "multimodal_decode_stats",
+    oracle=f"""
+    WITH istats AS (
+      {_sql_img_stats('image/x-portable-pixmap', '4 + doc_id % 5', '3', 31, 7)}
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      {_sql_img_stats('image/bmp', '3 + doc_id % 4', '2', 17, 11)}
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    wstats AS (
+      SELECT doc_id, 'audio/wav' AS mime,
+             CAST(-1 AS BIGINT) AS width, CAST(-1 AS BIGINT) AS height,
+             CAST(8000 + 250 * (doc_id % 7) AS BIGINT) AS sample_rate,
+             CAST(16 + doc_id % 17 AS BIGINT) AS n_units,
+             CAST(list_sum(list_transform(range(0, 16 + doc_id % 17),
+                  i -> CAST(((doc_id * 13 + i * 5) % 65536) - 32768 AS BIGINT)
+                       * (((doc_id * 13 + i * 5) % 65536) - 32768)))
+               AS BIGINT) AS sig_sum,
+             CAST(((doc_id * 13) % 65536) - 32768 AS BIGINT) AS first_val
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT * FROM istats UNION ALL SELECT * FROM wstats
+    """,
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END media decode over the uncompressed public formats:
+    deterministic P6-PPM / 24-bit-BMP / PCM16-WAV payloads are ENCODED
+    with real headers (synth_media), shipped as Arrow binary batches,
+    and DECODED by decode_media's pure-numpy parsers; the reported
+    stats come from the decoded arrays, while the DuckDB twin
+    recomputes them from the generative formulas — so any header-parse,
+    row-padding, bottom-up-flip, BGR-swap, or chunk-walk bug
+    hash-mismatches (the BMP layout is deliberately the adversarial
+    case: the file stores bottom-up BGR with padded rows, the formula
+    describes the logical top-down RGB image).
+
+    Scale shape: both stages are partition-local mapInPandas over
+    Arrow binary batches — no shuffle anywhere; at 100 TB the decode
+    fleet scales with input splits and the stats output is a fixed
+    8-column row per payload.  This retires the repo's one stub for
+    every format whose byte layout is public-domain; compressed codecs
+    remain the documented NotImplementedError dispatch arm."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_stats(synth_media(docs))

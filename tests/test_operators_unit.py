@@ -695,3 +695,35 @@ def test_bigram_keys_guard_short_docs(spark):
             spark.conf.unset("spark.sql.ansi.enabled")
         else:
             spark.conf.set("spark.sql.ansi.enabled", with_ansi)
+
+
+def test_decode_media_roundtrips_uncompressed_layouts():
+    """decode_media really parses the public byte layouts: encode a known
+    array with the module's own encoders (independent header writers),
+    decode, and require exact array equality — including the BMP
+    bottom-up/BGR/row-padding undo and the WAV chunk walk."""
+    import numpy as np
+
+    from pyspark_text_classification_spark.operators.multimodal import (
+        _encode_bmp,
+        _encode_wav,
+        decode_media,
+    )
+
+    rng = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(3, 5, 3)  # w=5 pads
+    ppm = b"P6\n5 3\n255\n" + rng.tobytes()
+    assert np.array_equal(decode_media(ppm, "image/x-portable-pixmap"), rng)
+
+    assert np.array_equal(decode_media(_encode_bmp(rng), "image/bmp"), rng)
+    # padding really present: stride 16 != 15 payload bytes per row
+    assert len(_encode_bmp(rng)) == 54 + 16 * 3
+
+    s = (np.arange(33, dtype=np.int64) * 1001 - 16000).astype(np.int16)
+    rate, out = decode_media(_encode_wav(12345, s), "audio/wav")
+    assert rate == 12345 and np.array_equal(out, s)
+
+    # compressed formats stay a documented dispatch arm
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff", "image/jpeg")
