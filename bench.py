@@ -230,6 +230,10 @@ HEADLINE = [
     "similarity_kmeans_auto",
     "similarity_ann_ivf_auto_recall",
     "pipeline_token_budget_sample",
+    # round-7 additions
+    "similarity_nprobe_sweep",
+    "multimodal_decode_stats",
+    "events_stream_late_drop_join",
 ]
 
 
@@ -264,8 +268,15 @@ CORE_50 = [
 
 
 def main() -> None:
-    # Sample host load BEFORE any work starts: the 1-min loadavg at this
-    # point is co-tenant noise, not the bench's own footprint.
+    # Self-adjudicating artifact (two of six rounds shipped
+    # load-contaminated numbers): wait — bounded — for the machine to go
+    # quiet before measuring, and record the 1-min loadavg at BOTH ends
+    # so a reader can tell a clean run from a contaminated one without
+    # re-running.  The pre-work loadavg is co-tenant noise, not the
+    # bench's own footprint.
+    wait_deadline = time.monotonic() + 120
+    while os.getloadavg()[0] >= 4 and time.monotonic() < wait_deadline:
+        time.sleep(5)
     loadavg1_start = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session(app_name="bench")
@@ -379,6 +390,7 @@ def main() -> None:
                 # reader separate plan cost from machine noise without
                 # re-running.
                 "loadavg1": loadavg1_start,
+                "loadavg1_end": round(os.getloadavg()[0], 2),
                 "sf": sf,
             }
         )

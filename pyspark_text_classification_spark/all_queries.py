@@ -52,6 +52,7 @@ import pyspark_text_classification_spark.streaming.funnel  # noqa: F401
 import pyspark_text_classification_spark.streaming.pattern  # noqa: F401
 import pyspark_text_classification_spark.operators.timeseries  # noqa: F401
 import pyspark_text_classification_spark.streaming.cusum  # noqa: F401
+import pyspark_text_classification_spark.streaming.latedrop  # noqa: F401
 from pyspark_text_classification_spark.registry import ORACLES, QUERIES  # noqa: F401
 
 # --- Driver-sweep ordering -------------------------------------------------
@@ -207,23 +208,55 @@ def _apply_driver_order() -> None:
     QUERIES.update(ordered)
 
 
+# Queries whose CURRENT-round code changes altered their output (new
+# queries, changed result rows, changed schemas): any recorded green
+# predates the change and is stale against the code as it now stands, so
+# they re-drive at the very front of this round's 50-slot sweep.  Round 7:
+# the two additions, the four nprobe-rule queries (different candidate
+# sets -> different rows), and the four n_indexed-stamped baselines
+# (schema change).  Refactors that provably preserve rows (kmeans_auto /
+# dedup_semantic_auto in-row fold, token-budget bucket sizing) are NOT
+# listed — pytest re-proves them oracle-identical — so the remaining 40
+# slots go to the stalest r1-r2 greens.
+ROUND_RECHECK = [
+    "similarity_nprobe_sweep",
+    "multimodal_decode_stats",
+    "similarity_ann_ivf_auto",
+    "similarity_ann_ivf_auto_recall",
+    "similarity_ivf_pq_auto",
+    "similarity_ivf_pq_auto_recall",
+    "similarity_ann_ivf",
+    "dedup_semantic",
+    "similarity_ivf_pq",
+    "similarity_ivf_pq_rerank",
+]
+
+
 def coverage_priority(
-    names: list[str], artifacts: list[dict], oracled: set[str] | None = None
+    names: list[str],
+    artifacts: list[dict],
+    oracled: set[str] | None = None,
+    recheck: tuple[str, ...] | list[str] = (),
 ) -> list[str]:
     """Stable sort of ``names`` by driver-coverage need: queries whose
     LATEST artifact row is RED (err or failed match) first — an error in
     the permanent record is the most urgent thing to overwrite with a
-    green — then queries never driver-checked, then settled greens.
-    ``artifacts`` must be in round order (oldest first): the most recent
-    record wins, so a regression (green in r1, red later) re-queues first
-    rather than settling on the stale green.  Relative order within each
-    class is preserved, so the hand-tuned _DRIVER_FIRST order remains the
-    tiebreak.  ``oracled`` (when given) is the set of queries that NOW
-    have an oracle: a rows-only 'no_oracle' row only settles a query that
-    still has no oracle — if one was added since, the stronger hash check
-    is pending and the query re-queues at the front."""
+    green — then ``recheck`` names (code changed this round, greens
+    stale by construction), then queries never driver-checked, then
+    settled greens ordered STALEST FIRST (by the round of their latest
+    row) so re-drive slots refresh the oldest evidence before recent
+    greens.  ``artifacts`` must be in round order (oldest first): the
+    most recent record wins, so a regression (green in r1, red later)
+    re-queues first rather than settling on the stale green.  Relative
+    order within each class is preserved, so the hand-tuned
+    _DRIVER_FIRST order remains the tiebreak.  ``oracled`` (when given)
+    is the set of queries that NOW have an oracle: a rows-only
+    'no_oracle' row only settles a query that still has no oracle — if
+    one was added since, the stronger hash check is pending and the
+    query re-queues at the front."""
     settled: dict[str, bool] = {}
-    for data in artifacts:
+    last_seen: dict[str, int] = {}
+    for i, data in enumerate(artifacts):
         for name, rec in data.items():
             if not isinstance(rec, dict):
                 continue
@@ -239,11 +272,19 @@ def coverage_priority(
                 and (oracled is None or name not in oracled)
             )
             settled[name] = ok  # latest round wins
-    def cls(n: str) -> int:
+            last_seen[name] = i
+
+    rech = set(recheck)
+
+    def key(n: str) -> tuple[int, int]:
+        if n in settled and not settled[n]:
+            return (0, 0)  # red re-queues FIRST
+        if n in rech:
+            return (1, 0)  # changed this round: green is stale
         if n not in settled:
-            return 1  # never driver-checked
-        return 2 if settled[n] else 0  # green settles; red re-queues FIRST
-    return sorted(names, key=lambda n: cls(n))
+            return (2, 0)  # never driver-checked
+        return (3, last_seen[n])  # greens: stalest evidence first
+    return sorted(names, key=key)
 
 
 def _apply_artifact_aware_order() -> None:
@@ -271,7 +312,8 @@ def _apply_artifact_aware_order() -> None:
     ordered = {
         n: QUERIES[n]
         for n in coverage_priority(
-            list(QUERIES), artifacts, oracled=set(ORACLES)
+            list(QUERIES), artifacts, oracled=set(ORACLES),
+            recheck=ROUND_RECHECK,
         )
     }
     QUERIES.clear()

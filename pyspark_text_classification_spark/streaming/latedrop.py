@@ -1,0 +1,239 @@
+"""Watermark LATE-DROP correctness twin: a stream-stream interval join
+fed out of order, where the final micro-batch delivers rows OLDER than
+the established watermark — Structured Streaming drops them, and the
+DuckDB oracle applies the SAME lateness predicate explicitly.
+events_stream_range_join proves a fully-drained replay matches the batch
+join; this twin proves the OTHER half of the watermark contract — what
+is discarded, not just what is kept.  (The events_watermark_audit
+histogram sizes realistic delays; here the delay is a constant so the
+drop set is exactly computable.)
+
+The drop semantics below were pinned EMPIRICALLY (per-pair diffs against
+candidate oracles at three scale factors, plus the boundary
+micro-experiment in tests/test_streaming_watermark.py), because the
+naive models are wrong in instructive ways:
+
+- a late row is NOT dropped merely for being late: two late rows landing
+  in the same micro-batch still join each other (a symmetric time split
+  reproduced the untrimmed range join);
+- the watermark LAGS one micro-batch: the value used while processing
+  batch N derives from event-time maxima through batch N-1, so a
+  two-batch feed runs its entire second batch under watermark 0 — the
+  feed needs an intervening batch before drops can be observed;
+- once the watermark HAS propagated, a watermarked input row strictly
+  below it is dropped before joining (measured: a row exactly AT the
+  watermark is kept — the >= boundary the oracle mirrors);
+- each side's watermark node holds floor_ms(max event time seen) - delay
+  (Spark truncates event-time statistics to MILLISECONDS:
+  EventTimeStatsAccum accumulates micros div 1000), and the global
+  watermark is the MIN across the two nodes (default
+  multipleWatermarkPolicy) — so the oracle computes
+  (floor_ms(max) - delay_ms) * 1000, an exact integer on both engines.
+
+At 100 TB this is the property that bounds join state on an unbounded
+firehose: the delay is the contract with upstream lateness, and this
+twin is the regression test that the engine honors it exactly.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_text_classification_spark.functions.time import ts_us
+from pyspark_text_classification_spark.operators.temporal import (
+    RANGE_JOIN_WINDOW_US,
+)
+from pyspark_text_classification_spark.registry import query
+from pyspark_text_classification_spark.sources.parquet import load_table
+from pyspark_text_classification_spark.streaming.events import (
+    EVENTS_STREAM_SCHEMA,
+)
+
+# Split point: events at-or-after this arrive FIRST (establishing the
+# watermark), events before it arrive second and face the late filter.
+# The bundled events tables span 2024-01-01 .. 2024-01-30.
+T_SPLIT_US = int(
+    datetime(2024, 1, 16, tzinfo=timezone.utc).timestamp()
+) * 1_000_000
+# Lateness contract: 21 days.  watermark = max(batch0) - 21d lands ~Jan 9,
+# so batch 1 (Jan 1 .. Jan 16) contains BOTH dropped rows (before ~Jan 9)
+# and survivors — the interesting case on every bundled scale factor.
+LATE_DELAY_HOURS = 504
+LATE_DELAY_MS = LATE_DELAY_HOURS * 3_600 * 1_000
+
+
+def _write_single_file(df: DataFrame, tmp: str, name: str, mtime: int) -> None:
+    """Write df as ONE parquet file at tmp/name with a pinned mtime (the
+    file source orders micro-batches by modification time)."""
+    stage = os.path.join(tmp, f"_stage_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    dest = os.path.join(tmp, "feed", name)
+    shutil.move(part, dest)
+    shutil.rmtree(stage)
+    os.utime(dest, (mtime, mtime))
+
+
+def out_of_order_feed(
+    spark: SparkSession, events: DataFrame, tmp: str
+) -> str:
+    """Materialize the four-file out-of-order feed; returns the feed dir.
+
+    Four micro-batches (maxFilesPerTrigger=1, mtime-ordered), shaped by
+    the two measured facts in the module docstring (same-batch late rows
+    still join; the watermark lags one batch):
+
+      b0  all purchases            (builds the purchase state; wm 0)
+      b1  signups >= T_SPLIT       (fresh pairs emit against full state;
+                                    both watermark nodes now have maxima)
+      b2  one unmatched nudge row  (absorbs the one-batch watermark lag:
+                                    the NEXT batch runs under W)
+      b3  signups <  T_SPLIT       (the late arrivals: those strictly
+                                    below W are DROPPED before joining;
+                                    survivors pair with the retained
+                                    purchase state)
+
+    The type asymmetry keeps the oracle exact: every b0 purchase sits a
+    full T_SPLIT-to-W gap above the watermark, so state eviction can
+    never remove a still-matchable row and the kept-pair predicate is
+    purely the signup-side lateness test.
+
+    W = (min(floor_ms(max signup >= T_SPLIT), floor_ms(max purchase))
+        - delay_ms) * 1000."""
+    os.makedirs(os.path.join(tmp, "feed"), exist_ok=True)
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    is_signup = F.col("event_type") == "signup"
+    b0 = events.filter(F.col("event_type") == "purchase").select(cols)
+    b1 = events.filter(is_signup & (ts_us() >= T_SPLIT_US)).select(cols)
+    # the nudge: a signup a month past the corpus, keyed to match nothing
+    # (user -1, no purchase follows it) — its only job is to BE a batch
+    nudge = spark.createDataFrame(
+        [(-1, datetime(2024, 3, 1), -1, "signup", 0.0, None)],
+        EVENTS_STREAM_SCHEMA,
+    ).select(cols)
+    b3 = events.filter(is_signup & (ts_us() < T_SPLIT_US)).select(cols)
+    _write_single_file(b0, tmp, "b0.parquet", 1_000_000_000)
+    _write_single_file(b1, tmp, "b1.parquet", 1_000_000_100)
+    _write_single_file(nudge, tmp, "b2.parquet", 1_000_000_200)
+    _write_single_file(b3, tmp, "b3.parquet", 1_000_000_300)
+    return os.path.join(tmp, "feed")
+
+
+def stream_late_drop_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-micro-batch out-of-order replay -> watermarked interval join
+    -> memory sink; late signups strictly below the watermark are
+    dropped, and the oracle applies the same predicate explicitly."""
+    tmp = tempfile.mkdtemp(prefix="latedrop_")
+    feed = out_of_order_feed(
+        spark, load_table(spark, sf_dir, "events"), tmp
+    )
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .option("pathGlobFilter", "b*.parquet")
+            .load(feed)
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                ts_us().alias("ts_us"),
+                F.timestamp_micros(ts_us()).alias("event_ts"),
+            )
+        )
+
+    signups = (
+        src()
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts_us").alias("s_us"),
+            F.col("event_ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", f"{LATE_DELAY_HOURS} hours")
+    )
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts_us").alias("p_us"),
+            F.col("event_ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", f"{LATE_DELAY_HOURS} hours")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_us") > F.col("s_us"))
+        & (F.col("p_us") - F.col("s_us") <= RANGE_JOIN_WINDOW_US)
+        # timestamp-typed bound so the engine derives state-eviction limits
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "signup_id",
+        "purchase_id",
+        F.col("s_user").alias("user_id"),
+        (F.col("p_us") - F.col("s_us")).alias("delay_us"),
+    )
+    sink_name = f"stream_latedrop_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(sink_name).localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# The batch range join over the KEPT rows: batch 0 entirely, batch 1 only
+# at-or-above the watermark min-side floor-ms(max(batch0)) - delay.
+query(
+    "events_stream_late_drop_join",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+      FROM events
+    ),
+    wm AS (
+      SELECT (LEAST(
+                (SELECT max(ts_us) // 1000 FROM e
+                 WHERE event_type = 'signup' AND ts_us >= {T_SPLIT_US}),
+                (SELECT max(ts_us) // 1000 FROM e
+                 WHERE event_type = 'purchase')
+              ) - {LATE_DELAY_MS}) * 1000 AS w_us
+    ),
+    s AS (
+      SELECT event_id AS signup_id, user_id, ts_us
+      FROM e WHERE event_type = 'signup'
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, ts_us
+      FROM e WHERE event_type = 'purchase'
+    )
+    SELECT s.signup_id, p.purchase_id, s.user_id,
+           CAST(p.ts_us - s.ts_us AS BIGINT) AS delay_us
+    FROM s JOIN p
+      ON s.user_id = p.user_id
+     AND p.ts_us > s.ts_us
+     AND p.ts_us - s.ts_us <= {RANGE_JOIN_WINDOW_US}
+    WHERE s.ts_us >= {T_SPLIT_US}
+       OR s.ts_us >= (SELECT w_us FROM wm)
+    """,
+)(stream_late_drop_join)

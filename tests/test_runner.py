@@ -125,23 +125,33 @@ def test_coverage_priority_classes_and_stability():
     }
     # d, e never checked; a red; b, c green
     assert coverage_priority(names, [r1]) == ["a", "d", "e", "b", "c"]
-    # a later round greens 'a' -> it settles behind the never-checked
+    # a later round greens 'a' -> it settles behind the never-checked,
+    # and BEHIND b/c: greens re-drive stalest-evidence-first (a's row is
+    # the most recent of the three)
     r2 = {"a": {"err": None, "hash_match": True, "rows_match": True}}
-    assert coverage_priority(names, [r1, r2]) == ["d", "e", "a", "b", "c"]
+    assert coverage_priority(names, [r1, r2]) == ["d", "e", "b", "c", "a"]
     # LATEST round wins: a REGRESSION (green in r1, red later) re-queues
     # first instead of settling on the stale green
     r3 = {"b": {"err": "boom", "hash_match": None, "spark_rows": None}}
-    assert coverage_priority(names, [r1, r2, r3]) == ["b", "d", "e", "a", "c"]
+    assert coverage_priority(names, [r1, r2, r3]) == ["b", "d", "e", "c", "a"]
     # no artifacts -> order unchanged
     assert coverage_priority(names, []) == names
     # an oracle ADDED after a rows-only 'no_oracle' row re-queues the
     # query at the front: the stronger hash check is pending
     assert coverage_priority(names, [r1, r2], oracled={"c"}) == [
-        "c", "d", "e", "a", "b",
+        "c", "d", "e", "b", "a",
     ]
     # ...but with no oracle registered the rows-only row stays its green
     assert coverage_priority(names, [r1, r2], oracled=set()) == [
-        "d", "e", "a", "b", "c",
+        "d", "e", "b", "c", "a",
+    ]
+    # a recheck name (code changed this round) outranks never-checked and
+    # greens — its recorded green is stale by construction — but not reds
+    assert coverage_priority(names, [r1, r2], recheck=["b"]) == [
+        "b", "d", "e", "c", "a",
+    ]
+    assert coverage_priority(names, [r1, r2, r3], recheck=["b"]) == [
+        "b", "d", "e", "c", "a",
     ]
 
 
@@ -158,6 +168,7 @@ def test_driver_first50_carries_only_new_information():
     from pyspark_text_classification_spark.all_queries import (
         ORACLES,
         QUERIES,
+        ROUND_RECHECK,
         coverage_priority,
     )
 
@@ -171,8 +182,13 @@ def test_driver_first50_carries_only_new_information():
     names = list(QUERIES)
     # a query is settled iff coverage_priority sorts it into the tail
     # class; recompute the classes exactly the way the registry does
-    ordered = coverage_priority(names, artifacts, oracled=set(ORACLES))
+    ordered = coverage_priority(
+        names, artifacts, oracled=set(ORACLES), recheck=ROUND_RECHECK
+    )
     assert names == ordered  # the applied order IS the priority order
+    # every current-round recheck (changed output/schema) must land in
+    # the first-50 sweep the driver actually records
+    assert set(ROUND_RECHECK) <= set(ordered[:50]), ordered[:50]
     # count non-settled = queries that would sort before any settled green
     settled_suffix = 0
     for n in reversed(ordered):

@@ -10,6 +10,7 @@ import time
 import pandas as pd
 from pyspark.sql import functions as F
 
+import pyspark_text_classification_spark.all_queries  # noqa: F401 (register)
 from pyspark_text_classification_spark.streaming.events import (
     EVENTS_STREAM_SCHEMA,
 )
@@ -77,3 +78,63 @@ def test_append_mode_drops_late_event_and_emits_final_windows(spark, tmp_path):
     # hour-3 and hour-4 windows never passed the final 3h watermark ->
     # unemitted open state, exactly the append-mode contract
     assert 3 * 3600 not in got and 4 * 3600 not in got, got
+
+def test_stream_stream_join_drops_rows_past_the_watermark(spark, tmp_path):
+    """The late-drop twin's contract on crafted rows: a signup delivered
+    AFTER the watermark passed it is dropped (its matching purchase sits
+    in state, so the only reason the pair is missing is the lateness
+    filter), while a late-but-inside-the-delay signup still joins."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark_text_classification_spark.all_queries import QUERIES
+
+    def ts(mo, d, h, mi=0):
+        return pd.Timestamp(2024, mo, d, h, mi)
+
+    rows = pd.DataFrame(
+        {
+            # fresh pair (signup >= T_SPLIT=Jan16): always kept
+            "event_id": [1, 2, 10, 11, 20, 21],
+            "ts": [
+                ts(1, 30, 23, 0), ts(1, 30, 23, 30),   # fresh s, p (u1)
+                ts(1, 14, 10, 0), ts(1, 14, 10, 30),   # survivor s, p (u2)
+                ts(1, 2, 10, 0), ts(1, 2, 10, 30),     # dropped s, p (u3)
+            ],
+            "user_id": [1, 1, 2, 2, 3, 3],
+            "event_type": ["signup", "purchase"] * 3,
+            "value": [0.0] * 6,
+            "props": ["{}"] * 6,
+        }
+    )
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    sf_dir = str(tmp_path / "latedrop_fixture")
+    os.makedirs(sf_dir)
+    pq.write_table(
+        pa.Table.from_pandas(rows, schema=schema),
+        f"{sf_dir}/events.parquet",
+    )
+    # watermark = min(floor_ms(max fresh signup), floor_ms(max purchase))
+    #           - 504h = Jan 30 23:00 - 21d = Jan 9 23:00.
+    # u3's signup (Jan 2) is delivered in the last batch, 8 days past the
+    # watermark -> dropped; u2's (Jan 14) is late but inside the delay.
+    got = {
+        (r.signup_id, r.purchase_id)
+        for r in QUERIES["events_stream_late_drop_join"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert (1, 2) in got, got        # fresh pair emitted
+    assert (10, 11) in got, got      # late-but-allowed pair emitted
+    assert (20, 21) not in got, got  # past-watermark signup DROPPED
+    assert len(got) == 2, got
