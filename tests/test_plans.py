@@ -43,6 +43,7 @@ PANDAS_QUERIES = {
     "multimodal_frame_sample", "multimodal_resize", "multimodal_embed_topk",
     "multimodal_shot_boundaries",  # frame-feature decode stage
     "multimodal_audio_energy_vad",  # sample-decode stage (declared codec)
+    "multimodal_decode_stats",  # real PPM/BMP/WAV encode+decode stages
     "pipeline_global_rank",  # declared Arrow enumerate-sorted-partitions stage
     "q41_customer_rfm",  # three total_order_rank enumerate stages (no window)
 }
