@@ -234,6 +234,7 @@ HEADLINE = [
     "similarity_nprobe_sweep",
     "multimodal_decode_stats",
     "events_stream_late_drop_join",
+    "similarity_auto_rerank_recall",
 ]
 
 
@@ -359,6 +360,7 @@ def main() -> None:
     ivf_pq_auto_recall = _recall_of("similarity_ivf_pq_auto_recall")
     ann_ivf_auto_recall = _recall_of("similarity_ann_ivf_auto_recall")
     rerank_recall = _recall_of("similarity_rerank_recall")
+    auto_rerank_recall = _recall_of("similarity_auto_rerank_recall")
     knn_accuracy = _metric_of("similarity_knn_classify", "accuracy")
     # Bloom false-positive rate in micro-units: a quality tripwire like
     # the recalls — a hash-family or sizing regression shows up here.
@@ -382,6 +384,7 @@ def main() -> None:
                 "ivf_pq_auto_macro_recall": ivf_pq_auto_recall,
                 "ann_ivf_auto_macro_recall": ann_ivf_auto_recall,
                 "rerank_macro_recall": rerank_recall,
+                "auto_rerank_macro_recall": auto_rerank_recall,
                 "knn_accuracy": knn_accuracy,
                 "bloom_fpp_micro": bloom_fpp,
                 # Host weather: same-plan totals swing ~±10-20% with

@@ -1081,9 +1081,9 @@ def similarity_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_rerank_ctes() -> str:
+def _sql_rerank_ctes(auto_cells: bool = False) -> str:
     return f"""
-    {_sql_ivf_pq_ctes()},
+    {_sql_ivf_pq_ctes(auto_cells=auto_cells)},
     shortlist AS (
       SELECT q_id AS vec_id, neighbor_id FROM (
         SELECT q_id, neighbor_id,
@@ -1170,6 +1170,60 @@ def _sql_rerank_recall() -> str:
 
 
 _PQ_ORACLES["similarity_rerank_recall"] = _sql_rerank_recall()
+
+
+@query("similarity_auto_rerank_recall", oracle=None)  # assembled below
+def similarity_auto_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the COMPLETE SCALE-PATH serving stack — sqrt-sized IVF
+    cells + corpus-scaled nprobe (max(6, 3*isqrt(cells))) + PQ/ADC
+    shortlist + exact re-rank — against the exact cosine top-k, UNCAPPED.
+    similarity_rerank_recall tracks the capped fixed-cell stack; this is
+    the number a 100 TB deployment actually quotes: the sizing rules
+    decide WHERE candidates come from, ADC compresses the scoring, and
+    the RERANK_POOL-deep exact rescore buys back quantization error.
+    Closing the symmetry also keeps the nprobe rule honest end-to-end —
+    a probe count tuned only for the un-reranked gate could overfit it."""
+    from pyspark_text_classification_spark.operators.similarity import (
+        _rank_topk,
+        candidate_cosines,
+        with_norms,
+    )
+
+    scored, persisted = _ivf_pq_scored(spark, sf_dir, auto_cells=True)
+    w = Window.partitionBy("q_id").orderBy("adc_d2", "neighbor_id")
+    shortlist = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= RERANK_POOL)
+        .select(F.col("q_id").alias("vec_id"), "neighbor_id")
+        .localCheckpoint(eager=True)  # materialize before releasing caches
+    )
+    for df in persisted:
+        df.unpersist()
+    e = with_norms(load_table(spark, sf_dir, "embeddings"))
+    ann = _rank_topk(candidate_cosines(e, shortlist), PQ_NN_K).select(
+        "vec_id", "neighbor_id"
+    )
+    return _recall_vs_exact(spark, sf_dir, ann)
+
+
+def _sql_auto_rerank_recall() -> str:
+    return f"""
+    {_sql_rerank_ctes(auto_cells=True)},
+    annq AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT vec_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY {sql_round_half_up('cos', 4)} DESC, neighbor_id
+               ) AS rnk
+        FROM rcos
+      ) WHERE rnk <= {PQ_NN_K}
+    ),
+    {_SQL_RECALL_TAIL}
+    """
+
+
+_PQ_ORACLES["similarity_auto_rerank_recall"] = _sql_auto_rerank_recall()
 
 
 # --------------------------------------------------------------------------

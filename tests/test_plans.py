@@ -77,6 +77,9 @@ EAGER_QUERIES = {
     "similarity_ivf_pq",  # eagerly checkpoints its top-k at construction
     "similarity_ivf_pq_recall",
     "similarity_ivf_pq_rerank", "similarity_rerank_recall",
+    "similarity_ivf_pq_auto", "similarity_ivf_pq_auto_recall",
+    "similarity_auto_rerank_recall",
+    "events_stream_late_drop_join",  # four-micro-batch drain on call
 }
 
 
