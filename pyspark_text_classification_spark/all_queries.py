@@ -208,16 +208,17 @@ def _apply_driver_order() -> None:
     QUERIES.update(ordered)
 
 
-# Queries whose CURRENT-round code changes altered their output (new
-# queries, changed result rows, changed schemas): any recorded green
-# predates the change and is stale against the code as it now stands, so
-# they re-drive at the very front of this round's 50-slot sweep.  Round 7:
-# the two additions, the four nprobe-rule queries (different candidate
-# sets -> different rows), and the four n_indexed-stamped baselines
-# (schema change).  Refactors that provably preserve rows (kmeans_auto /
-# dedup_semantic_auto in-row fold, token-budget bucket sizing) are NOT
-# listed — pytest re-proves them oracle-identical — so the remaining 40
-# slots go to the stalest r1-r2 greens.
+# Queries whose CURRENT-round code changes altered their output (changed
+# result rows or schemas): any recorded green predates the change and is
+# stale against the code as it now stands, so they re-drive at the very
+# front of this round's 50-slot sweep (new never-checked queries already
+# sort ahead of greens on their own).  Round 7: the four nprobe-rule
+# queries (different candidate sets -> different rows) and the four
+# n_indexed-stamped baselines (schema change).  Refactors that provably
+# preserve rows (kmeans_auto / dedup_semantic_auto in-row fold,
+# token-budget bucket sizing) are NOT listed — pytest re-proves them
+# oracle-identical — so the remaining slots go to the stalest r1-r2
+# greens.
 ROUND_RECHECK = [
     "similarity_nprobe_sweep",
     "multimodal_decode_stats",

@@ -37,7 +37,6 @@ twin is the regression test that the engine honors it exactly.
 
 from __future__ import annotations
 
-import glob
 import os
 import shutil
 import tempfile
@@ -70,15 +69,32 @@ LATE_DELAY_HOURS = 504
 LATE_DELAY_MS = LATE_DELAY_HOURS * 3_600 * 1_000
 
 
-def _write_single_file(df: DataFrame, tmp: str, name: str, mtime: int) -> None:
-    """Write df as ONE parquet file at tmp/name with a pinned mtime (the
-    file source orders micro-batches by modification time)."""
-    stage = os.path.join(tmp, f"_stage_{name}")
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
-    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+_FEED_ARROW_SCHEMA_FIELDS = (
+    ("event_id", "int64"),
+    ("ts", "timestamp_us"),
+    ("user_id", "int64"),
+    ("event_type", "string"),
+    ("value", "float64"),
+)
+
+
+def _write_feed_file(pdf, tmp: str, name: str, mtime: int) -> None:
+    """Write a pandas micro-batch as ONE local parquet file at
+    feed/name with a pinned mtime (the file source orders micro-batches
+    by modification time)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    schema = pa.schema(
+        [
+            (n, pa.timestamp("us") if t == "timestamp_us" else getattr(pa, t)())
+            for n, t in _FEED_ARROW_SCHEMA_FIELDS
+        ]
+    )
     dest = os.path.join(tmp, "feed", name)
-    shutil.move(part, dest)
-    shutil.rmtree(stage)
+    papq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), dest
+    )
     os.utime(dest, (mtime, mtime))
 
 
@@ -108,22 +124,41 @@ def out_of_order_feed(
 
     W = (min(floor_ms(max signup >= T_SPLIT), floor_ms(max purchase))
         - delay_ms) * 1000."""
+    import pandas as pd
+
     os.makedirs(os.path.join(tmp, "feed"), exist_ok=True)
     cols = ["event_id", "ts", "user_id", "event_type", "value"]
-    is_signup = F.col("event_type") == "signup"
-    b0 = events.filter(F.col("event_type") == "purchase").select(cols)
-    b1 = events.filter(is_signup & (ts_us() >= T_SPLIT_US)).select(cols)
+    # The feed is a REPLAY FIXTURE: one bounded collect of the two joined
+    # event types, split and written as four LOCAL parquet files (the
+    # four coalesce(1) Spark write JOBS this replaces were 8.4s of the
+    # query's 16s at sf0.1 — each tiny file paid a full job + commit
+    # protocol).  A production replay reads real historical files; the
+    # driver-side write is harness plumbing, not a registered operator.
+    pdf = (
+        events.filter(F.col("event_type").isin("signup", "purchase"))
+        .select(cols)
+        .toPandas()
+    )
+    us = pdf["ts"].astype("datetime64[us]").astype("int64")
+    is_signup = pdf["event_type"].eq("signup")
+    b0 = pdf[~is_signup]
+    b1 = pdf[is_signup & (us >= T_SPLIT_US)]
+    b3 = pdf[is_signup & (us < T_SPLIT_US)]
     # the nudge: a signup a month past the corpus, keyed to match nothing
     # (user -1, no purchase follows it) — its only job is to BE a batch
-    nudge = spark.createDataFrame(
-        [(-1, datetime(2024, 3, 1), -1, "signup", 0.0, None)],
-        EVENTS_STREAM_SCHEMA,
-    ).select(cols)
-    b3 = events.filter(is_signup & (ts_us() < T_SPLIT_US)).select(cols)
-    _write_single_file(b0, tmp, "b0.parquet", 1_000_000_000)
-    _write_single_file(b1, tmp, "b1.parquet", 1_000_000_100)
-    _write_single_file(nudge, tmp, "b2.parquet", 1_000_000_200)
-    _write_single_file(b3, tmp, "b3.parquet", 1_000_000_300)
+    nudge = pd.DataFrame(
+        {
+            "event_id": [-1],
+            "ts": [pd.Timestamp(2024, 3, 1)],
+            "user_id": [-1],
+            "event_type": ["signup"],
+            "value": [0.0],
+        }
+    )
+    _write_feed_file(b0, tmp, "b0.parquet", 1_000_000_000)
+    _write_feed_file(b1, tmp, "b1.parquet", 1_000_000_100)
+    _write_feed_file(nudge, tmp, "b2.parquet", 1_000_000_200)
+    _write_feed_file(b3, tmp, "b3.parquet", 1_000_000_300)
     return os.path.join(tmp, "feed")
 
 
