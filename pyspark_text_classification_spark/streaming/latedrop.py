@@ -16,10 +16,15 @@ naive models are wrong in instructive ways:
 - a late row is NOT dropped merely for being late: two late rows landing
   in the same micro-batch still join each other (a symmetric time split
   reproduced the untrimmed range join);
-- the watermark LAGS one micro-batch: the value used while processing
-  batch N derives from event-time maxima through batch N-1, so a
-  two-batch feed runs its entire second batch under watermark 0 — the
-  feed needs an intervening batch before drops can be observed;
+- the watermark LAGS TWO micro-batches: the value used while processing
+  batch N derives from event-time maxima through batch N-2 (one batch to
+  collect the stats, one more before the updated value applies), so a
+  two-batch feed runs its entire second batch under watermark 0 and the
+  feed needs an intervening batch before drops can be observed.  Pinned
+  by the divergence-regime fixture in tests/test_streaming_watermark.py:
+  the nudge batch's own maxima (b2) never take effect at b3, so the
+  watermark there is exactly min over sides of the b0+b1 maxima — which
+  is what the oracle computes;
 - once the watermark HAS propagated, a watermarked input row strictly
   below it is dropped before joining (measured: a row exactly AT the
   watermark is kept — the >= boundary the oracle mirrors);
@@ -110,8 +115,11 @@ def out_of_order_feed(
       b0  all purchases            (builds the purchase state; wm 0)
       b1  signups >= T_SPLIT       (fresh pairs emit against full state;
                                     both watermark nodes now have maxima)
-      b2  one unmatched nudge row  (absorbs the one-batch watermark lag:
-                                    the NEXT batch runs under W)
+      b2  one unmatched nudge row  (a spacer: the watermark derived from
+                                    b0+b1 maxima takes effect two batches
+                                    later, i.e. at b3; b2's OWN maxima
+                                    would only apply at a batch 4 that
+                                    never runs)
       b3  signups <  T_SPLIT       (the late arrivals: those strictly
                                     below W are DROPPED before joining;
                                     survivors pair with the retained

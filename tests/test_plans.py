@@ -950,14 +950,34 @@ def test_round7_ivf_assignment_windowgrouplimit_partial(spark, sf_dir):
     assert str(nprobe) in partials, (
         f"no Partial-mode WindowGroupLimit with limit={nprobe}: {plan}"
     )
-    # and the Partial node must come BEFORE the (single) exchange: in the
-    # numbered tree, the Partial WindowGroupLimit id is larger (deeper)
-    # than the Exchange id feeding the Final window.
-    tree_ids = {
-        m.group(2): int(m.group(1))
-        for m in re.finditer(r"\((\d+)\) (WindowGroupLimit|Exchange)", plan)
-    }
-    assert "WindowGroupLimit" in tree_ids and "Exchange" in tree_ids, plan
+    # and the Partial node must sit BELOW the exchange (map side): in
+    # formatted-plan numbering, deeper nodes carry SMALLER ids, so the
+    # Partial WindowGroupLimit's id must be below every Exchange id
+    # (the Final-mode WindowGroupLimit sits above them all).
+    partial_ids = [
+        int(m.group(1))
+        for m in re.finditer(
+            r"\((\d+)\) WindowGroupLimit\nInput[^\n]*\n"
+            r"Arguments: [^\n]*, Partial",
+            plan,
+        )
+    ]
+    # the exchange under test is the WINDOW's vec_id repartition, not the
+    # unrelated scan-side fan_out exchange deeper in the tree
+    window_exchange_ids = [
+        int(m.group(1))
+        for m in re.finditer(
+            r"\((\d+)\) Exchange\nInput[^\n]*\n"
+            r"Arguments: hashpartitioning\(vec_id",
+            plan,
+        )
+    ]
+    assert partial_ids and window_exchange_ids, plan
+    assert min(partial_ids) < min(window_exchange_ids), (
+        f"Partial WindowGroupLimit {partial_ids} does not sit below the "
+        f"window Exchange {window_exchange_ids} (formatted-plan ids grow "
+        f"upward): {plan}"
+    )
 
 
 def test_round7_argmax_cell_no_corpus_join(spark, sf_dir):

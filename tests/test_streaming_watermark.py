@@ -138,3 +138,67 @@ def test_stream_stream_join_drops_rows_past_the_watermark(spark, tmp_path):
     assert (10, 11) in got, got      # late-but-allowed pair emitted
     assert (20, 21) not in got, got  # past-watermark signup DROPPED
     assert len(got) == 2, got
+
+
+def test_late_drop_watermark_ignores_the_nudge_batch(spark, tmp_path):
+    """Pins the TWO-batch watermark lag the late-drop oracle relies on,
+    in the regime where the alternatives diverge: max purchase (Jan 30
+    23:59) exceeds max fresh signup (Jan 30 22:00), so
+
+      - stats-through-b1, min-of-sides (the oracle's model):
+        W = Jan 9 22:00 -> the Jan 9 23:00 signup is KEPT;
+      - a one-batch lag would fold the nudge (Mar 1) into the signup
+        node by b3, making W = floor_ms(max purchase) - delay
+        = Jan 9 23:59 -> the signup would be DROPPED.
+
+    Measured: Spark keeps the pair, i.e. the b2 nudge's own maxima never
+    take effect (they would apply at a batch 4 that never runs) and the
+    effective watermark at b3 derives from b0+b1 exactly as the oracle
+    computes.  If a Spark upgrade ever tightens the lag to one batch,
+    THIS test fails first and the oracle must drop its fresh-signup
+    term."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark_text_classification_spark.all_queries import QUERIES
+
+    def ts(d, h, m=0, s=0):
+        return pd.Timestamp(2024, 1, d, h, m, s)
+
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 10, 11],
+            "ts": [
+                ts(30, 22, 0), ts(30, 23, 59),      # fresh s, max p (u1)
+                ts(9, 23, 0), ts(9, 23, 59, 30),    # boundary-gap s, p (u2)
+            ],
+            "user_id": [1, 1, 2, 2],
+            "event_type": ["signup", "purchase"] * 2,
+            "value": [0.0] * 4,
+            "props": ["{}"] * 4,
+        }
+    )
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    sf_dir = str(tmp_path / "latedrop_regime")
+    os.makedirs(sf_dir)
+    pq.write_table(
+        pa.Table.from_pandas(rows, schema=schema),
+        f"{sf_dir}/events.parquet",
+    )
+    got = {
+        (r.signup_id, r.purchase_id)
+        for r in QUERIES["events_stream_late_drop_join"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert (10, 11) in got, got  # kept: the nudge never moved the watermark
