@@ -949,13 +949,7 @@ def similarity_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("cnrm"),
         )
     )
-    x = argmax_cell(e, cents).select(
-        "cent_id", F.posexplode("v")
-    ).select(
-        "cent_id",
-        F.col("pos").alias("dim"),
-        F.floor(F.col("col") * KM_SCALE + F.lit(0.5)).cast("long").alias("q"),
-    )
+    x = _km_assigned_dims(e, cents)
     return x.groupBy("cent_id", "dim").agg(
         F.count("*").alias("n_members"),
         round_half_up(
@@ -1371,35 +1365,12 @@ KM_ITERS = 3
 
 
 def _km_assigned_dims(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """(cent_id, dim, q): each vector's nearest-centroid assignment
-    (identical argmax fold to similarity_kmeans_step — array_sort'ed
-    centroid list, strict '>', ties to the lowest cent_id) exploded to
-    quantized per-dimension components."""
-    cs = cents.agg(
-        F.array_sort(
-            F.collect_list(F.struct("cent_id", "cv", "cnrm"))
-        ).alias("cs")
-    )
-    withc = e.crossJoin(F.broadcast(cs))
-    cos_arr = F.transform(
-        F.col("cs"),
-        lambda c: F.named_struct(
-            F.lit("cent_id"),
-            c["cent_id"],
-            F.lit("cos"),
-            _fold_sum(F.zip_with(F.col("v"), c["cv"], lambda x, y: x * y))
-            / (F.col("nrm") * c["cnrm"]),
-        ),
-    )
-    best = F.aggregate(
-        cos_arr,
-        F.named_struct(
-            F.lit("cent_id"), F.lit(-1).cast("long"), F.lit("cos"), F.lit(-2.0)
-        ),
-        lambda acc, c: F.when(c["cos"] > acc["cos"], c).otherwise(acc),
-    )
-    return withc.select(
-        best["cent_id"].alias("cent_id"), F.posexplode("v")
+    """(cent_id, dim, q): each vector's nearest-centroid assignment (the
+    shared argmax_cell in-row fold — array_sort'ed centroid list, strict
+    '>', ties to the lowest cent_id) exploded to quantized per-dimension
+    components."""
+    return argmax_cell(e, cents).select(
+        "cent_id", F.posexplode("v")
     ).select(
         "cent_id",
         F.col("pos").alias("dim"),
@@ -1998,13 +1969,7 @@ def similarity_kmeans_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly, as similarity_kmeans_step already hash-verifies."""
     e = with_norms(load_table(spark, sf_dir, "embeddings"))
     cents = auto_centroids(e, load_table(spark, sf_dir, "embeddings"))
-    x = argmax_cell(e, cents).select(
-        "cent_id", F.posexplode("v")
-    ).select(
-        "cent_id",
-        F.col("pos").alias("dim"),
-        F.floor(F.col("col") * KM_SCALE + F.lit(0.5)).cast("long").alias("q"),
-    )
+    x = _km_assigned_dims(e, cents)
     return x.groupBy("cent_id", "dim").agg(
         F.count("*").alias("n_members"),
         round_half_up(
