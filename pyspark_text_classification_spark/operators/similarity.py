@@ -340,8 +340,11 @@ def lsh_candidate_pairs(bk: DataFrame, multi_probe: bool = False) -> DataFrame:
     bucket (the Lv et al., VLDB 2007 trade: ~7x probe rows buys the recall
     of ~NUM_HYPERPLANES extra tables without recomputing any plane dots or
     storing a bigger index — the flip happens on the PROBE side only, so
-    the stored bucket table is unchanged). The registered queries use the
-    plain index; the knob's recall gain is asserted in tests."""
+    the stored bucket table is unchanged). similarity_ann_lsh registers
+    the multi-probe form (recall tracked per round as ann_macro_recall);
+    the near-dup/cluster family uses the plain index, whose tighter
+    candidate set is the right precision trade for threshold
+    verification."""
     if not multi_probe:
         a, b = bk.alias("a"), bk.alias("b")
         return (
