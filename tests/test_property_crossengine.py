@@ -748,3 +748,59 @@ def test_theil_sen_lower_median_matches_reference_and_shift_invariant(
     base = spark_sen(ys)
     assert base == py_sen(ys)
     assert spark_sen([y + 137 for y in ys]) == base  # shift invariance
+
+
+@given(
+    st.one_of(
+        st.integers(min_value=0, max_value=1 << 52),
+        # adversarial band: k^2 +/- 1 near perfect squares, where a
+        # double sqrt is most likely to round across the floor boundary
+        st.integers(min_value=1, max_value=1 << 26).flatmap(
+            lambda k: st.sampled_from(
+                [k * k - 1, k * k, k * k + 1]
+            )
+        ),
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_auto_sizing_isqrt_matches_duckdb_floor_sqrt(n):
+    """The shared coarse-sizing contract every *_auto operator rests on:
+    Python's exact math.isqrt and DuckDB's floor(sqrt(double)) agree for
+    every count below 2^52 — including the k^2-1 band where sqrt(k^2-1)
+    sits within half an ulp of k (the divergence starts only at k >
+    2^26, i.e. counts >= 2^52, far above any row count the engine will
+    meet).  Checks the full derivation chain: cells = max(16,
+    floor(sqrt(n))) and both nprobe rules, exactly as sql_auto_cells_cte
+    / sql_auto_nprobe compute them."""
+    import math
+
+    from pyspark_text_classification_spark.operators.similarity import (
+        IVF_AUTO_MIN_CELLS,
+        IVF_AUTO_NPROBE_MIN,
+        IVF_AUTO_NPROBE_MULT,
+        IVFPQ_AUTO_NPROBE_MIN,
+        IVFPQ_AUTO_NPROBE_MULT,
+        auto_nprobe,
+    )
+
+    con = duckdb.connect()
+    cells_py = max(IVF_AUTO_MIN_CELLS, math.isqrt(n))
+    row = con.execute(
+        f"""
+        WITH cc AS (
+          SELECT GREATEST({IVF_AUTO_MIN_CELLS},
+                          CAST(floor(sqrt({n})) AS BIGINT)) AS c
+        )
+        SELECT c,
+               GREATEST({IVF_AUTO_NPROBE_MIN}, {IVF_AUTO_NPROBE_MULT} *
+                 CAST(floor(sqrt((SELECT c FROM cc))) AS BIGINT)),
+               GREATEST({IVFPQ_AUTO_NPROBE_MIN}, {IVFPQ_AUTO_NPROBE_MULT} *
+                 CAST(floor(sqrt((SELECT c FROM cc))) AS BIGINT))
+        FROM cc
+        """
+    ).fetchone()
+    assert row[0] == cells_py, (n, row)
+    assert row[1] == auto_nprobe(cells_py), (n, row)
+    assert row[2] == auto_nprobe(
+        cells_py, IVFPQ_AUTO_NPROBE_MULT, IVFPQ_AUTO_NPROBE_MIN
+    ), (n, row)
