@@ -232,14 +232,26 @@ def stream_late_drop_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_us") - F.col("s_us")).alias("delay_us"),
     )
     sink_name = f"stream_latedrop_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # A streaming query pins its STATE partition count from
+    # spark.sql.shuffle.partitions at first start; at fixture scale the
+    # drain cost is per-task state-store overhead (4 micro-batches x
+    # stages x partitions of near-empty stores), not data.  Scope the
+    # stream to 8 state partitions and restore the session conf after —
+    # results are partitioning-independent; a 100 TB deployment sizes
+    # this to its executor fleet instead.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     out = spark.table(sink_name).localCheckpoint(eager=True)
     shutil.rmtree(tmp, ignore_errors=True)
     return out
