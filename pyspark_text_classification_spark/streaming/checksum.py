@@ -25,6 +25,9 @@ from pyspark_text_classification_spark.operators.pipeline import (
 )
 from pyspark_text_classification_spark.registry import query
 from pyspark_text_classification_spark.streaming.infer import DOCS_STREAM_SCHEMA
+from pyspark_text_classification_spark.streaming.state import (
+    scoped_state_partitions,
+)
 
 
 def stream_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,14 +45,15 @@ def stream_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_xor(h)").cast("long").alias("checksum"),
     )
     sink_name = f"stream_ck_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink_name)
 
 

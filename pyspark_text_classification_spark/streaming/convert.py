@@ -38,6 +38,9 @@ from pyspark_text_classification_spark.streaming.events import (
 
 _OUT_SCHEMA = "user_id LONG, latency_s LONG"
 _STATE_SCHEMA = "first_view_us LONG, emitted INT"
+from pyspark_text_classification_spark.streaming.state import (
+    scoped_state_partitions,
+)
 
 
 def _convert_group(
@@ -92,14 +95,15 @@ def stream_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink_name = f"stream_convert_{uuid.uuid4().hex[:8]}"
-    q = (
-        conv.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            conv.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink_name)
 
 

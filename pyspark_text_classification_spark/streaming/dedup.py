@@ -30,6 +30,9 @@ from pyspark_text_classification_spark.registry import query
 from pyspark_text_classification_spark.streaming.infer import (
     DOCS_STREAM_SCHEMA,
 )
+from pyspark_text_classification_spark.streaming.state import (
+    scoped_state_partitions,
+)
 
 
 def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,14 +51,15 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("keep_id", "n_copies")
     )
     sink_name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        dedup.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            dedup.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink_name)
 
 

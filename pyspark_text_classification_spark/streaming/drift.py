@@ -28,6 +28,9 @@ from pyspark_text_classification_spark.operators.textstats import (
 from pyspark_text_classification_spark.registry import ORACLES as _ORACLES
 from pyspark_text_classification_spark.registry import query
 from pyspark_text_classification_spark.streaming.infer import DOCS_STREAM_SCHEMA
+from pyspark_text_classification_spark.streaming.state import (
+    scoped_state_partitions,
+)
 
 
 def stream_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,14 +48,15 @@ def stream_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt_s"))
     )
     sink_name = f"stream_kl_{uuid.uuid4().hex[:8]}"
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # the finisher self-joins its input three ways; a MemoryPlan view
     # cannot be deduplicated by the analyzer, so pin the (vocab-bounded)
     # drained counts as a concrete plan first

@@ -26,6 +26,9 @@ ORDERS_STREAM_SCHEMA = (
     "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, "
     "o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING"
 )
+from pyspark_text_classification_spark.streaming.state import (
+    scoped_state_partitions,
+)
 
 
 def enrich_frame(src: DataFrame, dim: DataFrame) -> DataFrame:
@@ -59,14 +62,15 @@ def stream_enrich_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     enriched = enrich_frame(src, dim)
     sink_name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
-    q = (
-        enriched.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink_name)
 
 

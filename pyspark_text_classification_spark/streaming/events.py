@@ -45,6 +45,9 @@ EVENTS_STREAM_SCHEMA = StructType(
         StructField("props", StringType()),
     ]
 )
+from pyspark_text_classification_spark.streaming.state import (
+    scoped_state_partitions,
+)
 
 
 def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,14 +77,15 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink_name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink_name)
 
 
@@ -130,14 +134,15 @@ def stream_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink_name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink_name)
 
 
@@ -180,14 +185,15 @@ def stream_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = zscore_against_moments(src, moments)
     sink_name = f"stream_zscore_{_uuid.uuid4().hex[:8]}"
-    q = (
-        scored.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            scored.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink_name)
 
 
@@ -245,14 +251,15 @@ def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = ohlc_agg(src)
     sink_name = f"stream_ohlc_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink_name)
 
 

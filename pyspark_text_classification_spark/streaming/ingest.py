@@ -57,6 +57,9 @@ from pyspark_text_classification_spark.streaming.infer import (
 
 _SPARK_TOKS = r"filter(split(lower(text), '\\W+'), t -> length(t) >= 2)"
 _N_BANDS = len(MINHASH_PERMS) // BAND_ROWS
+from pyspark_text_classification_spark.streaming.state import (
+    scoped_state_partitions,
+)
 
 
 def _rowwise_bands_sql() -> tuple[str, str]:
@@ -174,14 +177,15 @@ def stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink_name = f"stream_ingest_{uuid.uuid4().hex[:8]}"
-    q = (
-        decisions.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            decisions.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     for df in (ex_hashes, ex_sets, ex_bands):
         df.unpersist()
     return spark.table(sink_name)

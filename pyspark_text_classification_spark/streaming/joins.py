@@ -29,6 +29,9 @@ from pyspark_text_classification_spark.registry import query
 from pyspark_text_classification_spark.streaming.events import (
     EVENTS_STREAM_SCHEMA,
 )
+from pyspark_text_classification_spark.streaming.state import (
+    scoped_state_partitions,
+)
 
 
 def stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,14 +89,15 @@ def stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_us") - F.col("s_us")).alias("delay_us"),
     )
     sink_name = f"stream_range_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink_name)
 
 

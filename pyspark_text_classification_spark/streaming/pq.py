@@ -42,6 +42,9 @@ from pyspark_text_classification_spark.streaming.similarity import (
     EMB_STREAM_SCHEMA,
 )
 from pyspark_text_classification_spark.operators.similarity import QUANT_SCALE
+from pyspark_text_classification_spark.streaming.state import (
+    scoped_state_partitions,
+)
 
 
 def _rowwise_code_exprs(codebook_rows) -> list[F.Column]:
@@ -100,14 +103,15 @@ def similarity_stream_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frame = pq_codes_stream_frame(src, cb_rows)
     sink_name = f"stream_pq_codes_{uuid.uuid4().hex[:8]}"
-    q = (
-        frame.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            frame.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink_name).localCheckpoint(eager=True)
 
 

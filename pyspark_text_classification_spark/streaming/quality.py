@@ -28,6 +28,9 @@ from pyspark_text_classification_spark.streaming.infer import (
 )
 
 QUALITY_MIN = 0.2  # keep threshold for the streaming gate
+from pyspark_text_classification_spark.streaming.state import (
+    scoped_state_partitions,
+)
 
 
 def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,14 +44,15 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = quality_stats(src).filter(F.col("quality_score") >= QUALITY_MIN)
     sink_name = f"stream_quality_{uuid.uuid4().hex[:8]}"
-    q = (
-        kept.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            kept.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink_name)
 
 

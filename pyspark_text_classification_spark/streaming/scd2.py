@@ -43,6 +43,9 @@ _OUT_SCHEMA = (
     "user_id LONG, state STRING, valid_from_us LONG, valid_to_us LONG"
 )
 _STATE_SCHEMA = "cur_state STRING, valid_from_us LONG"
+from pyspark_text_classification_spark.streaming.state import (
+    scoped_state_partitions,
+)
 
 
 def _scd2_group(
@@ -95,14 +98,15 @@ def stream_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink_name = f"stream_scd2_{uuid.uuid4().hex[:8]}"
-    q = (
-        iv.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            iv.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink_name)
 
 

@@ -35,6 +35,9 @@ from pyspark_text_classification_spark.streaming.events import (
 
 _OUT_SCHEMA = "event_id LONG, user_id LONG, session_id LONG"
 _STATE_SCHEMA = "last_ts_us LONG, session_id LONG"
+from pyspark_text_classification_spark.streaming.state import (
+    scoped_state_partitions,
+)
 
 
 def _sessionize_group(
@@ -83,14 +86,15 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink_name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink_name)
 
 
@@ -188,14 +192,15 @@ def stream_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink_name = f"closed_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink_name)
 
 

@@ -42,6 +42,9 @@ from pyspark_text_classification_spark.registry import query
 from pyspark_text_classification_spark.sources.parquet import load_table
 
 EMB_STREAM_SCHEMA = "vec_id long, embedding array<float>, label int"
+from pyspark_text_classification_spark.streaming.state import (
+    scoped_state_partitions,
+)
 
 
 def near_dup_stream_frame(
@@ -108,14 +111,15 @@ def stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     near = near_dup_stream_frame(src, static_e, index)
     sink_name = f"stream_near_dup_{uuid.uuid4().hex[:8]}"
-    q = (
-        near.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            near.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = spark.table(sink_name).localCheckpoint(eager=True)
     static_e.unpersist()
     index.unpersist()

@@ -35,6 +35,9 @@ from pyspark_text_classification_spark.streaming.infer import DOCS_STREAM_SCHEMA
 _SQL_TOKS = (
     r"list_filter(str_split_regex(lower(text), '\W+'), t -> length(t) >= 2)"
 )
+from pyspark_text_classification_spark.streaming.state import (
+    scoped_state_partitions,
+)
 
 
 def cms_sketch_frame(src: DataFrame) -> DataFrame:
@@ -68,14 +71,15 @@ def stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = cms_sketch_frame(src)
     sink_name = f"stream_cms_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink_name)
 
 
