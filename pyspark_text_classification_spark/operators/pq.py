@@ -690,6 +690,7 @@ def _ivf_pq_scored(spark: SparkSession, sf_dir: str, auto_cells: bool = False):
         auto_cells as sized_cells,
         auto_nprobe,
         ivf_assignment,
+        query_batch_ids,
         with_norms,
     )
 
@@ -724,9 +725,26 @@ def _ivf_pq_scored(spark: SparkSession, sf_dir: str, auto_cells: bool = False):
     members = ranked.filter(F.col("rk") == 1).select(
         F.col("vec_id").alias("neighbor_id"), "cent_id"
     )
-    probes = ranked.filter(
-        F.pmod(F.col("vec_id"), F.lit(PQ_QUERY_MOD)) == 0
-    ).select(F.col("vec_id").alias("q_id"), "cent_id")
+    sampled = F.pmod(F.col("vec_id"), F.lit(PQ_QUERY_MOD)) == 0
+    if auto_cells:
+        # Bound the auto path's query batch ABSOLUTELY: the 1/PQ_QUERY_MOD
+        # sample still scales with the corpus, so without a cap total
+        # probe work re-grows ~n^(7/4) once nprobe correctly scales
+        # (round-7 audit: 8.5x at 10x).  The batch is the QUERY_BATCH_MAX
+        # lowest ids of the sample (mirrored in the oracle); below the
+        # cap — every bundled sf — it IS the full sample.
+        qb = F.broadcast(
+            query_batch_ids(
+                load_table(spark, sf_dir, "embeddings").filter(sampled)
+            )
+        )
+        probes = ranked.join(qb, "vec_id").select(
+            F.col("vec_id").alias("q_id"), "cent_id"
+        )
+    else:
+        probes = ranked.filter(sampled).select(
+            F.col("vec_id").alias("q_id"), "cent_id"
+        )
     cand = (
         probes.join(members, "cent_id")
         .filter(F.col("q_id") != F.col("neighbor_id"))
@@ -740,7 +758,9 @@ def _ivf_pq_scored(spark: SparkSession, sf_dir: str, auto_cells: bool = False):
     codes = pq_assign(e, cb).select(
         F.col("vec_id").alias("neighbor_id"), "m", "code"
     )
-    queries_q = e.filter(F.pmod(F.col("vec_id"), F.lit(PQ_QUERY_MOD)) == 0)
+    queries_q = e.filter(sampled)
+    if auto_cells:
+        queries_q = queries_q.join(qb, "vec_id")
     lut = (
         _subspaces(queries_q)
         .withColumnRenamed("vec_id", "q_id")
@@ -805,12 +825,25 @@ def _sql_ivf_pq_ctes(auto_cells: bool = False) -> str:
         IVF_CELLS,
         IVFPQ_AUTO_NPROBE_MIN,
         IVFPQ_AUTO_NPROBE_MULT,
+        QUERY_BATCH_MAX,
         _SQL_IVF_DOT,
         _SQL_NORMED,
         sql_auto_cells_cte,
         sql_auto_nprobe,
+        sql_query_batch,
     )
 
+    # The auto path's absolute query-batch cap (the Spark twin joins
+    # query_batch_ids): the QUERY_BATCH_MAX lowest ids of the 1/MOD
+    # sample.  Below the cap — every bundled sf — the IN-set is the full
+    # sample, so the predicate is a no-op and hashes are unchanged.
+    qb_sample = (
+        f"(SELECT vec_id FROM embeddings "
+        f"WHERE vec_id % {PQ_QUERY_MOD} = 0)"
+    )
+    qb_set = sql_query_batch(qb_sample, QUERY_BATCH_MAX)
+    qb_pred = f" AND vec_id IN {qb_set}" if auto_cells else ""
+    qb_pred_lut = f" AND sub.vec_id IN {qb_set}" if auto_cells else ""
     if auto_cells:
         cents_sql = sql_auto_cells_cte("nv")
         nv_sql = _SQL_NORMED
@@ -849,7 +882,7 @@ def _sql_ivf_pq_ctes(auto_cells: bool = False) -> str:
     mem AS (SELECT vec_id AS neighbor_id, cent_id FROM rankedc WHERE rk = 1),
     probes AS (
       SELECT vec_id AS q_id, cent_id FROM rankedc
-      WHERE rk <= {nprobe_sql} AND vec_id % {PQ_QUERY_MOD} = 0
+      WHERE rk <= {nprobe_sql} AND vec_id % {PQ_QUERY_MOD} = 0{qb_pred}
     ),
     cand AS (
       SELECT DISTINCT p.q_id, mem.neighbor_id
@@ -860,7 +893,7 @@ def _sql_ivf_pq_ctes(auto_cells: bool = False) -> str:
       SELECT sub.vec_id AS q_id, sub.m, cb.code_id,
              {_SQL_D2.format(n=PQ_SUB, a='sub.sq', b='cb.cq')} AS d2
       FROM sub JOIN cb ON sub.m = cb.m
-      WHERE sub.vec_id % {PQ_QUERY_MOD} = 0
+      WHERE sub.vec_id % {PQ_QUERY_MOD} = 0{qb_pred_lut}
     ),
     scored AS (
       SELECT c.q_id, c.neighbor_id, CAST(sum(lut.d2) AS BIGINT) AS adc_d2
@@ -904,13 +937,17 @@ def similarity_ivf_pq_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = max(16, floor(sqrt(n))) — the third and last fixed-cell
     operator closed by the sizing rule (after similarity_ann_ivf_auto
     and dedup_semantic_auto).  The composed system's scale term is the
-    candidate mass |sample| x nprobe x n/cells: with the query sample a
-    fixed FRACTION of the corpus (1/{PQ_QUERY_MOD}, this instance's
-    self-probe stress shape) and cells FIXED, that is ~n^2; cells ~
-    sqrt(n) restores ~n^1.5, and a production deployment with a BOUNDED
-    query batch gets ~sqrt(n) per query.  The fine PQ layer (trained
-    codebook, 24-byte codes, per-query LUT) is byte-identical to the
-    fixed-cell twin — sizing moves only WHERE candidates come from."""
+    candidate mass |batch| x nprobe x n/cells: with a query batch that
+    scales with the corpus and cells FIXED, that is ~n^2; cells ~ sqrt(n)
+    cuts it, but a FRACTIONAL batch (1/{PQ_QUERY_MOD} of the corpus)
+    still re-grows ~n^(7/4) once nprobe scales — so the batch is capped
+    ABSOLUTELY at QUERY_BATCH_MAX (the lowest sample ids, mirrored in
+    the oracle; below the cap — every bundled sf — it is the full
+    sample).  The registered query now prices exactly what a deployment
+    runs: a bounded batch at ~n^(3/4) per query against the uncapped
+    sqrt-cell index.  The fine PQ layer (trained codebook, 24-byte
+    codes, per-query LUT) is byte-identical to the fixed-cell twin —
+    sizing moves only WHERE candidates come from."""
     scored, persisted = _ivf_pq_scored(spark, sf_dir, auto_cells=True)
     w = Window.partitionBy("q_id").orderBy("adc_d2", "neighbor_id")
     out = (

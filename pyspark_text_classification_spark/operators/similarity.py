@@ -90,23 +90,60 @@ EXACT_TOPK_MAX_VECTORS = 20_000
 # oracle baselines the recall gates measure against.
 FIXED_CELL_MAX_VECTORS = 4096
 
+# Absolute cap on the QUERY side of the *_auto serving queries
+# (similarity_ann_ivf_auto, similarity_ivf_pq_auto + its rerank/recall
+# consumers).  The INDEX side of those queries is uncapped — sqrt-sized
+# cells keep the build ~n^1.5 — but a registered query whose query batch
+# is the corpus itself (or a fixed fraction of it) re-grows a quadratic
+# term: total probe work ~ |queries| x nprobe x n/cells ~ n^(7/4) once
+# nprobe correctly scales (~n^(1/4)); the round-7 10x audit measured
+# 14.9x/8.5x cost at 10x vectors.  Capping the batch at an ABSOLUTE
+# constant restores the serving asymptotic the per-query cost already
+# had (~n^(3/4) per query, index build linear-ish) — a production
+# deployment prices queries per batch anyway.  The batch is the cap
+# LOWEST vec_ids present (TakeOrdered, no dense-id assumption),
+# mirrored in the oracles via sql_query_batch; below the cap — every
+# bundled sf — the batch is the full former query set, so results and
+# hashes are unchanged (the FIXED_CELL_MAX_VECTORS pattern).
+QUERY_BATCH_MAX = 4096
+
+
+def query_batch_ids(src: "DataFrame", cap: int = QUERY_BATCH_MAX) -> "DataFrame":
+    """(vec_id): the cap LOWEST vec_ids present in ``src`` — the *_auto
+    serving queries' bounded query batch.  orderBy+limit compiles to a
+    distributed TakeOrdered (no full sort), and the result is a <=cap-row
+    frame the probe side broadcast-joins against."""
+    return src.orderBy("vec_id").limit(cap).select("vec_id")
+
+
+def sql_query_batch(src: str, cap: int = QUERY_BATCH_MAX) -> str:
+    """The DuckDB twin of query_batch_ids, as an IN-subquery body."""
+    return f"(SELECT vec_id FROM {src} ORDER BY vec_id LIMIT {cap})"
+
 
 def with_n_indexed(out: "DataFrame", raw: "DataFrame", cap: int) -> "DataFrame":
-    """Stamp every result row with n_indexed = least(corpus size, cap) so
-    a capped baseline's output CARRIES its own coverage: above the cap a
-    consumer sees n_indexed < the corpus count and cannot mistake the
-    capped answer for full-corpus output (ADVICE r6 — the caps were
-    documented in docstrings only).  The stamp is a 1-row aggregate
+    """Stamp every result row with the number of vectors the capped index
+    actually covers, so a capped baseline's output CARRIES its own
+    coverage: above the cap a consumer sees n_indexed < the corpus count
+    and cannot mistake the capped answer for full-corpus output (ADVICE
+    r6 — the caps were documented in docstrings only).  The stamp counts
+    the CAPPED frame itself (vec_id < cap — the exact predicate the
+    capped baselines index under), so sparse or offset id spaces report
+    the true covered count rather than least(n, cap)'s dense-id estimate
+    (ADVICE r7; identical below the cap with dense-from-0 ids, i.e. every
+    bundled sf, so hashes are unchanged).  The stamp is a 1-row aggregate
     crossJoin-broadcast, no driver action; sql_n_indexed is the oracle
     twin."""
-    ni = raw.agg(
-        F.least(F.count("*"), F.lit(cap)).cast("long").alias("n_indexed")
+    ni = raw.filter(F.col("vec_id") < cap).agg(
+        F.count("*").cast("long").alias("n_indexed")
     )
     return out.crossJoin(F.broadcast(ni))
 
 
 def sql_n_indexed(cap: int, src: str = "embeddings") -> str:
-    return f"(SELECT LEAST(CAST(count(*) AS BIGINT), {cap}) FROM {src})"
+    return (
+        f"(SELECT CAST(count(*) AS BIGINT) FROM {src} WHERE vec_id < {cap})"
+    )
 
 
 def _as_double_vec(col: str = "embedding") -> Column:
@@ -1855,7 +1892,8 @@ def auto_centroids(
     ),
     members AS (SELECT vec_id, cent_id FROM ranked WHERE rk = 1),
     probes  AS (SELECT vec_id, cent_id FROM ranked
-                WHERE rk <= {sql_auto_nprobe()}),
+                WHERE rk <= {sql_auto_nprobe()}
+                  AND vec_id IN {sql_query_batch('n')}),
     cand AS (
       SELECT DISTINCT p.vec_id, m.vec_id AS neighbor_id
       FROM probes p JOIN members m
@@ -1892,7 +1930,14 @@ def similarity_ann_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cell count and nprobe derive from ONE count(*)
     (floor(sqrt(exact int)) is correctly rounded identically in both
     engines for counts < 2^52), so the twin stays hash-checkable with no
-    literal to keep in sync."""
+    literal to keep in sync.
+
+    The QUERY side is capped at QUERY_BATCH_MAX ({QUERY_BATCH_MAX})
+    probes (the lowest ids present, mirrored in the oracle) so the
+    registered query prices a BOUNDED serving batch against the uncapped
+    index — without it the batch scales with the corpus and total work
+    re-grows ~n^(7/4) (round-7 audit: 14.9x at 10x).  Below the cap —
+    every bundled sf — the batch is the full corpus, results unchanged."""
     e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
     cells = auto_cells(load_table(spark, sf_dir, "embeddings"))
     cents = auto_centroids(e, cells=cells)
@@ -1900,7 +1945,10 @@ def similarity_ann_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = ranked.filter(F.col("rk") == 1).select(
         F.col("vec_id").alias("neighbor_id"), "cent_id"
     )
-    probes = ranked.select("vec_id", "cent_id")
+    probes = ranked.join(
+        F.broadcast(query_batch_ids(load_table(spark, sf_dir, "embeddings"))),
+        "vec_id",
+    ).select("vec_id", "cent_id")
     cand = (
         probes.join(members, "cent_id")
         .filter(F.col("vec_id") != F.col("neighbor_id"))

@@ -60,6 +60,9 @@ from pyspark_text_classification_spark.sources.parquet import load_table
 from pyspark_text_classification_spark.streaming.events import (
     EVENTS_STREAM_SCHEMA,
 )
+from pyspark_text_classification_spark.streaming.state import (
+    scoped_state_partitions,
+)
 
 # Split point: events at-or-after this arrive FIRST (establishing the
 # watermark), events before it arrive second and face the late filter.
@@ -232,16 +235,7 @@ def stream_late_drop_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_us") - F.col("s_us")).alias("delay_us"),
     )
     sink_name = f"stream_latedrop_{uuid.uuid4().hex[:8]}"
-    # A streaming query pins its STATE partition count from
-    # spark.sql.shuffle.partitions at first start; at fixture scale the
-    # drain cost is per-task state-store overhead (4 micro-batches x
-    # stages x partitions of near-empty stores), not data.  Scope the
-    # stream to 8 state partitions and restore the session conf after —
-    # results are partitioning-independent; a 100 TB deployment sizes
-    # this to its executor fleet instead.
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with scoped_state_partitions(spark):
         q = (
             joined.writeStream.format("memory")
             .queryName(sink_name)
@@ -250,8 +244,6 @@ def stream_late_drop_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     out = spark.table(sink_name).localCheckpoint(eager=True)
     shutil.rmtree(tmp, ignore_errors=True)
     return out

@@ -12,9 +12,12 @@ partitioning-independent.  A 100 TB deployment sizes state partitions
 to its executor fleet instead — this helper is fixture economics, not a
 scale knob.
 
-Python-STATEFUL twins (applyInPandasWithState: funnel, pattern, CUSUM)
-are deliberately NOT scoped: their per-partition Python workers benefit
-from the wider fan-out (measured slightly faster at 32).
+Three Python-stateful twins — funnel, pattern, CUSUM — are deliberately
+NOT scoped: those three were MEASURED slightly faster at the wider
+fan-out (their per-group pandas work dominates the state-store
+overhead).  The other applyInPandasWithState twins (sessionize, convert,
+scd2) are scoped like the JVM-stateful drains — their state-store
+overhead dominated in the same measurement.
 """
 
 from __future__ import annotations
