@@ -76,6 +76,29 @@ T_SPLIT_US = int(
 LATE_DELAY_HOURS = 504
 LATE_DELAY_MS = LATE_DELAY_HOURS * 3_600 * 1_000
 
+# Absolute cap on the replay fixture, PER EVENT TYPE: the feed rebuild
+# runs inside a registered query, so an uncapped toPandas() of all
+# signup+purchase rows is a linear-in-corpus driver collect (round-7
+# What's-wrong #2).  The twin only needs enough rows to exercise the
+# watermark; the cap keeps the fixture step O(1) in corpus size (the
+# collect is a distributed TakeOrdered of at most 2 x cap rows).  The
+# capped set — the cap LOWEST event_ids of each type — is mirrored in
+# the oracle, so below the cap (sf0.001 and sf0.01) rows and hashes are
+# unchanged, and above it both engines replay the same bounded feed.
+LATEDROP_FEED_MAX = 4096
+
+
+def sql_feed_cap() -> str:
+    """The oracle twin of the per-type feed cap as a WHERE body."""
+    return f"""(
+      (event_type = 'signup' AND event_id IN
+        (SELECT event_id FROM events WHERE event_type = 'signup'
+         ORDER BY event_id LIMIT {LATEDROP_FEED_MAX}))
+      OR (event_type = 'purchase' AND event_id IN
+        (SELECT event_id FROM events WHERE event_type = 'purchase'
+         ORDER BY event_id LIMIT {LATEDROP_FEED_MAX}))
+    )"""
+
 
 _FEED_ARROW_SCHEMA_FIELDS = (
     ("event_id", "int64"),
@@ -139,15 +162,25 @@ def out_of_order_feed(
 
     os.makedirs(os.path.join(tmp, "feed"), exist_ok=True)
     cols = ["event_id", "ts", "user_id", "event_type", "value"]
-    # The feed is a REPLAY FIXTURE: one bounded collect of the two joined
-    # event types, split and written as four LOCAL parquet files (the
-    # four coalesce(1) Spark write JOBS this replaces were 8.4s of the
-    # query's 16s at sf0.1 — each tiny file paid a full job + commit
-    # protocol).  A production replay reads real historical files; the
-    # driver-side write is harness plumbing, not a registered operator.
+    # The feed is a REPLAY FIXTURE: one BOUNDED collect of the two joined
+    # event types — the LATEDROP_FEED_MAX lowest event_ids per type via
+    # distributed TakeOrdered (orderBy+limit), so the driver holds at
+    # most 2 x cap rows at any corpus size — split and written as four
+    # LOCAL parquet files (the four coalesce(1) Spark write JOBS this
+    # replaces were 8.4s of the query's 16s at sf0.1 — each tiny file
+    # paid a full job + commit protocol).  A production replay reads
+    # real historical files; the driver-side write is harness plumbing,
+    # not a registered operator.
+    typed = events.select(cols)
     pdf = (
-        events.filter(F.col("event_type").isin("signup", "purchase"))
-        .select(cols)
+        typed.filter(F.col("event_type") == "signup")
+        .orderBy("event_id")
+        .limit(LATEDROP_FEED_MAX)
+        .unionByName(
+            typed.filter(F.col("event_type") == "purchase")
+            .orderBy("event_id")
+            .limit(LATEDROP_FEED_MAX)
+        )
         .toPandas()
     )
     us = pdf["ts"].astype("datetime64[us]").astype("int64")
@@ -257,6 +290,7 @@ query(
     WITH e AS (
       SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
       FROM events
+      WHERE {sql_feed_cap()}
     ),
     wm AS (
       SELECT (LEAST(
