@@ -76,28 +76,49 @@ T_SPLIT_US = int(
 LATE_DELAY_HOURS = 504
 LATE_DELAY_MS = LATE_DELAY_HOURS * 3_600 * 1_000
 
-# Absolute cap on the replay fixture, PER EVENT TYPE: the feed rebuild
-# runs inside a registered query, so an uncapped toPandas() of all
-# signup+purchase rows is a linear-in-corpus driver collect (round-7
-# What's-wrong #2).  The twin only needs enough rows to exercise the
-# watermark; the cap keeps the fixture step O(1) in corpus size (the
-# collect is a distributed TakeOrdered of at most 2 x cap rows).  The
-# capped set — the cap LOWEST event_ids of each type — is mirrored in
-# the oracle, so below the cap (sf0.001 and sf0.01) rows and hashes are
-# unchanged, and above it both engines replay the same bounded feed.
+# Bound on the replay fixture, PER EVENT TYPE: the feed rebuild runs
+# inside a registered query, so an uncapped toPandas() of all replayed
+# rows is a linear-in-corpus driver collect (round-7 What's-wrong #2).
+# The bound is a STRIDE SAMPLE, not a lowest-N cut: event_ids are almost
+# perfectly time-correlated in the bundled corpus, so the N lowest ids
+# are the EARLIEST rows — at sf0.1 that cut left zero events after
+# T_SPLIT, emptying the watermark-establishing batch and degenerating
+# the twin to "nothing is ever dropped".  Instead each type keeps
+# event_id % k = 0 with k = ceil(n_type / LATEDROP_FEED_MAX) derived
+# from ONE bounded count (the auto_cells pattern: both engines compute
+# k from the same exact integer, so the sample cannot fork), preserving
+# the feed's full time span — fresh maxima, the drop boundary, and late
+# survivors all stay populated at any corpus size while the collect
+# holds ~LATEDROP_FEED_MAX rows per type.  Below the bound (sf0.001 and
+# sf0.01) k = 1 and the feed is the full former row set — hashes
+# unchanged.
 LATEDROP_FEED_MAX = 4096
 
 
-def sql_feed_cap() -> str:
-    """The oracle twin of the per-type feed cap as a WHERE body."""
-    return f"""(
-      (event_type = 'signup' AND event_id IN
-        (SELECT event_id FROM events WHERE event_type = 'signup'
-         ORDER BY event_id LIMIT {LATEDROP_FEED_MAX}))
-      OR (event_type = 'purchase' AND event_id IN
-        (SELECT event_id FROM events WHERE event_type = 'purchase'
-         ORDER BY event_id LIMIT {LATEDROP_FEED_MAX}))
-    )"""
+def feed_strides(events: DataFrame, *etypes: str) -> dict[str, int]:
+    """Per-type stride k = max(1, ceil(n_type / LATEDROP_FEED_MAX)) from
+    ONE distributed groupBy-count action."""
+    counts = {
+        r["event_type"]: r["n"]
+        for r in events.filter(F.col("event_type").isin(*etypes))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    return {
+        t: max(1, -(-counts.get(t, 0) // LATEDROP_FEED_MAX)) for t in etypes
+    }
+
+
+def sql_feed_stride(etype: str) -> str:
+    """The DuckDB twin of one type's stride predicate body (ceil via
+    integer arithmetic on the same exact count)."""
+    return (
+        f"(event_type = '{etype}' AND event_id % "
+        f"(SELECT GREATEST(1, (count(*) + {LATEDROP_FEED_MAX} - 1) "
+        f"// {LATEDROP_FEED_MAX}) FROM events "
+        f"WHERE event_type = '{etype}') = 0)"
+    )
 
 
 _FEED_ARROW_SCHEMA_FIELDS = (
@@ -163,24 +184,26 @@ def out_of_order_feed(
     os.makedirs(os.path.join(tmp, "feed"), exist_ok=True)
     cols = ["event_id", "ts", "user_id", "event_type", "value"]
     # The feed is a REPLAY FIXTURE: one BOUNDED collect of the two joined
-    # event types — the LATEDROP_FEED_MAX lowest event_ids per type via
-    # distributed TakeOrdered (orderBy+limit), so the driver holds at
-    # most 2 x cap rows at any corpus size — split and written as four
-    # LOCAL parquet files (the four coalesce(1) Spark write JOBS this
-    # replaces were 8.4s of the query's 16s at sf0.1 — each tiny file
-    # paid a full job + commit protocol).  A production replay reads
-    # real historical files; the driver-side write is harness plumbing,
-    # not a registered operator.
-    typed = events.select(cols)
+    # event types — each stride-sampled to ~LATEDROP_FEED_MAX rows (see
+    # the constant's comment for why a stride, not a lowest-N cut) —
+    # split and written as four LOCAL parquet files (the four
+    # coalesce(1) Spark write JOBS this replaces were 8.4s of the
+    # query's 16s at sf0.1 — each tiny file paid a full job + commit
+    # protocol).  A production replay reads real historical files; the
+    # driver-side write is harness plumbing, not a registered operator.
+    ks = feed_strides(events, "signup", "purchase")
     pdf = (
-        typed.filter(F.col("event_type") == "signup")
-        .orderBy("event_id")
-        .limit(LATEDROP_FEED_MAX)
-        .unionByName(
-            typed.filter(F.col("event_type") == "purchase")
-            .orderBy("event_id")
-            .limit(LATEDROP_FEED_MAX)
+        events.filter(
+            (
+                (F.col("event_type") == "signup")
+                & (F.col("event_id") % ks["signup"] == 0)
+            )
+            | (
+                (F.col("event_type") == "purchase")
+                & (F.col("event_id") % ks["purchase"] == 0)
+            )
         )
+        .select(cols)
         .toPandas()
     )
     us = pdf["ts"].astype("datetime64[us]").astype("int64")
@@ -290,7 +313,8 @@ query(
     WITH e AS (
       SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
       FROM events
-      WHERE {sql_feed_cap()}
+      WHERE {sql_feed_stride('signup')}
+         OR {sql_feed_stride('purchase')}
     ),
     wm AS (
       SELECT (LEAST(
@@ -318,3 +342,163 @@ query(
        OR s.ts_us >= (SELECT w_us FROM wm)
     """,
 )(stream_late_drop_join)
+
+
+# ---------------------------------------------------------------------------
+# Late-data drop under a WINDOWED AGGREGATION — the other stateful surface
+# of the watermark contract.  The join twin above pins what a stream-stream
+# join discards; this twin pins what a tumbling-window aggregate discards
+# (and when a window is finalized at all): in append mode a window is
+# emitted only once the watermark passes its end, and a late row is
+# dropped only if its window was already finalized — a late row into a
+# still-open window merges normally (the eviction-bound, not
+# hard-drop-line, semantics pinned by
+# tests/test_streaming_watermark.py::test_append_mode_drops_late_event...).
+#
+# Replay shape (4 mtime-ordered micro-batches of click events):
+#   b0  clicks >= T_SPLIT      (fresh rows: build watermark stats)
+#   b1  one spacer row AT T_SPLIT  (its ts never exceeds max(b0), so the
+#                               watermark in force at b2 is f(max(b0))
+#                               under EITHER a one- or two-batch stats
+#                               lag — the oracle needs no lag assumption)
+#   b2  clicks <  T_SPLIT      (the late rows: those in windows whose END
+#                               is at-or-below the in-force watermark are
+#                               dropped; rows in the straddling window
+#                               still merge — the predicate is on the
+#                               WINDOW, not the row timestamp)
+#   b3  one nudge row in March (advances the final watermark past every
+#                               January window, so the no-data batch that
+#                               availableNow runs afterwards finalizes
+#                               and emits them — without it the survivors
+#                               of b2 would stay invisible in open state)
+#
+# Final emitted set: windows with end <= (floor_ms(nudge) - delay)*1000;
+# per-window counts include b2 survivors — so a wrong drop predicate,
+# a wrong lag model, or a missing no-data batch all hash-mismatch.
+# ---------------------------------------------------------------------------
+AGG_WINDOW_US = 86_400_000_000  # 1-day tumbling windows
+# Mid-window nudge: wm_final = floor_ms(this) - delay lands 12:34:56.789
+# into a day, so no window end ever sits exactly ON the emission boundary
+# (<= vs < is unobservable) — boundary ambiguity is designed out, exactly
+# like the join twin's type-asymmetric feed.
+AGG_NUDGE_TS = datetime(2024, 3, 1, 12, 34, 56, 789000)
+AGG_NUDGE_US = int(
+    AGG_NUDGE_TS.replace(tzinfo=timezone.utc).timestamp() * 1000
+) * 1000
+
+
+def late_agg_feed(spark: SparkSession, events: DataFrame, tmp: str) -> str:
+    """Materialize the four-file out-of-order click feed (bounded by the
+    click stride sample — see LATEDROP_FEED_MAX — mirrored in the
+    oracle)."""
+    import pandas as pd
+
+    os.makedirs(os.path.join(tmp, "feed"), exist_ok=True)
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    k = feed_strides(events, "click")["click"]
+    pdf = (
+        events.filter(
+            (F.col("event_type") == "click") & (F.col("event_id") % k == 0)
+        )
+        .select(cols)
+        .toPandas()
+    )
+    us = pdf["ts"].astype("datetime64[us]").astype("int64")
+    b0 = pdf[us >= T_SPLIT_US]
+    b2 = pdf[us < T_SPLIT_US]
+
+    def one_row(event_id: int, ts) -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "event_id": [event_id],
+                "ts": [ts],
+                "user_id": [-1],
+                "event_type": ["click"],
+                "value": [0.0],
+            }
+        )
+
+    _write_feed_file(b0, tmp, "b0.parquet", 1_000_000_000)
+    _write_feed_file(
+        one_row(-2, pd.Timestamp(2024, 1, 16)), tmp, "b1.parquet",
+        1_000_000_100,
+    )
+    _write_feed_file(b2, tmp, "b2.parquet", 1_000_000_200)
+    _write_feed_file(
+        one_row(-1, pd.Timestamp(AGG_NUDGE_TS)), tmp, "b3.parquet",
+        1_000_000_300,
+    )
+    return os.path.join(tmp, "feed")
+
+
+def stream_late_drop_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-micro-batch out-of-order replay -> watermarked tumbling-day
+    count in APPEND mode -> memory sink: late clicks whose window was
+    already finalized are dropped, late clicks into still-open windows
+    merge, and only windows the final watermark passed are emitted."""
+    tmp = tempfile.mkdtemp(prefix="lateagg_")
+    feed = late_agg_feed(spark, load_table(spark, sf_dir, "events"), tmp)
+    src = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .option("pathGlobFilter", "b*.parquet")
+        .load(feed)
+        .select(F.timestamp_micros(ts_us()).alias("event_ts"))
+    )
+    agg = (
+        src.withWatermark("event_ts", f"{LATE_DELAY_HOURS} hours")
+        .groupBy(F.window("event_ts", "1 day"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.expr(
+                "timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ'1970-01-01 00:00:00', window.start)"
+            ).alias("wstart_us"),
+            F.col("cnt"),
+        )
+    )
+    sink_name = f"stream_lateagg_{uuid.uuid4().hex[:8]}"
+    with scoped_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.table(sink_name).localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+query(
+    "events_stream_late_drop_agg",
+    oracle=f"""
+    WITH c AS (
+      SELECT epoch_us(ts) AS ts_us FROM events
+      WHERE {sql_feed_stride('click')}
+    ),
+    wm2 AS (
+      SELECT (max(ts_us) // 1000 - {LATE_DELAY_MS}) * 1000 AS w
+      FROM c WHERE ts_us >= {T_SPLIT_US}
+    ),
+    kept AS (
+      SELECT ts_us FROM c WHERE ts_us >= {T_SPLIT_US}
+      UNION ALL SELECT {T_SPLIT_US} AS ts_us
+      UNION ALL
+      SELECT ts_us FROM c
+      WHERE ts_us < {T_SPLIT_US}
+        AND (ts_us // {AGG_WINDOW_US} + 1) * {AGG_WINDOW_US}
+              > (SELECT w FROM wm2)
+    )
+    SELECT (ts_us // {AGG_WINDOW_US}) * {AGG_WINDOW_US} AS wstart_us,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM kept
+    GROUP BY 1
+    HAVING (ts_us // {AGG_WINDOW_US}) * {AGG_WINDOW_US} + {AGG_WINDOW_US}
+             <= ({AGG_NUDGE_US} // 1000 - {LATE_DELAY_MS}) * 1000
+    """,
+)(stream_late_drop_agg)

@@ -202,3 +202,73 @@ def test_late_drop_watermark_ignores_the_nudge_batch(spark, tmp_path):
         ).collect()
     }
     assert (10, 11) in got, got  # kept: the nudge never moved the watermark
+
+
+def test_late_drop_agg_finalized_window_drops_open_window_merges(
+    spark, tmp_path
+):
+    """The registered aggregation twin's contract on crafted rows: a
+    click delivered past the watermark into an ALREADY-FINALIZED day
+    window is dropped (its window is absent from the append-mode
+    output), while late clicks into a still-open window merge and the
+    window is finalized — with the merged count — once the March nudge
+    advances the watermark past it.
+
+      fresh  Jan 30 23:00  -> wm at the late batch = Jan 9 23:00 - eps
+      late   Jan  2 10:00  -> window end Jan 3 <= wm  -> DROPPED
+      late   Jan 14 10:00 + 11:00 -> window end Jan 15 > wm -> MERGED
+      (spacer Jan 16 and the Mar 1 nudge come from the feed builder)
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark_text_classification_spark.all_queries import QUERIES
+
+    def ts(mo, d, h):
+        return pd.Timestamp(2024, mo, d, h)
+
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 10, 20, 21],
+            "ts": [ts(1, 30, 23), ts(1, 2, 10), ts(1, 14, 10), ts(1, 14, 11)],
+            "user_id": [1, 2, 3, 3],
+            "event_type": ["click"] * 4,
+            "value": [0.0] * 4,
+            "props": ["{}"] * 4,
+        }
+    )
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    sf_dir = str(tmp_path / "lateagg_fixture")
+    os.makedirs(sf_dir)
+    pq.write_table(
+        pa.Table.from_pandas(rows, schema=schema),
+        f"{sf_dir}/events.parquet",
+    )
+    day_us = 86_400_000_000
+    got = {
+        r.wstart_us: r.cnt
+        for r in QUERIES["events_stream_late_drop_agg"](
+            spark, sf_dir
+        ).collect()
+    }
+
+    def day_start(mo, d):
+        return int(pd.Timestamp(2024, mo, d).value // 1000)
+
+    assert day_start(1, 2) not in got, got       # finalized window: DROPPED
+    assert got.get(day_start(1, 14)) == 2, got   # open window: MERGED, then
+    #                                              finalized by the nudge
+    assert got.get(day_start(1, 30)) == 1, got   # fresh row's window emitted
+    assert got.get(day_start(1, 16)) == 1, got   # the spacer's window
+    assert day_start(3, 1) not in got, got       # nudge window never closes
+    assert len(got) == 3 and day_us  # exactly the three emitted windows
