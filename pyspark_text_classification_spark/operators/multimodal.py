@@ -3,10 +3,11 @@
 Extension surface (north star, BASELINE.json:6): image/audio/video are
 carried as ``binary`` columns plus a metadata struct; decode / resize /
 frame-sample are Pandas-UDF stages over ``mapInPandas``. decode_media is
-REAL for the uncompressed public byte layouts (binary PPM, 24-bit BMP,
-PCM16 WAV — pure numpy, exercised end-to-end by multimodal_decode_stats);
-compressed codecs (JPEG/PNG/MP3/H.264) need libraries NOT in this
-environment and remain a documented NotImplementedError dispatch arm,
+REAL for the public byte layouts expressible with numpy + the stdlib
+(binary PPM, 24-bit BMP, PCM16 WAV, and non-interlaced 8-bit truecolor
+PNG via stdlib zlib + scanline unfiltering — exercised end-to-end by
+multimodal_decode_stats); lossy codecs (JPEG/MP3/H.264) need libraries
+NOT in this environment and remain a documented NotImplementedError arm,
 while everything Spark-side — schema, Arrow binary transfer, batch shape,
 partition-local execution — is real and tested.
 
@@ -128,28 +129,115 @@ def _decode_wav(b: bytes) -> tuple[int, "np.ndarray"]:
     return rate, np.frombuffer(data, dtype="<i2")
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(b: bytes) -> "np.ndarray":
+    """Non-interlaced 8-bit truecolor PNG (color type 2 RGB / 6 RGBA):
+    chunk walk -> IDAT inflate (stdlib zlib — DEFLATE is RFC 1951, no
+    codec library needed) -> per-scanline unfilter of the five public
+    filter types (None/Sub/Up/Average/Paeth, PNG spec §9).  Returns a
+    top-down HxWxC uint8 array.  Scanlines are tiny in the fixture
+    corpus, so the sequential filters (Sub/Average/Paeth carry an
+    intra-row recurrence) run as plain loops inside the mapInPandas
+    worker; Up/None stay vectorized."""
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i, w, h, ctype = 8, None, None, None
+    idat = bytearray()
+    while i + 8 <= len(b):
+        size = int.from_bytes(b[i : i + 4], "big")
+        typ = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + size]
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype = data[8], data[9]
+            comp, filt, interlace = data[10], data[11], data[12]
+            if depth != 8 or ctype not in (2, 6) or comp or filt or interlace:
+                raise ValueError(
+                    "only non-interlaced 8-bit RGB/RGBA PNG supported"
+                )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        i += 12 + size  # length + type + data + crc
+    if w is None:
+        raise ValueError("missing IHDR chunk")
+    raw = zlib.decompress(bytes(idat))
+    ch = 3 if ctype == 2 else 4
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for r in range(h):
+        f = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1)
+        pos += 1 + stride
+        prev = out[r - 1] if r else np.zeros(stride, np.uint8)
+        if f == 0:  # None
+            recon = line.copy()
+        elif f == 1:  # Sub: per-channel cumulative sum mod 256
+            recon = (
+                np.cumsum(line.reshape(w, ch).astype(np.int64), axis=0) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up: uint8 addition wraps mod 256
+            recon = line + prev
+        elif f == 3:  # Average
+            rec = np.empty(stride, dtype=np.int32)
+            for j in range(stride):
+                left = rec[j - ch] if j >= ch else 0
+                rec[j] = (int(line[j]) + ((left + int(prev[j])) >> 1)) & 0xFF
+            recon = rec.astype(np.uint8)
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.int32)
+            for j in range(stride):
+                a = rec[j - ch] if j >= ch else 0
+                up = int(prev[j])
+                c = int(prev[j - ch]) if j >= ch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = up
+                else:
+                    pred = c
+                rec[j] = (int(line[j]) + pred) & 0xFF
+            recon = rec.astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[r] = recon
+    return out.reshape(h, w, ch)
+
+
 def decode_media(payload_bytes: bytes, mime: str) -> object:
     """Decode an image/audio payload to a numpy array.
 
-    REAL for the uncompressed public byte layouts — pure numpy, no
-    codec libraries: binary PPM (P6) and 24-bit BMP return an HxWx3
-    RGB uint8 array; 16-bit PCM WAV returns (sample_rate, int16
-    samples).  Compressed formats (JPEG/PNG/MP3/H.264 ...) still
-    require codec libraries absent from this build — plug PIL /
-    torchaudio / av into the dispatch below; the surrounding
-    mapInPandas plumbing (schema, Arrow binary batches, stats) is
-    complete and exercised end-to-end by multimodal_decode_stats."""
+    REAL for the public byte layouts expressible with numpy + the
+    stdlib: binary PPM (P6), 24-bit BMP and non-interlaced 8-bit
+    truecolor PNG (zlib inflate + scanline unfilter) return an HxWxC
+    uint8 array; 16-bit PCM WAV returns (sample_rate, int16 samples).
+    Lossy compressed formats (JPEG/MP3/H.264 ...) still require codec
+    libraries absent from this build — plug PIL / torchaudio / av into
+    the dispatch below; the surrounding mapInPandas plumbing (schema,
+    Arrow binary batches, stats) is complete and exercised end-to-end
+    by multimodal_decode_stats."""
     b = bytes(payload_bytes)
     if mime == "image/x-portable-pixmap":
         return _decode_ppm(b)
     if mime == "image/bmp":
         return _decode_bmp(b)
+    if mime == "image/png":
+        return _decode_png(b)
     if mime == "audio/wav":
         return _decode_wav(b)
     raise NotImplementedError(
         f"decode for {mime!r} requires codec libraries not present in "
         "this build; plug PIL/torchaudio/av into decode_media() — the "
-        "uncompressed formats (PPM/BMP/WAV-PCM) decode natively"
+        "stdlib-expressible formats (PPM/BMP/PNG/WAV-PCM) decode natively"
     )
 
 
@@ -983,16 +1071,23 @@ DECODE_SCHEMA = (
     "sample_rate LONG, n_units LONG, sig_sum LONG, first_val LONG"
 )
 # Generative formulas (all non-negative, mirrored verbatim in the oracle):
-#   doc_id % 3 = 0 -> P6 PPM,   w = 4 + doc_id % 5, h = 3,
+#   doc_id % 4 = 0 -> P6 PPM,   w = 4 + doc_id % 5, h = 3,
 #                     byte(i) = (doc_id*31 + i*7) % 256   (row-major RGB)
-#   doc_id % 3 = 1 -> 24b BMP,  w = 3 + doc_id % 4, h = 2,
+#   doc_id % 4 = 1 -> 24b BMP,  w = 3 + doc_id % 4, h = 2,
 #                     byte(i) = (doc_id*17 + i*11) % 256  (logical top-down
 #                     RGB; the FILE stores bottom-up BGR + row padding,
 #                     which the decoder must undo — that asymmetry is what
 #                     proves the decode is real, not an echo)
-#   doc_id % 3 = 2 -> PCM16 WAV, rate = 8000 + 250*(doc_id % 7),
+#   doc_id % 4 = 2 -> PCM16 WAV, rate = 8000 + 250*(doc_id % 7),
 #                     n = 16 + doc_id % 17,
 #                     s(i) = ((doc_id*13 + i*5) % 65536) - 32768
+#   doc_id % 4 = 3 -> 8-bit RGBA PNG, w = 2 + doc_id % 3, h = 5,
+#                     byte(i) = (doc_id*23 + i*13) % 256  (logical top-down
+#                     row-major RGBA; the FILE stores zlib-DEFLATEd
+#                     scanlines, row r filtered with type (doc_id+r) % 5 —
+#                     every one of the five public filters appears in
+#                     every payload, so a broken Sub/Up/Average/Paeth
+#                     inverse or inflate path hash-mismatches)
 
 
 def _encode_bmp(img: "np.ndarray") -> bytes:
@@ -1023,6 +1118,68 @@ def _encode_bmp(img: "np.ndarray") -> bytes:
     return head + info + data
 
 
+def _encode_png(img: "np.ndarray", row_filters: list[int]) -> bytes:
+    """Encode a top-down HxWxC (C = 3 or 4) uint8 array as a
+    non-interlaced 8-bit PNG, filtering scanline r with
+    row_filters[r] — the write half of the PNG round-trip, used by the
+    fixture generator to exercise ALL FIVE public filter types against
+    the decoder (per the spec, a filter predicts from the RAW bytes of
+    the prior pixels, so encode subtracts what decode adds back)."""
+    import zlib
+
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    for r in range(h):
+        f = row_filters[r]
+        cur = flat[r]
+        prev = flat[r - 1] if r else np.zeros(stride, dtype=np.int32)
+        left = np.concatenate([np.zeros(ch, dtype=np.int32), cur[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, dtype=np.int32), prev[:-ch]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = (cur - left) % 256
+        elif f == 2:
+            filt = (cur - prev) % 256
+        elif f == 3:
+            filt = (cur - ((left + prev) >> 1)) % 256
+        elif f == 4:
+            p = left + prev - upleft
+            pa, pb, pc = (
+                np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = (cur - pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        raw.append(f)
+        raw += filt.astype(np.uint8).tobytes()
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2 if ch == 3 else 6, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _encode_wav(rate: int, samples: "np.ndarray") -> bytes:
     """Encode int16 mono samples as a PCM RIFF WAVE (public layout)."""
     data = samples.astype("<i2").tobytes()
@@ -1051,7 +1208,7 @@ def synth_media(docs: DataFrame) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                m = d % 3
+                m = d % 4
                 if m == 0:
                     w, h = 4 + d % 5, 3
                     px = (
@@ -1068,7 +1225,7 @@ def synth_media(docs: DataFrame) -> DataFrame:
                     ).astype(np.uint8)
                     payload = _encode_bmp(px.reshape(h, w, 3))
                     mime = "image/bmp"
-                else:
+                elif m == 2:
                     rate = 8000 + 250 * (d % 7)
                     n = 16 + d % 17
                     s = (
@@ -1076,6 +1233,16 @@ def synth_media(docs: DataFrame) -> DataFrame:
                     ) - 32768
                     payload = _encode_wav(rate, s.astype(np.int16))
                     mime = "audio/wav"
+                else:
+                    w, h = 2 + d % 3, 5
+                    px = (
+                        (d * 23 + np.arange(w * h * 4, dtype=np.int64) * 13)
+                        % 256
+                    ).astype(np.uint8)
+                    payload = _encode_png(
+                        px.reshape(h, w, 4), [(d + r) % 5 for r in range(h)]
+                    )
+                    mime = "image/png"
                 rows.append((doc_id, mime, payload))
             yield pd.DataFrame(rows, columns=["doc_id", "mime", "payload"])
 
@@ -1130,13 +1297,15 @@ def decode_stats(bin_df: DataFrame) -> DataFrame:
     return bin_df.mapInPandas(stats, schema=DECODE_SCHEMA)
 
 
-def _sql_img_stats(mime: str, w: str, h: str, mult: int, step: int) -> str:
+def _sql_img_stats(
+    mime: str, w: str, h: str, mult: int, step: int, chan: int = 3
+) -> str:
     return f"""
       SELECT doc_id, '{mime}' AS mime,
              CAST({w} AS BIGINT) AS width, CAST({h} AS BIGINT) AS height,
              CAST(-1 AS BIGINT) AS sample_rate,
              CAST(({w}) * ({h}) AS BIGINT) AS n_units,
-             CAST(list_sum(list_transform(range(0, ({w}) * ({h}) * 3),
+             CAST(list_sum(list_transform(range(0, ({w}) * ({h}) * {chan}),
                   i -> (doc_id * {mult} + i * {step}) % 256)) AS BIGINT)
                AS sig_sum,
              CAST(((doc_id * {mult}) % 256) * 65536
@@ -1151,10 +1320,13 @@ def _sql_img_stats(mime: str, w: str, h: str, mult: int, step: int) -> str:
     oracle=f"""
     WITH istats AS (
       {_sql_img_stats('image/x-portable-pixmap', '4 + doc_id % 5', '3', 31, 7)}
-      FROM documents WHERE doc_id % 3 = 0
+      FROM documents WHERE doc_id % 4 = 0
       UNION ALL
       {_sql_img_stats('image/bmp', '3 + doc_id % 4', '2', 17, 11)}
-      FROM documents WHERE doc_id % 3 = 1
+      FROM documents WHERE doc_id % 4 = 1
+      UNION ALL
+      {_sql_img_stats('image/png', '2 + doc_id % 3', '5', 23, 13, chan=4)}
+      FROM documents WHERE doc_id % 4 = 3
     ),
     wstats AS (
       SELECT doc_id, 'audio/wav' AS mime,
@@ -1166,28 +1338,34 @@ def _sql_img_stats(mime: str, w: str, h: str, mult: int, step: int) -> str:
                        * (((doc_id * 13 + i * 5) % 65536) - 32768)))
                AS BIGINT) AS sig_sum,
              CAST(((doc_id * 13) % 65536) - 32768 AS BIGINT) AS first_val
-      FROM documents WHERE doc_id % 3 = 2
+      FROM documents WHERE doc_id % 4 = 2
     )
     SELECT * FROM istats UNION ALL SELECT * FROM wstats
     """,
 )
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """END-TO-END media decode over the uncompressed public formats:
-    deterministic P6-PPM / 24-bit-BMP / PCM16-WAV payloads are ENCODED
-    with real headers (synth_media), shipped as Arrow binary batches,
-    and DECODED by decode_media's pure-numpy parsers; the reported
-    stats come from the decoded arrays, while the DuckDB twin
-    recomputes them from the generative formulas — so any header-parse,
-    row-padding, bottom-up-flip, BGR-swap, or chunk-walk bug
-    hash-mismatches (the BMP layout is deliberately the adversarial
-    case: the file stores bottom-up BGR with padded rows, the formula
-    describes the logical top-down RGB image).
+    """END-TO-END media decode over the stdlib-expressible public
+    formats: deterministic P6-PPM / 24-bit-BMP / PCM16-WAV / 8-bit-RGBA
+    PNG payloads are ENCODED with real headers (synth_media), shipped
+    as Arrow binary batches, and DECODED by decode_media's
+    numpy+stdlib parsers; the reported stats come from the decoded
+    arrays, while the DuckDB twin recomputes them from the generative
+    formulas — so any header-parse, row-padding, bottom-up-flip,
+    BGR-swap, chunk-walk, inflate, or scanline-unfilter bug
+    hash-mismatches.  Two formats are deliberately adversarial: the
+    BMP file stores bottom-up BGR with padded rows while the formula
+    describes the logical top-down RGB image, and the PNG stores
+    zlib-DEFLATEd scanlines with every one of the five public filter
+    types (row r uses type (doc_id+r) % 5), so the decoder must run a
+    real inflate plus correct Sub/Up/Average/Paeth inverses to match.
 
     Scale shape: both stages are partition-local mapInPandas over
     Arrow binary batches — no shuffle anywhere; at 100 TB the decode
     fleet scales with input splits and the stats output is a fixed
     8-column row per payload.  This retires the repo's one stub for
-    every format whose byte layout is public-domain; compressed codecs
-    remain the documented NotImplementedError dispatch arm."""
+    every format whose byte layout is public-domain (PNG = zlib
+    inflate + per-row unfiltering, both stdlib/numpy); lossy codecs
+    (JPEG/MP3/H.264) remain the documented NotImplementedError
+    dispatch arm."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_stats(synth_media(docs))
