@@ -235,6 +235,9 @@ HEADLINE = [
     "multimodal_decode_stats",
     "events_stream_late_drop_join",
     "similarity_auto_rerank_recall",
+    # round-8 additions
+    "events_stream_late_drop_agg",
+    "similarity_knn_sweep",
 ]
 
 
@@ -362,6 +365,19 @@ def main() -> None:
     rerank_recall = _recall_of("similarity_rerank_recall")
     auto_rerank_recall = _recall_of("similarity_auto_rerank_recall")
     knn_accuracy = _metric_of("similarity_knn_classify", "accuracy")
+
+    # Best kNN configuration from the sweep (k x vote-rule grid priced
+    # off one candidate superset) — the movable version of the static
+    # majority@5 number above.
+    def _knn_best():
+        try:
+            rows = QUERIES["similarity_knn_sweep"](spark, sf_dir).collect()
+            best = max(rows, key=lambda r: (r["accuracy"], -r["k"]))
+            return float(best["accuracy"]), f"{best['method']}@{best['k']}"
+        except Exception:  # noqa: BLE001 - metric is best-effort, never fatal
+            return None, None
+
+    knn_best_accuracy, knn_best_config = _knn_best()
     # Bloom false-positive rate in micro-units: a quality tripwire like
     # the recalls — a hash-family or sizing regression shows up here.
     bloom_fpp = _metric_of("sketch_bloom_fpp", "fpp_micro")
@@ -386,6 +402,8 @@ def main() -> None:
                 "rerank_macro_recall": rerank_recall,
                 "auto_rerank_macro_recall": auto_rerank_recall,
                 "knn_accuracy": knn_accuracy,
+                "knn_best_accuracy": knn_best_accuracy,
+                "knn_best_config": knn_best_config,
                 "bloom_fpp_micro": bloom_fpp,
                 # Host weather: same-plan totals swing ~±10-20% with
                 # co-tenant load (driver 213s vs idle 178s in round 5).

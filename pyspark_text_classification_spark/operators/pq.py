@@ -1444,3 +1444,240 @@ def similarity_knn_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(abs(pred - t)) div count(*) AS BIGINT)"
         ).alias("mae_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# kNN configuration sweep: price k and the vote rule from ONE candidate
+# superset — the nprobe_sweep pattern applied to the classifier (the one
+# tracked quality metric no round had moved: majority@5 = 0.3492 at
+# sf0.1 since round 4).  One exact top-max(k) pass serves every (k,
+# weighting) configuration; a deployment reads the table top-down to
+# pick the operating point.
+# --------------------------------------------------------------------------
+KNN_SWEEP_KS = (1, 3, 5, 9)
+# Integer vote weight: floor(cos * 10000 + 0.5) — the same half-up
+# 4-decimal quantization every cosine rank in this module uses, kept as
+# an exact BIGINT so weighted-vote sums are bit-reproducible
+# cross-engine (summing raw doubles would differ in ulps by add order).
+KNN_WEIGHT_SCALE = 10_000
+
+
+def _exact_topk_superset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, neighbor_id, rnk, wt): exact cosine top-{max(KNN_SWEEP_KS)}
+    per sampled query with rank and integer weight — the one candidate
+    superset every sweep configuration slices (session-cached like the
+    k={PQ_NN_K} ground truth)."""
+    from pyspark_text_classification_spark.functions.text import round_half_up
+    from pyspark_text_classification_spark.operators.similarity import (
+        _fold_sum,
+        with_norms,
+    )
+    from pyspark_text_classification_spark.plans.shared import (
+        shared_intermediate,
+    )
+
+    kmax = max(KNN_SWEEP_KS)
+
+    def build() -> DataFrame:
+        e = with_norms(load_table(spark, sf_dir, "embeddings"))
+        a = e.filter(
+            F.pmod(F.col("vec_id"), F.lit(PQ_QUERY_MOD)) == 0
+        ).select("vec_id", F.col("v").alias("xv"), F.col("nrm").alias("xn"))
+        b = e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("yv"),
+            F.col("nrm").alias("yn"),
+        )
+        dot = _fold_sum(
+            F.zip_with(F.col("xv"), F.col("yv"), lambda p, q: p * q)
+        )
+        ex = (
+            a.crossJoin(b)
+            .filter(F.col("vec_id") != F.col("neighbor_id"))
+            .select(
+                "vec_id",
+                "neighbor_id",
+                (dot / (F.col("xn") * F.col("yn"))).alias("cos"),
+            )
+        )
+        cos4 = round_half_up(F.col("cos"), 4)
+        w = Window.partitionBy("vec_id").orderBy(cos4.desc(), "neighbor_id")
+        return (
+            ex.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= kmax)
+            .select(
+                "vec_id",
+                "neighbor_id",
+                "rnk",
+                F.floor(F.col("cos") * KNN_WEIGHT_SCALE + F.lit(0.5))
+                .cast("long")
+                .alias("wt"),
+            )
+        )
+
+    return shared_intermediate(
+        spark, sf_dir, f"knn_exact_topk{kmax}", build
+    )
+
+
+@query(
+    "similarity_knn_sweep",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_reduce(
+               list_prepend(0.0, list_transform(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                 x -> x * x)),
+               (acc, x) -> acc + x)) AS nrm
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             list_reduce(
+               list_prepend(0.0, list_transform(
+                 range(1, length(a.v) + 1), i -> a.v[i] * b.v[i])),
+               (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos
+      FROM n a JOIN n b
+        ON a.vec_id % {PQ_QUERY_MOD} = 0 AND a.vec_id <> b.vec_id
+    ),
+    ext AS (
+      SELECT vec_id, neighbor_id, rnk,
+             CAST(floor(cos * {KNN_WEIGHT_SCALE} + 0.5) AS BIGINT) AS wt
+      FROM (
+        SELECT vec_id, neighbor_id, cos,
+               row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY {sql_round_half_up('cos', 4)} DESC, neighbor_id
+               ) AS rnk
+        FROM ex
+      ) WHERE rnk <= {max(KNN_SWEEP_KS)}
+    ),
+    labs AS (
+      SELECT vec_id,
+             CAST(list_position(embedding[1:{KNN_LABEL_DIMS}],
+                  list_max(embedding[1:{KNN_LABEL_DIMS}])) - 1 AS BIGINT)
+               AS label
+      FROM embeddings
+    ),
+    ks AS (SELECT unnest([{', '.join(str(k) for k in KNN_SWEEP_KS)}]) AS k),
+    votes AS (
+      SELECT ks.k, ext.vec_id, labs.label AS nlabel,
+             CAST(count(*) AS BIGINT) AS c, CAST(sum(ext.wt) AS BIGINT) AS ws
+      FROM ext
+      JOIN labs ON ext.neighbor_id = labs.vec_id
+      JOIN ks ON ext.rnk <= ks.k
+      GROUP BY 1, 2, 3
+    ),
+    pm AS (
+      SELECT k, vec_id, nlabel AS pred FROM (
+        SELECT k, vec_id, nlabel,
+               row_number() OVER (
+                 PARTITION BY k, vec_id ORDER BY c DESC, nlabel
+               ) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    ),
+    pw AS (
+      SELECT k, vec_id, nlabel AS pred FROM (
+        SELECT k, vec_id, nlabel,
+               row_number() OVER (
+                 PARTITION BY k, vec_id ORDER BY ws DESC, nlabel
+               ) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    ),
+    preds AS (
+      SELECT 'majority' AS method, k, vec_id, pred FROM pm
+      UNION ALL
+      SELECT 'weighted' AS method, k, vec_id, pred FROM pw
+    )
+    SELECT CAST(preds.k AS INT) AS k, preds.method,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           {sql_round_half_up(
+               'CAST(sum(CASE WHEN preds.pred = labs.label THEN 1 ELSE 0 END)'
+               ' AS DOUBLE) / count(*)', 4)}
+             AS accuracy
+    FROM preds JOIN labs ON preds.vec_id = labs.vec_id
+    GROUP BY 1, 2
+    """,
+)
+def similarity_knn_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classifier configuration sweep: leave-self-out accuracy of
+    the geometry-derived-label vote (see similarity_knn_classify) for
+    every (k, vote rule) in {KNN_SWEEP_KS} x (majority,
+    distance-weighted) — one row per configuration, all priced from ONE
+    exact top-{max(KNN_SWEEP_KS)} candidate superset (the nprobe_sweep
+    pattern: a configuration's neighbor set is just rnk <= k, so no
+    per-k re-scoring).  The weighted rule votes with the quantized
+    cosine itself (integer weights, exact cross-engine sums) — nearer
+    neighbors count more, the standard fix when the far tail of a large
+    k dilutes the majority.
+
+    Scale shape: the superset is the session-cached |sample| x k_max
+    frame (in production, the served ANN index's output); the level
+    table is a {len(KNN_SWEEP_KS)}-row broadcast; votes aggregate at
+    (k, query, label) grain — every stage bounded by |sample| x k_max x
+    |ks|."""
+    from pyspark_text_classification_spark.functions.text import round_half_up
+
+    ext = _exact_topk_superset(spark, sf_dir)
+    sl = F.slice("embedding", 1, KNN_LABEL_DIMS)
+    labs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.array_position(sl, F.array_max(sl)) - 1)
+        .cast("long")
+        .alias("label"),
+    )
+    levels = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(int(k)) for k in KNN_SWEEP_KS])
+        ).alias("k")
+    )
+    votes = (
+        ext.join(
+            labs.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlabel"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(levels), F.col("rnk") <= F.col("k"))
+        .groupBy("k", "vec_id", "nlabel")
+        .agg(F.count("*").alias("c"), F.sum("wt").alias("ws"))
+    )
+
+    def argmax(order_col: str, method: str) -> DataFrame:
+        w = Window.partitionBy("k", "vec_id").orderBy(
+            F.col(order_col).desc(), "nlabel"
+        )
+        return (
+            votes.select(
+                "k", "vec_id", "nlabel", F.row_number().over(w).alias("rn")
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                F.lit(method).alias("method"),
+                "k",
+                "vec_id",
+                F.col("nlabel").alias("pred"),
+            )
+        )
+
+    preds = argmax("c", "majority").unionByName(argmax("ws", "weighted"))
+    return (
+        preds.join(labs, "vec_id")
+        .groupBy("k", "method")
+        .agg(
+            F.count("*").alias("n_queries"),
+            round_half_up(
+                F.sum(F.when(F.col("pred") == F.col("label"), 1).otherwise(0))
+                .cast("double")
+                / F.count("*").cast("double"),
+                4,
+            ).alias("accuracy"),
+        )
+        .select(F.col("k").cast("int").alias("k"), "method", "n_queries",
+                "accuracy")
+    )
