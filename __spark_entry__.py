@@ -21,17 +21,42 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark_text_classification_spark.all_queries import ORACLES, QUERIES  # noqa: E402
 
+# The driver runs a VANILLA session: 200 shuffle partitions on a handful
+# of local cores, and AQE's partition coalescing does NOT apply to
+# persisted/cached subplans (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+# defaults false), so every cached heavy query pays ~200 near-empty
+# tasks per shuffle stage.  The engine's execution profile is 32 — the
+# same value session.py configures — applied once, only if the session
+# still carries the untouched default, so an explicitly configured
+# session (tests scope to 8 for streaming state) is never overridden.
+DRIVE_SHUFFLE_PARTITIONS = "32"
+
+
+def _with_drive_profile(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", DRIVE_SHUFFLE_PARTITIONS
+            )
+        return fn(spark, sf_dir)
+
+    return run
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the reference's core text
     pipeline — tokenize → stopword-filter → vocabulary with tf/df → IDF
     weights (SURVEY.md §7.2 minimum end-to-end slice)."""
-    return QUERIES["q15_idf"](spark, "/root/testdata/sf0.001")
+    return _with_drive_profile(QUERIES["q15_idf"])(
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
-    return dict(QUERIES)
+    return {n: _with_drive_profile(f) for n, f in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
