@@ -208,28 +208,33 @@ def _apply_driver_order() -> None:
     QUERIES.update(ordered)
 
 
-# Queries whose CURRENT-round code changes altered their output (changed
-# result rows or schemas): any recorded green predates the change and is
-# stale against the code as it now stands, so they re-drive at the very
-# front of this round's 50-slot sweep (new never-checked queries already
-# sort ahead of greens on their own).  Round 7: the four nprobe-rule
-# queries (different candidate sets -> different rows) and the four
-# n_indexed-stamped baselines (schema change).  Refactors that provably
-# preserve rows (kmeans_auto / dedup_semantic_auto in-row fold,
-# token-budget bucket sizing) are NOT listed — pytest re-proves them
-# oracle-identical — so the remaining slots go to the stalest r1-r2
-# greens.
+# Queries whose CURRENT-round code changes touched their execution path
+# or output: any recorded green predates the change and is stale against
+# the code as it now stands, so they re-drive at the very front of this
+# round's 50-slot sweep.  Do NOT list brand-new queries — never-checked
+# names already sort ahead of greens on their own (ADVICE r7) — and
+# CLEAR this list at the start of each round, replacing it with that
+# round's changed set, or the previous round's entries silently burn
+# re-drive slots forever (tests/test_correctness_queries.py pins the
+# list to CHANGED-THIS-ROUND names only in spirit; the artifact-aware
+# sort cannot know what changed without this declaration).
+#
+# Round 8: the five query-batch-capped _auto serving/recall queries
+# (hash-unchanged at sf0.01 below the cap, but the probe path changed),
+# multimodal_decode_stats (new %4 payload scheme -> different rows), and
+# the late-drop join (stride-sampled replay fixture).  The four
+# n_indexed-stamped baselines changed only their coverage-stamp formula
+# (values identical below the cap, re-proven by pytest) and were
+# re-greened in r7, so they are NOT listed — their slots go to flushing
+# the 37 r2-vintage greens (round-8 verdict item 2).
 ROUND_RECHECK = [
-    "similarity_nprobe_sweep",
-    "multimodal_decode_stats",
     "similarity_ann_ivf_auto",
     "similarity_ann_ivf_auto_recall",
     "similarity_ivf_pq_auto",
     "similarity_ivf_pq_auto_recall",
-    "similarity_ann_ivf",
-    "dedup_semantic",
-    "similarity_ivf_pq",
-    "similarity_ivf_pq_rerank",
+    "similarity_auto_rerank_recall",
+    "multimodal_decode_stats",
+    "events_stream_late_drop_join",
 ]
 
 
