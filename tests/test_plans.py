@@ -1016,3 +1016,48 @@ def test_round7_argmax_cell_no_corpus_join(spark, sf_dir):
             assert bad not in km, f"{bad} in kmeans_auto plan: {km}"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_round8_query_batch_is_takeordered_and_broadcast(spark, sf_dir):
+    """The *_auto query-batch cap's plan contract (VERDICT r7 #1): the
+    batch is a distributed TakeOrdered (never a global sort of the
+    corpus), and the probe-side restriction joins it as an explicit
+    BROADCAST — asserted with autobroadcast disabled so fixture-scale
+    size estimates cannot mask a shuffle join of the rank stream."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        from pyspark.sql import functions as F
+
+        from pyspark_text_classification_spark.operators.similarity import (
+            auto_cells,
+            auto_centroids,
+            auto_nprobe,
+            ivf_assignment,
+            query_batch_ids,
+            with_norms,
+        )
+        from pyspark_text_classification_spark.plans.explain import (
+            formatted_plan,
+        )
+        from pyspark_text_classification_spark.sources.parquet import (
+            load_table,
+        )
+
+        raw = load_table(spark, sf_dir, "embeddings")
+        qb_plan = formatted_plan(query_batch_ids(raw))
+        assert "TakeOrderedAndProject" in qb_plan, qb_plan
+        assert "Sort " not in qb_plan, f"global sort in the batch: {qb_plan}"
+
+        e = with_norms(raw)
+        cells = auto_cells(raw)
+        ranked = ivf_assignment(e, auto_centroids(e, cells=cells),
+                                auto_nprobe(cells))
+        probes = ranked.join(F.broadcast(query_batch_ids(raw)), "vec_id")
+        plan = formatted_plan(probes)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, (
+            f"query-batch restriction shuffled the rank stream: {plan}"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
