@@ -238,6 +238,7 @@ HEADLINE = [
     # round-8 additions
     "events_stream_late_drop_agg",
     "similarity_knn_sweep",
+    "similarity_ivf_append",
 ]
 
 

@@ -2030,6 +2030,90 @@ def similarity_kmeans_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Incremental index maintenance: append without rebuild ------------------
+@query(
+    "similarity_ivf_append",
+    oracle=f"""
+    WITH n AS ({_SQL_NORMED}),
+    hn AS (SELECT count(*) // 2 AS h FROM n),
+    ex AS (SELECT * FROM n WHERE vec_id < (SELECT h FROM hn)),
+    cc AS (
+      SELECT GREATEST({IVF_AUTO_MIN_CELLS},
+                      CAST(floor(sqrt(count(*))) AS BIGINT)) AS c
+      FROM ex
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+      FROM ex ORDER BY vec_id LIMIT (SELECT c FROM cc)
+    ),
+    ac AS (
+      SELECT n.vec_id, n.vec_id < (SELECT h FROM hn) AS is_old, c.cent_id,
+             {_SQL_IVF_DOT.format(a='n.v', b='c.cv')} / (n.nrm * c.cnrm) AS cos
+      FROM n CROSS JOIN cents c
+    ),
+    m AS (
+      SELECT vec_id, is_old, cent_id FROM (
+        SELECT vec_id, is_old, cent_id,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY cos DESC, cent_id
+               ) AS rk
+        FROM ac
+      ) WHERE rk = 1
+    )
+    SELECT cent_id,
+           CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_existing,
+           CAST(sum(CASE WHEN is_old THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_appended,
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM m GROUP BY cent_id
+    """,
+)
+def similarity_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance: ingest a NEW vector batch into an
+    EXISTING coarse index without re-clustering — the daily-append shape
+    a 100 TB serving deployment actually runs (FAISS add_with_ids /
+    Milvus insert semantics: the cell layout is fixed at build time and
+    new vectors are routed to their nearest existing centroid; periodic
+    re-trains are a separate, rarer job — similarity_kmeans_auto here).
+
+    The fixture splits the corpus deterministically at half = n // 2
+    (one count, mirrored in the oracle): vec_id < half is the standing
+    index — its centroids are the same sqrt-sized rule the *_auto
+    family shares, computed over the EXISTING half only — and
+    vec_id >= half is the arriving batch.  Output is the per-cell
+    balance after the append (n_existing / n_appended / n_total), the
+    report an operator reads to decide when drift or skew warrants a
+    re-train.
+
+    Scale shape — the whole point of appending: routing is the in-row
+    argmax fold (argmax_cell) against a broadcast centroid array, so
+    the arriving batch is assigned MAP-SIDE with no shuffle of either
+    the batch or the standing index; the only exchange is the (cent_id,
+    partial-count) aggregate, ~cells rows.  In production the
+    n_existing side is read from the stored cell table rather than
+    recomputed — this registered twin re-derives it with the same
+    argmax so the DuckDB oracle can check the full balance exactly."""
+    import math
+
+    e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
+    half = load_table(spark, sf_dir, "embeddings").count() // 2
+    ex = e.filter(F.col("vec_id") < half)
+    cells = max(IVF_AUTO_MIN_CELLS, math.isqrt(ex.count()))
+    cents = auto_centroids(ex, cells=cells)
+    assigned = argmax_cell(e, cents)
+    out = assigned.groupBy("cent_id").agg(
+        F.sum(F.when(F.col("vec_id") < half, 1).otherwise(0))
+        .cast("long")
+        .alias("n_existing"),
+        F.sum(F.when(F.col("vec_id") < half, 0).otherwise(1))
+        .cast("long")
+        .alias("n_appended"),
+        F.count("*").alias("n_total"),
+    )
+    return _finalize(out, e)
+
+
 # --- Candidate-layer recall gate for the sqrt-sized IVF path -----------------
 @query(
     "similarity_ann_ivf_auto_recall",
