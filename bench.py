@@ -239,6 +239,7 @@ HEADLINE = [
     "events_stream_late_drop_agg",
     "similarity_knn_sweep",
     "similarity_ivf_append",
+    "similarity_stream_ivf_append",
 ]
 
 

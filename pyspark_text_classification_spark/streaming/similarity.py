@@ -129,3 +129,117 @@ def stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 query("similarity_stream_near_dup", oracle=NEAR_DUP_ORACLE_SQL)(
     stream_near_dup
 )
+
+
+def stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming index maintenance — the online half of
+    similarity_ivf_append: new vectors (vec_id >= n//2) arrive as a
+    stream and are routed to their nearest EXISTING centroid (the
+    standing index built over the first half, same sqrt-sized rule),
+    while a stateful COMPLETE-mode aggregation maintains the per-cell
+    appended-count table a serving fleet watches for skew.
+
+    Execution shape: routing is the same in-row argmax fold as the
+    batch operator (argmax_cell — the 1-row sorted centroid array is a
+    stream-static broadcast, so assignment is map-side per micro-batch);
+    the only stateful piece is the (cent_id, count) aggregate, ~cells
+    rows of state however long the stream runs — the bounded-state
+    contract that makes continuous ingest viable.  Drained with
+    availableNow and held to the batch oracle's append side."""
+    import math
+
+    from pyspark_text_classification_spark.operators.similarity import (
+        IVF_AUTO_MIN_CELLS,
+        argmax_cell,
+        auto_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    half = emb.count() // 2
+    ex = with_norms(emb).filter(F.col("vec_id") < half).persist()
+    cells = max(IVF_AUTO_MIN_CELLS, math.isqrt(ex.count()))
+    cents = auto_centroids(ex, cells=cells)
+
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    src = (
+        spark.readStream.schema(EMB_STREAM_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(sf_dir)
+        .filter(F.col("vec_id") >= half)
+        .select(
+            "vec_id",
+            v.alias("v"),
+            F.sqrt(
+                F.aggregate(
+                    F.transform(v, lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("nrm"),
+        )
+    )
+    counts = (
+        argmax_cell(src, cents)
+        .groupBy("cent_id")
+        .agg(F.count("*").alias("n_appended"))
+    )
+    sink_name = f"stream_ivf_append_{uuid.uuid4().hex[:8]}"
+    with scoped_state_partitions(spark):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.table(sink_name).localCheckpoint(eager=True)
+    ex.unpersist()
+    return out
+
+
+def _sql_stream_ivf_append() -> str:
+    from pyspark_text_classification_spark.operators.similarity import (
+        IVF_AUTO_MIN_CELLS,
+        _SQL_IVF_DOT,
+        _SQL_NORMED,
+    )
+
+    return f"""
+    WITH n AS ({_SQL_NORMED}),
+    hn AS (SELECT count(*) // 2 AS h FROM n),
+    ex AS (SELECT * FROM n WHERE vec_id < (SELECT h FROM hn)),
+    cc AS (
+      SELECT GREATEST({IVF_AUTO_MIN_CELLS},
+                      CAST(floor(sqrt(count(*))) AS BIGINT)) AS c
+      FROM ex
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+      FROM ex ORDER BY vec_id LIMIT (SELECT c FROM cc)
+    ),
+    newv AS (SELECT * FROM n WHERE vec_id >= (SELECT h FROM hn)),
+    ac AS (
+      SELECT newv.vec_id, c.cent_id,
+             {_SQL_IVF_DOT.format(a='newv.v', b='c.cv')}
+               / (newv.nrm * c.cnrm) AS cos
+      FROM newv CROSS JOIN cents c
+    ),
+    m AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY cos DESC, cent_id
+               ) AS rk
+        FROM ac
+      ) WHERE rk = 1
+    )
+    SELECT cent_id, CAST(count(*) AS BIGINT) AS n_appended
+    FROM m GROUP BY cent_id
+    """
+
+
+query("similarity_stream_ivf_append", oracle=_sql_stream_ivf_append())(
+    stream_ivf_append
+)

@@ -804,3 +804,31 @@ def test_auto_sizing_isqrt_matches_duckdb_floor_sqrt(n):
     assert row[2] == auto_nprobe(
         cells_py, IVFPQ_AUTO_NPROBE_MULT, IVFPQ_AUTO_NPROBE_MIN
     ), (n, row)
+
+
+@given(st.integers(min_value=0, max_value=10**12))
+@settings(max_examples=200, deadline=None)
+def test_feed_stride_ceil_div_matches_duckdb(n):
+    """The replay fixtures' stride rule — k = max(1, ceil(n/FEED_MAX)) —
+    must agree between Python's negative-floor-div ceil and the oracle's
+    (n + FEED_MAX - 1) // FEED_MAX integer form for ANY count, and the
+    sampled-row bound must hold: a dense id range keeps ceil(n/k) rows,
+    which stays within FEED_MAX + its own stride rounding."""
+    import duckdb
+
+    import pyspark_text_classification_spark.all_queries  # noqa: F401
+    from pyspark_text_classification_spark.streaming.latedrop import (
+        LATEDROP_FEED_MAX,
+    )
+
+    k_py = max(1, -(-n // LATEDROP_FEED_MAX))
+    k_sql = duckdb.connect().execute(
+        f"SELECT GREATEST(1, ({n} + {LATEDROP_FEED_MAX} - 1) "
+        f"// {LATEDROP_FEED_MAX})"
+    ).fetchone()[0]
+    assert k_py == k_sql, (n, k_py, k_sql)
+    # boundedness on a dense id range [0, n): kept = ceil(n / k)
+    kept = -(-n // k_py) if n else 0
+    assert kept <= LATEDROP_FEED_MAX + (1 if n > LATEDROP_FEED_MAX else 0), (
+        n, k_py, kept,
+    )
