@@ -240,6 +240,7 @@ HEADLINE = [
     "similarity_knn_sweep",
     "similarity_ivf_append",
     "similarity_stream_ivf_append",
+    "similarity_ivf_append_recall",
 ]
 
 
@@ -366,6 +367,7 @@ def main() -> None:
     ann_ivf_auto_recall = _recall_of("similarity_ann_ivf_auto_recall")
     rerank_recall = _recall_of("similarity_rerank_recall")
     auto_rerank_recall = _recall_of("similarity_auto_rerank_recall")
+    append_recall = _recall_of("similarity_ivf_append_recall")
     knn_accuracy = _metric_of("similarity_knn_classify", "accuracy")
 
     # Best kNN configuration from the sweep (k x vote-rule grid priced
@@ -403,6 +405,7 @@ def main() -> None:
                 "ann_ivf_auto_macro_recall": ann_ivf_auto_recall,
                 "rerank_macro_recall": rerank_recall,
                 "auto_rerank_macro_recall": auto_rerank_recall,
+                "ivf_append_macro_recall": append_recall,
                 "knn_accuracy": knn_accuracy,
                 "knn_best_accuracy": knn_best_accuracy,
                 "knn_best_config": knn_best_config,

