@@ -241,6 +241,7 @@ HEADLINE = [
     "similarity_ivf_append",
     "similarity_stream_ivf_append",
     "similarity_ivf_append_recall",
+    "similarity_filtered_ann",
 ]
 
 

@@ -2114,6 +2114,104 @@ def similarity_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(out, e)
 
 
+# --- Metadata-filtered ANN serving ------------------------------------------
+@query(
+    "similarity_filtered_ann",
+    oracle=f"""
+    WITH n AS ({_SQL_NORMED}),
+    {sql_auto_cells_cte('n')},
+    ac AS (
+      SELECT n.vec_id, c.cent_id,
+             {_SQL_IVF_DOT.format(a='n.v', b='c.cv')} / (n.nrm * c.cnrm) AS cos
+      FROM n CROSS JOIN cents c
+    ),
+    ranked AS (
+      SELECT vec_id, cent_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id)
+               AS rk
+      FROM ac
+    ),
+    members AS (
+      SELECT r.vec_id, r.cent_id, e.label
+      FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
+      WHERE r.rk = 1
+    ),
+    probes AS (
+      SELECT r.vec_id, r.cent_id, e.label
+      FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
+      WHERE r.rk <= {sql_auto_nprobe()}
+        AND r.vec_id % {RECALL_SAMPLE_MOD} = 0
+        AND r.vec_id IN {sql_query_batch('n')}
+    ),
+    cand AS (
+      SELECT DISTINCT p.vec_id, m.vec_id AS neighbor_id
+      FROM probes p JOIN members m
+        ON p.cent_id = m.cent_id AND p.label = m.label
+       AND p.vec_id != m.vec_id
+    ),
+    p AS (
+      SELECT c.vec_id, c.neighbor_id,
+             {_SQL_IVF_DOT.format(a='x.v', b='y.v')} / (x.nrm * y.nrm) AS cos
+      FROM cand c
+      JOIN n x ON x.vec_id = c.vec_id
+      JOIN n y ON y.vec_id = c.neighbor_id
+    )
+    {_SQL_TOPK_TAIL}
+    """,
+)
+def similarity_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED vector search — top-{TOP_K} cosine neighbors
+    restricted to vectors whose ``label`` matches the query's — the
+    production ANN feature every serving stack grows next (Milvus/
+    Qdrant filtered search; in a training-data pipeline: nearest
+    neighbors within the same language / domain / quality band).
+
+    This is PRE-filtering, the scale-correct variant: the label
+    predicate joins INTO the cell-local candidate join (probes and
+    members both carry their label, candidates require equality), so
+    non-matching vectors never reach the distance fold — post-filtering
+    a plain top-k would instead return fewer than k survivors whenever
+    the filter is selective.  The index layout, probe rule, sample and
+    query-batch cap are similarity_ann_ivf_auto's verbatim; labels ride
+    the existing assignment rows, so the only added cost is the
+    equality predicate inside the candidate join.  Queries whose probed
+    cells hold fewer than {TOP_K} same-label vectors return fewer rows
+    — visible, deterministic, and exactly what a deployment sees when a
+    filter is too selective for its nprobe."""
+    raw = load_table(spark, sf_dir, "embeddings")
+    labels = raw.select("vec_id", "label")
+    e = with_norms(raw).persist()
+    cells = auto_cells(raw)
+    cents = auto_centroids(e, cells=cells)
+    ranked = ivf_assignment(e, cents, auto_nprobe(cells)).persist()
+    members = (
+        ranked.filter(F.col("rk") == 1)
+        .join(labels, "vec_id")
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "cent_id",
+            F.col("label").alias("n_label"),
+        )
+    )
+    probes = (
+        ranked.filter(F.pmod(F.col("vec_id"), F.lit(RECALL_SAMPLE_MOD)) == 0)
+        .join(F.broadcast(query_batch_ids(raw)), "vec_id")
+        .join(labels, "vec_id")
+        .select("vec_id", "cent_id", "label")
+    )
+    cand = (
+        probes.join(members, "cent_id")
+        .filter(
+            (F.col("vec_id") != F.col("neighbor_id"))
+            & (F.col("label") == F.col("n_label"))
+        )
+        .select("vec_id", "neighbor_id")
+        .distinct()
+    )
+    topk = _rank_topk(candidate_cosines(e, cand))
+    return _finalize(topk, e, ranked)
+
+
 # --- Staleness gate for the appended index ----------------------------------
 @query(
     "similarity_ivf_append_recall",
