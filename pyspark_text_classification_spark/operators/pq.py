@@ -445,7 +445,17 @@ def _exact_topk_ground_truth(
     baselines (their index only covers the capped corpus, so scoring them
     against uncapped truth would measure coverage, not quality, above the
     cap).  Below the cap — every bundled sf — the two truths are
-    identical."""
+    identical.
+
+    The UNCAPPED truth is the rnk <= {PQ_NN_K} slice of the kNN sweep's
+    top-{max(KNN_SWEEP_KS)} superset (same ordering and tie-break), so
+    one session pays the |sample| x n fold ONCE for both consumers."""
+    if max_vec is None:
+        return (
+            _exact_topk_superset(spark, sf_dir)
+            .filter(F.col("rnk") <= PQ_NN_K)
+            .select("vec_id", "neighbor_id")
+        )
     from pyspark_text_classification_spark.operators.similarity import (
         _fold_sum,
         _rank_topk,
@@ -483,10 +493,9 @@ def _exact_topk_ground_truth(
         )
         return _rank_topk(ex, k=PQ_NN_K).select("vec_id", "neighbor_id")
 
-    slot = (
-        "pq_exact_topk" if max_vec is None else f"pq_exact_topk_lt{max_vec}"
+    return shared_intermediate(
+        spark, sf_dir, f"pq_exact_topk_lt{max_vec}", build
     )
-    return shared_intermediate(spark, sf_dir, slot, build)
 
 
 def _recall_vs_exact(
@@ -494,15 +503,31 @@ def _recall_vs_exact(
     sf_dir: str,
     ann: DataFrame,
     max_vec: int | None = None,
+    batch_cap: bool = False,
 ) -> DataFrame:
     """One-row recall@k summary of ANY (vec_id, neighbor_id) ANN result
     against the exact cosine top-k for the deterministic 1/32 query
     sample — the Spark twin of _SQL_RECALL_TAIL, shared by every recall
     query in this module.  ``max_vec`` selects the capped ground truth —
-    pass it for ANN results whose index covers only vec_id < max_vec."""
+    pass it for ANN results whose index covers only vec_id < max_vec.
+    ``batch_cap`` restricts the exact side's QUERIES to the *_auto
+    serving queries' QUERY_BATCH_MAX batch (a no-op below the cap):
+    against the unrestricted sample, a batch-capped ANN result would be
+    measured on coverage, not quality, above the cap."""
     from pyspark_text_classification_spark.functions.text import round_half_up
 
     ext = _exact_topk_ground_truth(spark, sf_dir, max_vec=max_vec)
+    if batch_cap:
+        from pyspark_text_classification_spark.operators.similarity import (
+            query_batch_ids,
+        )
+
+        sampled = load_table(spark, sf_dir, "embeddings").filter(
+            F.pmod(F.col("vec_id"), F.lit(PQ_QUERY_MOD)) == 0
+        )
+        ext = ext.join(
+            F.broadcast(query_batch_ids(sampled)), "vec_id", "left_semi"
+        )
 
     hits = (
         ext.join(ann, ["vec_id", "neighbor_id"], "left_semi")
@@ -535,12 +560,30 @@ def _recall_vs_exact(
 # Exact-ground-truth CTEs (n -> ex -> ext): the DuckDB twin of
 # _exact_topk_ground_truth, shared by every recall oracle in this module
 # and by the kNN label-vote classifier so the exact side is defined once.
-def _sql_exact_topk_ctes(max_vec: int | None = None) -> str:
+def _sql_exact_topk_ctes(
+    max_vec: int | None = None, batch_cap: bool = False
+) -> str:
     """The n/ex/ext exact-ground-truth CTEs; ``max_vec`` emits the capped
     variant (queries AND neighbors restricted to vec_id < max_vec) — the
-    DuckDB twin of _exact_topk_ground_truth(max_vec=...)."""
+    DuckDB twin of _exact_topk_ground_truth(max_vec=...).  ``batch_cap``
+    additionally restricts the query side to the *_auto serving batch
+    (the _recall_vs_exact twin; no-op below QUERY_BATCH_MAX)."""
+    from pyspark_text_classification_spark.operators.similarity import (
+        QUERY_BATCH_MAX,
+        sql_query_batch,
+    )
+
     src = "embeddings" if max_vec is None else (
         f"(SELECT * FROM embeddings WHERE vec_id < {max_vec})"
+    )
+    batch_pred = (
+        " AND a.vec_id IN "
+        + sql_query_batch(
+            f"(SELECT vec_id FROM {src} WHERE vec_id % {PQ_QUERY_MOD} = 0)",
+            QUERY_BATCH_MAX,
+        )
+        if batch_cap
+        else ""
     )
     return f"""
     n AS (
@@ -560,7 +603,7 @@ def _sql_exact_topk_ctes(max_vec: int | None = None) -> str:
                  range(1, length(a.v) + 1), i -> a.v[i] * b.v[i])),
                (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos
       FROM n a JOIN n b
-        ON a.vec_id % {PQ_QUERY_MOD} = 0 AND a.vec_id <> b.vec_id
+        ON a.vec_id % {PQ_QUERY_MOD} = 0 AND a.vec_id <> b.vec_id{batch_pred}
     ),
     ext AS (
       SELECT vec_id, neighbor_id FROM (
@@ -582,9 +625,11 @@ _SQL_EXACT_TOPK_CTES = _sql_exact_topk_ctes()
 # neighbor_id)`` CTE against the exact cosine top-k for the same
 # deterministic query sample.  ``max_vec`` selects the capped ground
 # truth for the fixed-cell baselines.
-def _sql_recall_tail(max_vec: int | None = None) -> str:
+def _sql_recall_tail(
+    max_vec: int | None = None, batch_cap: bool = False
+) -> str:
     return f"""
-    {_sql_exact_topk_ctes(max_vec)},
+    {_sql_exact_topk_ctes(max_vec, batch_cap)},
     perq AS (
       SELECT ext.vec_id, CAST(count(annq.neighbor_id) AS BIGINT) AS hits
       FROM ext LEFT JOIN annq
@@ -1044,7 +1089,7 @@ def similarity_ivf_pq_auto_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     ann = similarity_ivf_pq_auto(spark, sf_dir).select(
         F.col("q_id").alias("vec_id"), "neighbor_id"
     )
-    return _recall_vs_exact(spark, sf_dir, ann)
+    return _recall_vs_exact(spark, sf_dir, ann, batch_cap=True)
 
 
 def _sql_ivf_pq_auto_recall() -> str:
@@ -1059,7 +1104,7 @@ def _sql_ivf_pq_auto_recall() -> str:
         FROM scored
       ) WHERE rnk <= {PQ_NN_K}
     ),
-    {_SQL_RECALL_TAIL}
+    {_sql_recall_tail(batch_cap=True)}
     """
 
 
@@ -1240,7 +1285,7 @@ def similarity_auto_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     ann = _rank_topk(candidate_cosines(e, shortlist), PQ_NN_K).select(
         "vec_id", "neighbor_id"
     )
-    return _recall_vs_exact(spark, sf_dir, ann)
+    return _recall_vs_exact(spark, sf_dir, ann, batch_cap=True)
 
 
 def _sql_auto_rerank_recall() -> str:
@@ -1256,7 +1301,7 @@ def _sql_auto_rerank_recall() -> str:
         FROM rcos
       ) WHERE rnk <= {PQ_NN_K}
     ),
-    {_SQL_RECALL_TAIL}
+    {_sql_recall_tail(batch_cap=True)}
     """
 
 

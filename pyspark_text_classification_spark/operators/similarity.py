@@ -2141,7 +2141,9 @@ def similarity_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
       WHERE r.rk <= {sql_auto_nprobe()}
         AND r.vec_id % {RECALL_SAMPLE_MOD} = 0
-        AND r.vec_id IN {sql_query_batch('n')}
+        AND r.vec_id IN {sql_query_batch(
+            f'(SELECT vec_id FROM n WHERE vec_id % {RECALL_SAMPLE_MOD} = 0)'
+        )}
     ),
     cand AS (
       SELECT DISTINCT p.vec_id, m.vec_id AS neighbor_id
@@ -2171,10 +2173,13 @@ def similarity_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     members both carry their label, candidates require equality), so
     non-matching vectors never reach the distance fold — post-filtering
     a plain top-k would instead return fewer than k survivors whenever
-    the filter is selective.  The index layout, probe rule, sample and
-    query-batch cap are similarity_ann_ivf_auto's verbatim; labels ride
-    the existing assignment rows, so the only added cost is the
-    equality predicate inside the candidate join.  Queries whose probed
+    the filter is selective.  The index layout and probe rule are
+    similarity_ann_ivf_auto's verbatim; the query batch is
+    QUERY_BATCH_MAX lowest ids OF THE 1/{RECALL_SAMPLE_MOD} SAMPLE (the
+    IVF+PQ auto path's convention — capping before sampling would serve
+    a 16x smaller batch above the cap); labels ride the existing
+    assignment rows, so the only added cost is the equality predicate
+    inside the candidate join.  Queries whose probed
     cells hold fewer than {TOP_K} same-label vectors return fewer rows
     — visible, deterministic, and exactly what a deployment sees when a
     filter is too selective for its nprobe."""
@@ -2193,9 +2198,13 @@ def similarity_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("n_label"),
         )
     )
+    sampled = F.pmod(F.col("vec_id"), F.lit(RECALL_SAMPLE_MOD)) == 0
     probes = (
-        ranked.filter(F.pmod(F.col("vec_id"), F.lit(RECALL_SAMPLE_MOD)) == 0)
-        .join(F.broadcast(query_batch_ids(raw)), "vec_id")
+        ranked.filter(sampled)
+        # batch over the SAMPLE (the pq auto path's convention), so the
+        # served batch is QUERY_BATCH_MAX sampled queries — not the
+        # 1/RECALL_SAMPLE_MOD survivors of a full-corpus batch
+        .join(F.broadcast(query_batch_ids(raw.filter(sampled))), "vec_id")
         .join(labels, "vec_id")
         .select("vec_id", "cent_id", "label")
     )
@@ -2430,6 +2439,7 @@ def similarity_ivf_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos
       FROM n a JOIN n b
         ON a.vec_id % {RECALL_SAMPLE_MOD} = 0 AND a.vec_id <> b.vec_id
+       AND a.vec_id IN {sql_query_batch('n')}
     ),
     ext AS (
       SELECT vec_id, neighbor_id FROM (
@@ -2479,7 +2489,15 @@ def similarity_ann_ivf_auto_recall(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.pmod(F.col("vec_id"), F.lit(RECALL_SAMPLE_MOD)) == 0)
         .select("vec_id", "neighbor_id")
     )
-    ext = _lsh_exact_ground_truth(spark, sf_dir)
+    # the exact side is restricted to the SERVED batch (a no-op below
+    # QUERY_BATCH_MAX, i.e. every bundled sf): against the unrestricted
+    # sample the gate would measure batch COVERAGE above the cap, not
+    # index quality — the same principle as the capped gates' max_vec
+    ext = _lsh_exact_ground_truth(spark, sf_dir).join(
+        F.broadcast(query_batch_ids(load_table(spark, sf_dir, "embeddings"))),
+        "vec_id",
+        "left_semi",
+    )
     hits = (
         ext.join(ann, ["vec_id", "neighbor_id"], "left_semi")
         .groupBy("vec_id")

@@ -150,6 +150,7 @@ def stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark_text_classification_spark.operators.similarity import (
         IVF_AUTO_MIN_CELLS,
+        _fold_sum,
         argmax_cell,
         auto_centroids,
     )
@@ -160,6 +161,8 @@ def stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = max(IVF_AUTO_MIN_CELLS, math.isqrt(ex.count()))
     cents = auto_centroids(ex, cells=cells)
 
+    # the norm uses the shared sequential fold (_fold_sum) so the
+    # cross-engine IEEE summation order stays defined in ONE place
     v = F.transform("embedding", lambda x: x.cast("double"))
     src = (
         spark.readStream.schema(EMB_STREAM_SCHEMA)
@@ -170,13 +173,7 @@ def stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             v.alias("v"),
-            F.sqrt(
-                F.aggregate(
-                    F.transform(v, lambda x: x * x),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ).alias("nrm"),
+            F.sqrt(_fold_sum(F.transform(v, lambda x: x * x))).alias("nrm"),
         )
     )
     counts = (

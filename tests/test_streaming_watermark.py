@@ -254,16 +254,18 @@ def test_late_drop_agg_finalized_window_drops_open_window_merges(
         pa.Table.from_pandas(rows, schema=schema),
         f"{sf_dir}/events.parquet",
     )
-    day_us = 86_400_000_000
     got = {
         r.wstart_us: r.cnt
         for r in QUERIES["events_stream_late_drop_agg"](
             spark, sf_dir
         ).collect()
     }
+    day_us = 86_400_000_000
 
     def day_start(mo, d):
-        return int(pd.Timestamp(2024, mo, d).value // 1000)
+        us = int(pd.Timestamp(2024, mo, d).value // 1000)
+        assert us % day_us == 0  # window starts are day-aligned
+        return us
 
     assert day_start(1, 2) not in got, got       # finalized window: DROPPED
     assert got.get(day_start(1, 14)) == 2, got   # open window: MERGED, then
@@ -271,4 +273,71 @@ def test_late_drop_agg_finalized_window_drops_open_window_merges(
     assert got.get(day_start(1, 30)) == 1, got   # fresh row's window emitted
     assert got.get(day_start(1, 16)) == 1, got   # the spacer's window
     assert day_start(3, 1) not in got, got       # nudge window never closes
-    assert len(got) == 3 and day_us  # exactly the three emitted windows
+    assert len(got) == 3  # exactly the three emitted windows
+
+
+def test_late_drop_agg_boundary_window_end_equals_watermark(
+    spark, tmp_path
+):
+    """Pins the one boundary the corpus never exercises (its watermark is
+    never midnight-aligned): a late click whose DAY-WINDOW END equals the
+    in-force watermark EXACTLY.  The fresh click at Jan 30 00:00:00.000
+    makes wm = Jan 9 00:00:00.000 precisely (504h delay, exact ms), so
+
+      late @ Jan 8 10:00  -> window end Jan 9 == wm  (the boundary case)
+      late @ Jan 9 10:00  -> window end Jan 10 > wm  (control: merges)
+
+    The registered oracle keeps a late row iff window_end > wm (strict),
+    i.e. it predicts the boundary row is DROPPED — this test fails first
+    if a Spark upgrade (or a mis-pinned predicate) flips that."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark_text_classification_spark.all_queries import QUERIES
+
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 10, 20],
+            "ts": [
+                pd.Timestamp(2024, 1, 30),      # fresh: wm -> Jan 9 00:00
+                pd.Timestamp(2024, 1, 8, 10),   # boundary: end == wm
+                pd.Timestamp(2024, 1, 9, 10),   # control: end > wm
+            ],
+            "user_id": [1, 2, 3],
+            "event_type": ["click"] * 3,
+            "value": [0.0] * 3,
+            "props": ["{}"] * 3,
+        }
+    )
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    sf_dir = str(tmp_path / "lateagg_boundary")
+    os.makedirs(sf_dir)
+    pq.write_table(
+        pa.Table.from_pandas(rows, schema=schema),
+        f"{sf_dir}/events.parquet",
+    )
+    got = {
+        r.wstart_us: r.cnt
+        for r in QUERIES["events_stream_late_drop_agg"](
+            spark, sf_dir
+        ).collect()
+    }
+    day_us = 86_400_000_000
+
+    def day_start(mo, d):
+        return int(pd.Timestamp(2024, mo, d).value // 1000)
+
+    assert day_start(1, 8) not in got, got   # end == wm: DROPPED (strict >)
+    assert got.get(day_start(1, 9)) == 1, got   # end > wm: merged + emitted
+    assert got.get(day_start(1, 30)) == 1, got
+    assert day_us  # (documented unit for the day_start math)
