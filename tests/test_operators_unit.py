@@ -765,3 +765,55 @@ def test_decode_media_roundtrips_png_all_filters():
 
     with pytest.raises(ValueError):
         _decode_png(b"\x89PNG\r\n\x1a\nnot-a-chunk")
+
+
+def test_decode_media_png_chunk_walk_split_idat_and_ancillary():
+    """The PNG chunk walk is real, not single-chunk: the SAME image
+    stored with its DEFLATE stream split across two IDAT chunks and an
+    ancillary tEXt chunk interleaved must decode identically (encoders
+    in the wild emit 8-64 KiB IDAT runs; ancillary chunks are skipped
+    by type, per the spec's chunk model)."""
+    import zlib
+
+    import numpy as np
+
+    from pyspark_text_classification_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+    )
+
+    img = (np.arange(4 * 3 * 3, dtype=np.int64) * 53 % 256).astype(
+        np.uint8
+    ).reshape(4, 3, 3)
+    one = _encode_png(img, [1, 4, 2, 3])
+
+    # re-pack: signature + IHDR, then split the IDAT payload in two and
+    # interleave a tEXt chunk between the halves
+    def chunks(b):
+        i, out = 8, []
+        while i + 8 <= len(b):
+            size = int.from_bytes(b[i : i + 4], "big")
+            out.append((b[i + 4 : i + 8], b[i + 8 : i + 8 + size]))
+            i += 12 + size
+        return out
+
+    def chunk(typ, data):
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    parsed = dict(chunks(one))
+    idat = parsed[b"IDAT"]
+    split = (
+        one[:8]
+        + chunk(b"IHDR", parsed[b"IHDR"])
+        + chunk(b"IDAT", idat[: len(idat) // 2])
+        + chunk(b"tEXt", b"Comment\x00synthetic")
+        + chunk(b"IDAT", idat[len(idat) // 2 :])
+        + chunk(b"IEND", b"")
+    )
+    assert split != one
+    assert np.array_equal(_decode_png(split), img)
