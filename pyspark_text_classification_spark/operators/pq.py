@@ -726,52 +726,51 @@ def _ivf_pq_scored(spark: SparkSession, sf_dir: str, auto_cells: bool = False):
     FIXED_CELL_MAX_VECTORS on both engines — constant cells make in-cell
     pair work n^2/cells, measured 5.9x at the 10x fixture; below the cap,
     i.e. every bundled sf, results are unchanged); auto is uncapped."""
+    import math
+
     from pyspark_text_classification_spark.operators.similarity import (
         FIXED_CELL_MAX_VECTORS,
+        IVF_AUTO_MIN_CELLS,
         IVF_CELLS,
         IVFPQ_AUTO_NPROBE_MIN,
         IVFPQ_AUTO_NPROBE_MULT,
-        auto_centroids,
-        auto_cells as sized_cells,
         auto_nprobe,
         ivf_assignment,
         query_batch_ids,
+        shared_two_level_layout,
+        two_level_members,
         with_norms,
     )
 
-    # ---- coarse layer: cosine cells over seed centroids ----
+    # ---- coarse layer: cosine cells (auto: Lloyd-refined + two-level) ----
     emb = load_table(spark, sf_dir, "embeddings")
     if not auto_cells:
         emb = emb.filter(F.col("vec_id") < FIXED_CELL_MAX_VECTORS)
     n = with_norms(emb).persist()
+    sampled = F.pmod(F.col("vec_id"), F.lit(PQ_QUERY_MOD)) == 0
     if auto_cells:
-        # One count sizes BOTH the cell count and the probe count; the
-        # composed system probes max(6, 3*isqrt(cells)) cells — measured
-        # against PQ loss stacking on IVF pruning (see similarity.py's
-        # IVFPQ_AUTO_NPROBE_* rationale: end-to-end recall 0.543 at 3x
-        # vs 0.470 at 2x and the fixed-cell baseline's 0.502 at sf0.1).
-        c = sized_cells(load_table(spark, sf_dir, "embeddings"))
+        # One count sizes the cell count, the probe count, the Lloyd
+        # sample stride and the super-cell count; the composed system
+        # probes max(6, 3*isqrt(cells)) cells — measured against PQ loss
+        # stacking on IVF pruning (see similarity.py's
+        # IVFPQ_AUTO_NPROBE_* rationale).  The build assignment is the
+        # round-9 two-level map-side shape over Lloyd-refined centroids
+        # (similarity.two_level_members — ~n x 2·n^(1/4) distance work
+        # instead of the flat n x cells ~ n^1.5); the bounded query
+        # batch ranks ALL cells exactly (batch x cells is sublinear).
+        n_total = load_table(spark, sf_dir, "embeddings").count()
+        c = max(IVF_AUTO_MIN_CELLS, math.isqrt(n_total))
         nprobe = auto_nprobe(
             c, IVFPQ_AUTO_NPROBE_MULT, IVFPQ_AUTO_NPROBE_MIN
         )
-        cents = auto_centroids(n, cells=c)
-    else:
-        nprobe = IVFPQ_NPROBE
-        cents = (
-            n.orderBy("vec_id")
-            .limit(IVF_CELLS)
-            .select(
-                F.col("vec_id").alias("cent_id"),
-                F.col("v").alias("cv"),
-                F.col("nrm").alias("cnrm"),
-            )
+        cents, idx = shared_two_level_layout(spark, sf_dir, n, n_total, c)
+        # persisted n x 16B frame: the fold pipeline materializes once
+        # with exact stats instead of living under the candidate join
+        members = (
+            two_level_members(n, idx)
+            .select(F.col("vec_id").alias("neighbor_id"), "cent_id")
+            .persist()
         )
-    ranked = ivf_assignment(n, cents, nprobe).persist()
-    members = ranked.filter(F.col("rk") == 1).select(
-        F.col("vec_id").alias("neighbor_id"), "cent_id"
-    )
-    sampled = F.pmod(F.col("vec_id"), F.lit(PQ_QUERY_MOD)) == 0
-    if auto_cells:
         # Bound the auto path's query batch ABSOLUTELY: the 1/PQ_QUERY_MOD
         # sample still scales with the corpus, so without a cap total
         # probe work re-grows ~n^(7/4) once nprobe correctly scales
@@ -783,13 +782,29 @@ def _ivf_pq_scored(spark: SparkSession, sf_dir: str, auto_cells: bool = False):
                 load_table(spark, sf_dir, "embeddings").filter(sampled)
             )
         )
-        probes = ranked.join(qb, "vec_id").select(
+        probes = ivf_assignment(n.join(qb, "vec_id"), cents, nprobe).select(
             F.col("vec_id").alias("q_id"), "cent_id"
         )
+        persisted = [members, n]
     else:
+        nprobe = IVFPQ_NPROBE
+        cents = (
+            n.orderBy("vec_id")
+            .limit(IVF_CELLS)
+            .select(
+                F.col("vec_id").alias("cent_id"),
+                F.col("v").alias("cv"),
+                F.col("nrm").alias("cnrm"),
+            )
+        )
+        ranked = ivf_assignment(n, cents, nprobe).persist()
+        members = ranked.filter(F.col("rk") == 1).select(
+            F.col("vec_id").alias("neighbor_id"), "cent_id"
+        )
         probes = ranked.filter(sampled).select(
             F.col("vec_id").alias("q_id"), "cent_id"
         )
+        persisted = [ranked, n]
     cand = (
         probes.join(members, "cent_id")
         .filter(F.col("q_id") != F.col("neighbor_id"))
@@ -823,7 +838,7 @@ def _ivf_pq_scored(spark: SparkSession, sf_dir: str, auto_cells: bool = False):
         .groupBy(cand.q_id, "neighbor_id")
         .agg(F.sum("d2").alias("adc_d2"))
     )
-    return scored, [ranked, n]
+    return scored, persisted
 
 
 @query(
@@ -873,9 +888,9 @@ def _sql_ivf_pq_ctes(auto_cells: bool = False) -> str:
         QUERY_BATCH_MAX,
         _SQL_IVF_DOT,
         _SQL_NORMED,
-        sql_auto_cells_cte,
         sql_auto_nprobe,
         sql_query_batch,
+        sql_two_level_cells_cte,
     )
 
     # The auto path's absolute query-batch cap (the Spark twin joins
@@ -887,32 +902,32 @@ def _sql_ivf_pq_ctes(auto_cells: bool = False) -> str:
         f"WHERE vec_id % {PQ_QUERY_MOD} = 0)"
     )
     qb_set = sql_query_batch(qb_sample, QUERY_BATCH_MAX)
-    qb_pred = f" AND vec_id IN {qb_set}" if auto_cells else ""
     qb_pred_lut = f" AND sub.vec_id IN {qb_set}" if auto_cells else ""
     if auto_cells:
-        cents_sql = sql_auto_cells_cte("nv")
-        nv_sql = _SQL_NORMED
+        # Round-9 coarse layer: Lloyd-refined centroids + two-level
+        # member assignment (sql_two_level_cells_cte over nv emits
+        # cents/members); the bounded query batch ranks ALL cells.
         nprobe_sql = sql_auto_nprobe(
             IVFPQ_AUTO_NPROBE_MULT, IVFPQ_AUTO_NPROBE_MIN
         )
+        coarse_sql = f"""{sql_two_level_cells_cte('nv')},
+    mem AS (SELECT vec_id AS neighbor_id, cent_id FROM members),
+    probes AS (
+      SELECT vec_id AS q_id, cent_id FROM (
+        SELECT a.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 {_SQL_IVF_DOT.format(a='a.v', b='c.cv')} / (a.nrm * c.cnrm)
+                   DESC, c.cent_id) AS rk
+        FROM nv a CROSS JOIN cents c
+        WHERE a.vec_id % {PQ_QUERY_MOD} = 0 AND a.vec_id IN {qb_set}
+      ) WHERE rk <= {nprobe_sql}
+    )"""
+        nv_sql = _SQL_NORMED
     else:
-        nprobe_sql = str(IVFPQ_NPROBE)
-        cents_sql = f"""cents AS (
+        coarse_sql = f"""cents AS (
       SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
       FROM nv ORDER BY vec_id LIMIT {IVF_CELLS}
-    )"""
-        nv_sql = (
-            f"SELECT * FROM ({_SQL_NORMED}) "
-            f"WHERE vec_id < {FIXED_CELL_MAX_VECTORS}"
-        )
-
-    return f"""
-    {_SQL_PQ_PRELUDE},
-    codes AS (
-      SELECT vec_id AS neighbor_id, m, key % {PQ_K} AS code FROM assigned
     ),
-    nv AS ({nv_sql}),
-    {cents_sql},
     ac AS (
       SELECT nv.vec_id, c.cent_id,
              {_SQL_IVF_DOT.format(a='nv.v', b='c.cv')} / (nv.nrm * c.cnrm) AS cos
@@ -927,8 +942,20 @@ def _sql_ivf_pq_ctes(auto_cells: bool = False) -> str:
     mem AS (SELECT vec_id AS neighbor_id, cent_id FROM rankedc WHERE rk = 1),
     probes AS (
       SELECT vec_id AS q_id, cent_id FROM rankedc
-      WHERE rk <= {nprobe_sql} AND vec_id % {PQ_QUERY_MOD} = 0{qb_pred}
+      WHERE rk <= {IVFPQ_NPROBE} AND vec_id % {PQ_QUERY_MOD} = 0
+    )"""
+        nv_sql = (
+            f"SELECT * FROM ({_SQL_NORMED}) "
+            f"WHERE vec_id < {FIXED_CELL_MAX_VECTORS}"
+        )
+
+    return f"""
+    {_SQL_PQ_PRELUDE},
+    codes AS (
+      SELECT vec_id AS neighbor_id, m, key % {PQ_K} AS code FROM assigned
     ),
+    nv AS ({nv_sql}),
+    {coarse_sql},
     cand AS (
       SELECT DISTINCT p.q_id, mem.neighbor_id
       FROM probes p JOIN mem ON p.cent_id = mem.cent_id

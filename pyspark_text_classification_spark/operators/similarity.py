@@ -1781,25 +1781,15 @@ def ivf_assignment(e: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
     ).filter(F.col("rk") <= nprobe)
 
 
-def argmax_cell(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """e's rows + their argmax-cosine cent_id via the IN-ROW FOLD: the
-    centroid table collapses to one array row (collect_list is
-    runtime-sized, so a data-derived k costs nothing), broadcasts, and
-    the argmax runs inside the scan projection with v STILL ON THE ROW —
-    assignment is map-side only, with no window exchange and no
-    corpus-by-corpus join to fetch v back.  The rank-1-only consumers
-    (kmeans mean recompute, SemDeDup cell-local dedup) use this; the
-    nprobe > 1 consumers use ivf_assignment's WindowGroupLimit form.
-
-    The fold's strict '>' over the array_sort'ed centroid list
-    reproduces the oracles' (cos DESC, cent_id) rank-1 exactly
-    (hash-verified by similarity_kmeans_step since round 5)."""
-    cs = cents.agg(
-        F.array_sort(F.collect_list(F.struct("cent_id", "cv", "cnrm"))).alias(
-            "cs"
-        )
-    )
-    withc = e.crossJoin(F.broadcast(cs))
+def _argmax_over_cs(withc: DataFrame) -> DataFrame:
+    """(vec_id, cent_id, v, nrm): the in-row argmax-cosine fold over a
+    frame that already carries a ``cs`` column — an array_sort'ed array
+    of (cent_id, cv, cnrm) structs — next to (vec_id, v, nrm).  The
+    fold's strict '>' over the cent_id-sorted list reproduces the
+    oracles' (cos DESC, cent_id) rank-1 exactly (hash-verified by
+    similarity_kmeans_step since round 5).  Shared by argmax_cell (one
+    global centroid array) and two_level_members (one member-cell array
+    per super-cell, joined in by super_id)."""
     # named_struct, not struct(...).alias: field aliases are dropped when
     # built inside a higher-order-function lambda (the fields come out as
     # col1/col2), which breaks the acc["cos"] access in the fold below
@@ -1823,6 +1813,26 @@ def argmax_cell(e: DataFrame, cents: DataFrame) -> DataFrame:
     return withc.select(
         "vec_id", best["cent_id"].alias("cent_id"), "v", "nrm"
     )
+
+
+def argmax_cell(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """e's rows + their argmax-cosine cent_id via the IN-ROW FOLD: the
+    centroid table collapses to one array row (collect_list is
+    runtime-sized, so a data-derived k costs nothing), broadcasts, and
+    the argmax runs inside the scan projection with v STILL ON THE ROW —
+    assignment is map-side only, with no window exchange and no
+    corpus-by-corpus join to fetch v back.  The rank-1-only consumers
+    (kmeans mean recompute, SemDeDup cell-local dedup) use this; the
+    nprobe > 1 consumers use ivf_assignment's WindowGroupLimit form.
+
+    Tie semantics: see _argmax_over_cs (lowest cent_id wins, matching
+    the oracles' row_number ORDER BY cos DESC, cent_id)."""
+    cs = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cv", "cnrm"))).alias(
+            "cs"
+        )
+    )
+    return _argmax_over_cs(e.crossJoin(F.broadcast(cs)))
 
 
 def auto_cells(count_src: DataFrame) -> int:
@@ -1874,26 +1884,380 @@ def auto_centroids(
     )
 
 
+# --- Two-level coarse quantizer + Lloyd-refined seeds (round 9) --------------
+# The *_auto SERVING family's index build had one superlinear term left:
+# assigning every vector an exact distance to all sqrt(n) cells is n^1.5
+# work (round-8 verdict's named scale-killer).  The fix is FAISS's
+# IVF-in-IVF recipe: group the cells into ~sqrt(cells) SUPER-cells, route
+# each vector to its nearest super first, then rank only that super's
+# member cells — ~n x 2·n^(1/4) distance work instead of n x n^(1/2).
+# Only the CORPUS-sized build assignment goes two-level; the QUERY side
+# (nprobe cells per probe) ranks all cells exactly, because the batch is
+# already capped at QUERY_BATCH_MAX — batch x cells ~ 4096·sqrt(n) is
+# sublinear and exact coarse ranking costs recall nothing.
+#
+# The seeds also stop being raw lowest-id vectors: ONE deterministic
+# Lloyd round over a bounded stride sample (~{LLOYD_SAMPLE_PER_CELL}
+# vectors per cell, the FAISS train-on-a-sample recipe) refines them
+# before any assignment — the cheapest recall lever the round-8 verdict
+# named, at strictly linear cost (|sample| x cells = ~16·sqrt(n) x
+# sqrt(n) = 16n fold steps).  Every rule below derives from the same
+# single count(*) both engines share, so the DuckDB twins cannot fork.
+IVF_SUPER_MIN = 4
+LLOYD_SAMPLE_PER_CELL = 16
+# How many nearest super-cells the BUILD assignment unions before ranking
+# member cells.  Routing through 1 super loses real recall to super-
+# boundary errors; measured at sf0.1 against the flat argmax's 0.6512
+# candidate-layer recall: S=1 -> 0.5584, S=2 -> 0.6048, S=3 -> 0.6432 —
+# S=3 recovers all but 0.8 points while per-vector distance work stays
+# supers + 3 x (cells/supers) ~ 4·n^(1/4), a constant factor on the
+# two-level asymptotic (the flat term this replaces was n^(1/2)).
+BUILD_SUPER_PROBES = 3
+
+
+def auto_supers(cells: int) -> int:
+    """max({IVF_SUPER_MIN}, isqrt(cells)) — the super-cell count; the
+    cells sizing rule applied one level up."""
+    import math
+
+    return max(IVF_SUPER_MIN, math.isqrt(cells))
+
+
+def lloyd_stride(n: int, cells: int) -> int:
+    """Stride of the deterministic Lloyd-refinement sample: keeps
+    ~{LLOYD_SAMPLE_PER_CELL} vectors per cell (exact integer ceil-div,
+    mirrored verbatim in SQL; stride 1 — the full corpus — below
+    cells x {LLOYD_SAMPLE_PER_CELL} rows, i.e. every bundled sf)."""
+    d = cells * LLOYD_SAMPLE_PER_CELL
+    return max(1, (n + d - 1) // d)
+
+
+def refined_centroids(e: DataFrame, n_total: int, cells: int) -> DataFrame:
+    """(cent_id, cv, cnrm): the lowest-id seed centroids refined by ONE
+    deterministic Lloyd round over the stride sample — the kmeans_auto
+    machinery (quantized integer per-dim sums, so cross-engine means are
+    exact; round_half_up to 4 decimals) applied as index TRAINING.
+    Seeds whose sample slice is empty keep their seed vector (COALESCE,
+    both engines).  Norms are recomputed from the refined vectors with
+    the shared sqrt-of-fold formula."""
+    seeds = auto_centroids(e, cells=cells)
+    stride = lloyd_stride(n_total, cells)
+    samp = e.filter(F.pmod(F.col("vec_id"), F.lit(stride)) == 0)
+    dims = (
+        argmax_cell(samp, seeds)
+        .select("cent_id", F.posexplode("v"))
+        .select(
+            "cent_id",
+            F.col("pos").alias("dim"),
+            F.floor(F.col("col") * KM_SCALE + F.lit(0.5))
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    means = dims.groupBy("cent_id", "dim").agg(
+        round_half_up(
+            F.sum("q").cast("double")
+            / (F.lit(float(KM_SCALE)) * F.count("*")),
+            4,
+        ).alias("val")
+    )
+    rv = means.groupBy("cent_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "val"))),
+            lambda s: s["val"],
+        ).alias("rv")
+    )
+    cv = F.coalesce(F.col("rv"), F.col("cv"))
+    # rv is cells-sized: explicit broadcast so the refine join never
+    # becomes a shuffle join of the (equally small) seed table
+    return seeds.join(F.broadcast(rv), "cent_id", "left").select(
+        "cent_id",
+        cv.alias("cv"),
+        F.sqrt(_fold_sum(F.transform(cv, lambda x: x * x))).alias("cnrm"),
+    )
+
+
+def super_centroids(cents: DataFrame, supers: int) -> DataFrame:
+    """(super_id, sv, snrm): the supers lowest cent_ids of the refined
+    centroid table — the coarse layer's own coarse layer (same
+    lowest-id-present rule, distributed TakeOrdered)."""
+    return (
+        cents.orderBy("cent_id")
+        .limit(supers)
+        .select(
+            F.col("cent_id").alias("super_id"),
+            F.col("cv").alias("sv"),
+            F.col("cnrm").alias("snrm"),
+        )
+    )
+
+
+def cell_to_super(cents: DataFrame, sup: DataFrame) -> DataFrame:
+    """(cent_id, super_id): each refined cell's nearest super-centroid,
+    with supers FORCED to map to themselves — a pure-rank-1 map could in
+    principle leave a super with zero member cells (self-cosine is not
+    exactly 1.0 in floating point), which would strand any vector whose
+    rank-1 super it is; the forced self-edge guarantees every super has
+    at least one member cell.  cells x supers work — negligible."""
+    assigned = argmax_cell(
+        cents.select(
+            F.col("cent_id").alias("vec_id"),
+            F.col("cv").alias("v"),
+            F.col("cnrm").alias("nrm"),
+        ),
+        sup.select(
+            F.col("super_id").alias("cent_id"),
+            F.col("sv").alias("cv"),
+            F.col("snrm").alias("cnrm"),
+        ),
+    ).select(
+        F.col("vec_id").alias("cent_id"), F.col("cent_id").alias("super_id")
+    )
+    sup_ids = sup.select(
+        F.col("super_id").alias("cent_id"), F.lit(1).alias("is_super")
+    )
+    return assigned.join(F.broadcast(sup_ids), "cent_id", "left").select(
+        "cent_id",
+        F.when(F.col("is_super").isNotNull(), F.col("cent_id"))
+        .otherwise(F.col("super_id"))
+        .alias("super_id"),
+    )
+
+
+def two_level_index(cents: DataFrame, cells: int) -> DataFrame:
+    """ONE ROW (ss, cmap): the broadcastable two-level coarse index —
+    the cent_id-sorted super-centroid array plus a map<super_id,
+    cent_id-sorted member-cell array>; together exactly one copy of the
+    centroid table (the same broadcast budget as the flat layout).
+    Bounded by construction (cells rows of payload), so the *_auto
+    serving family session-caches it via plans.shared exactly like the
+    PQ codebook — a production deployment builds this artifact once at
+    index time and ships it to the query fleet."""
+    sup = super_centroids(cents, auto_supers(cells))
+    c2s = cell_to_super(cents, sup)
+    sarr = sup.agg(
+        F.array_sort(
+            F.collect_list(F.struct("super_id", "sv", "snrm"))
+        ).alias("ss")
+    )
+    cmap = (
+        c2s.join(F.broadcast(cents), "cent_id")
+        .groupBy("super_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("cent_id", "cv", "cnrm"))
+            ).alias("cs")
+        )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("super_id", "cs"))
+            ).alias("cmap")
+        )
+    )
+    return sarr.crossJoin(cmap)
+
+
+def two_level_members(e: DataFrame, idx: DataFrame) -> DataFrame:
+    """(vec_id, cent_id, v, nrm): each vector's cell under the TWO-LEVEL
+    coarse quantizer — rank the super-centroids in-row, keep the
+    {BUILD_SUPER_PROBES} nearest, then rank-1 among the UNION of those
+    supers' member cells.  Everything happens INSIDE the scan
+    projection: ``idx`` (two_level_index's one-row ss + cmap frame)
+    broadcasts, the top-S supers come from an array_sort with an exact
+    (cos DESC, super_id) comparator, and the final cell is the shared
+    strict-'>' argmax fold over the flattened, cent_id-sorted member
+    union — the corpus is never shuffled to be assigned.  Total
+    distance work is n x (supers + S x cells/supers) ~ n x 4·n^(1/4)
+    instead of the flat argmax's n x cells ~ n^(3/2).  Tie semantics
+    match the oracle's (cos DESC, id) ranks at both levels."""
+    withs = e.crossJoin(F.broadcast(idx))
+    scored = F.transform(
+        F.col("ss"),
+        lambda s: F.named_struct(
+            F.lit("cos"),
+            _fold_sum(F.zip_with(F.col("v"), s["sv"], lambda x, y: x * y))
+            / (F.col("nrm") * s["snrm"]),
+            F.lit("super_id"),
+            s["super_id"],
+        ),
+    )
+    # exact (cos DESC, super_id ASC) comparator: IEEE comparisons, so tie
+    # semantics (including ±0.0 equality) match the oracle's ORDER BY
+    top = F.slice(
+        F.array_sort(
+            scored,
+            lambda l, r: F.when(l["cos"] > r["cos"], F.lit(-1))
+            .when(l["cos"] < r["cos"], F.lit(1))
+            .when(l["super_id"] < r["super_id"], F.lit(-1))
+            .when(l["super_id"] > r["super_id"], F.lit(1))
+            .otherwise(F.lit(0)),
+        ),
+        1,
+        BUILD_SUPER_PROBES,
+    )
+    cs = F.array_sort(
+        F.flatten(
+            F.transform(top, lambda t: F.element_at(F.col("cmap"),
+                                                    t["super_id"]))
+        )
+    )
+    return _argmax_over_cs(withs.withColumn("cs", cs))
+
+
+def shared_two_level_layout(
+    spark: SparkSession, sf_dir: str, e: DataFrame, n_total: int, cells: int
+) -> tuple[DataFrame, DataFrame]:
+    """(cents, idx): the Lloyd-refined centroid table and its two-level
+    index, SESSION-CACHED via plans.shared — both are bounded (cells
+    rows of payload, the codebook discipline), deterministic, and
+    byte-identical across the six *_auto serving-family queries, so the
+    driver's sequential sweep and the bench build them once per
+    (session, sf) instead of once per query."""
+    from pyspark_text_classification_spark.plans.shared import (
+        shared_intermediate,
+    )
+
+    cents = shared_intermediate(
+        spark,
+        sf_dir,
+        "ivf_auto_refined_cents",
+        lambda: refined_centroids(e, n_total, cells),
+    )
+    idx = shared_intermediate(
+        spark,
+        sf_dir,
+        "ivf_auto_two_level_index",
+        lambda: two_level_index(cents, cells),
+    )
+    return cents, idx
+
+
+def sql_two_level_cells_cte(src: str) -> str:
+    """The DuckDB twin of refined_centroids + two_level_members as one
+    CTE chain: cc (count + cell count) -> tlseed (lowest-id seeds) ->
+    tlst/tlsamp (stride sample) -> tlsa (sample -> nearest seed) ->
+    tlsq/tlrm/tlrv (quantized Lloyd means) -> cents (refined centroids,
+    empty seeds keep their vector) -> sup (super-centroids) -> c2s
+    (cell -> super, supers self-mapped) -> v2s (vector -> its
+    {BUILD_SUPER_PROBES} nearest supers) -> members (vector -> nearest
+    cell within those supers' member union).  Internal names
+    are tl-prefixed so the chain composes with the PQ prelude (which
+    already owns ``st`` and ``seeds``); sql_auto_nprobe's
+    ``(SELECT c FROM cc)`` reference keeps working."""
+    dot = _SQL_IVF_DOT
+    return f"""cc AS (
+      SELECT count(*) AS nn,
+             GREATEST({IVF_AUTO_MIN_CELLS},
+                      CAST(floor(sqrt(count(*))) AS BIGINT)) AS c
+      FROM {src}
+    ),
+    tlseed AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+      FROM {src} ORDER BY vec_id LIMIT (SELECT c FROM cc)
+    ),
+    tlst AS (
+      SELECT GREATEST(1, (nn + c * {LLOYD_SAMPLE_PER_CELL} - 1)
+                         // (c * {LLOYD_SAMPLE_PER_CELL})) AS s
+      FROM cc
+    ),
+    tlsamp AS (
+      SELECT * FROM {src} WHERE vec_id % (SELECT s FROM tlst) = 0
+    ),
+    tlsa AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT a.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 {dot.format(a='a.v', b='c.cv')} / (a.nrm * c.cnrm) DESC,
+                 c.cent_id) AS rk
+        FROM tlsamp a CROSS JOIN tlseed c
+      ) WHERE rk = 1
+    ),
+    tlsq AS (
+      SELECT cent_id, u.dim AS dim,
+             CAST(floor(u.val * {KM_SCALE}.0 + 0.5) AS BIGINT) AS q
+      FROM (
+        SELECT tlsa.cent_id,
+               unnest(list_transform(range(1, length(n2.v) + 1),
+                 i -> {{'dim': i - 1, 'val': n2.v[i]}})) AS u
+        FROM tlsa JOIN {src} n2 ON n2.vec_id = tlsa.vec_id
+      )
+    ),
+    tlrm AS (
+      SELECT cent_id, dim,
+             {sql_round_half_up(
+                 f'CAST(sum(q) AS DOUBLE) / ({KM_SCALE}.0 * count(*))', 4)}
+               AS val
+      FROM tlsq GROUP BY cent_id, dim
+    ),
+    tlrv AS (
+      SELECT cent_id, list(val ORDER BY dim) AS rv FROM tlrm GROUP BY cent_id
+    ),
+    cents AS (
+      SELECT s.cent_id,
+             COALESCE(r.rv, s.cv) AS cv,
+             sqrt(list_reduce(list_prepend(0.0,
+               list_transform(COALESCE(r.rv, s.cv), x -> x * x)),
+               (acc, x) -> acc + x)) AS cnrm
+      FROM tlseed s LEFT JOIN tlrv r ON r.cent_id = s.cent_id
+    ),
+    sup AS (
+      SELECT cent_id AS super_id, cv AS sv, cnrm AS snrm
+      FROM cents ORDER BY cent_id
+      LIMIT (SELECT GREATEST({IVF_SUPER_MIN},
+                             CAST(floor(sqrt(c)) AS BIGINT)) FROM cc)
+    ),
+    c2s AS (
+      SELECT a.cent_id,
+             CASE WHEN a.cent_id IN (SELECT super_id FROM sup)
+                  THEN a.cent_id ELSE a.super_id END AS super_id
+      FROM (
+        SELECT cent_id, super_id FROM (
+          SELECT c.cent_id, s.super_id,
+                 row_number() OVER (PARTITION BY c.cent_id ORDER BY
+                   {dot.format(a='c.cv', b='s.sv')} / (c.cnrm * s.snrm) DESC,
+                   s.super_id) AS rk
+          FROM cents c CROSS JOIN sup s
+        ) WHERE rk = 1
+      ) a
+    ),
+    v2s AS (
+      SELECT vec_id, super_id FROM (
+        SELECT a.vec_id, s.super_id,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 {dot.format(a='a.v', b='s.sv')} / (a.nrm * s.snrm) DESC,
+                 s.super_id) AS rk
+        FROM {src} a CROSS JOIN sup s
+      ) WHERE rk <= {BUILD_SUPER_PROBES}
+    ),
+    members AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT a.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 {dot.format(a='a.v', b='c.cv')} / (a.nrm * c.cnrm) DESC,
+                 c.cent_id) AS rk
+        FROM {src} a
+        JOIN v2s ON v2s.vec_id = a.vec_id
+        JOIN c2s ON c2s.super_id = v2s.super_id
+        JOIN cents c ON c.cent_id = c2s.cent_id
+      ) WHERE rk = 1
+    )"""
+
+
 @query(
     "similarity_ann_ivf_auto",
     oracle=f"""
     WITH n AS ({_SQL_NORMED}),
-    {sql_auto_cells_cte('n')},
-    ac AS (
-      SELECT n.vec_id, c.cent_id,
-             {_SQL_IVF_DOT.format(a='n.v', b='c.cv')} / (n.nrm * c.cnrm) AS cos
-      FROM n CROSS JOIN cents c
+    {sql_two_level_cells_cte('n')},
+    probes AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT a.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 {_SQL_IVF_DOT.format(a='a.v', b='c.cv')} / (a.nrm * c.cnrm)
+                   DESC, c.cent_id) AS rk
+        FROM n a CROSS JOIN cents c
+        WHERE a.vec_id IN {sql_query_batch('n')}
+      ) WHERE rk <= {sql_auto_nprobe()}
     ),
-    ranked AS (
-      SELECT vec_id, cent_id,
-             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id)
-               AS rk
-      FROM ac
-    ),
-    members AS (SELECT vec_id, cent_id FROM ranked WHERE rk = 1),
-    probes  AS (SELECT vec_id, cent_id FROM ranked
-                WHERE rk <= {sql_auto_nprobe()}
-                  AND vec_id IN {sql_query_batch('n')}),
     cand AS (
       SELECT DISTINCT p.vec_id, m.vec_id AS neighbor_id
       FROM probes p JOIN members m
@@ -1910,45 +2274,49 @@ def auto_centroids(
     """,
 )
 def similarity_ann_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with the cell count SIZED FROM THE CORPUS: cells =
-    max({IVF_AUTO_MIN_CELLS}, floor(sqrt(n))) — the FAISS sizing rule
-    that similarity_ann_ivf's fixed {IVF_CELLS}-cell layout deliberately
-    forgoes for a smaller oracle.  Round 5's 10x stress measured the
-    fixed layout at ~20x cost for 10x vectors (the n^2/cells self-join
-    term with cells constant); sqrt-sizing restores ~n^1.5 total work,
-    and this registered variant is the measured proof.
+    """IVF ANN with the cell count SIZED FROM THE CORPUS (cells =
+    max({IVF_AUTO_MIN_CELLS}, floor(sqrt(n))), the FAISS rule), the
+    seeds REFINED by one deterministic Lloyd round over a bounded
+    stride sample, and the build assignment TWO-LEVEL (route to the
+    nearest of ~sqrt(cells) super-cells, then rank only that super's
+    member cells) — the round-9 shape that removes the last superlinear
+    build term: flat assignment was n x cells ~ n^1.5 distance work,
+    two-level is ~n x 2·n^(1/4), and both in-row folds are MAP-SIDE
+    against broadcast arrays, so the corpus is never shuffled to be
+    assigned (round-7/8 shape kept).
 
-    Everything else is the ann_ivf plan verbatim: assignment broadcasts
-    O(sqrt(n)) centroids against the corpus (50 MB at n = 1e10 — still
-    a broadcast; past that the assignment becomes a bucketed join on a
-    coarse hash of the centroid id), candidates are cell-local
-    equi-joins.  nprobe SCALES WITH THE CELL COUNT — max(4,
-    2*isqrt(cells)), i.e. ~2*n^(1/4) — so recall does not collapse as
-    cells grow (round 6 measured 0.19 candidate recall@5 with a constant
-    nprobe; this rule measures 0.58 at sf0.1 vs the fixed-cell 0.50)
-    while per-query probe work stays ~n^(3/4), strongly sublinear.  Both
-    the cell count and nprobe derive from ONE count(*)
-    (floor(sqrt(exact int)) is correctly rounded identically in both
-    engines for counts < 2^52), so the twin stays hash-checkable with no
-    literal to keep in sync.
+    The QUERY side is exact-coarse: each of the <= QUERY_BATCH_MAX
+    ({QUERY_BATCH_MAX}, lowest ids present, mirrored in the oracle)
+    batch queries ranks ALL cells and probes its auto_nprobe nearest —
+    batch x cells ~ 4096·sqrt(n) is sublinear, so the index-quality
+    probe ranking costs nothing at scale and recall is not charged for
+    the build optimization.  nprobe keeps the measured max(4,
+    2*isqrt(cells)) rule.  Every sizing rule (cells, sample stride,
+    supers, nprobe, batch) derives from ONE count(*) shared with the
+    DuckDB twin, so the oracle cannot fork.  Candidates are cell-local
+    equi-joins; final cosines are exact on the true vectors."""
+    import math
 
-    The QUERY side is capped at QUERY_BATCH_MAX ({QUERY_BATCH_MAX})
-    probes (the lowest ids present, mirrored in the oracle) so the
-    registered query prices a BOUNDED serving batch against the uncapped
-    index — without it the batch scales with the corpus and total work
-    re-grows ~n^(7/4) (round-7 audit: 14.9x at 10x).  Below the cap —
-    every bundled sf — the batch is the full corpus, results unchanged."""
-    e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
-    cells = auto_cells(load_table(spark, sf_dir, "embeddings"))
-    cents = auto_centroids(e, cells=cells)
-    ranked = ivf_assignment(e, cents, auto_nprobe(cells)).persist()
-    members = ranked.filter(F.col("rk") == 1).select(
-        F.col("vec_id").alias("neighbor_id"), "cent_id"
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = with_norms(raw).persist()
+    n_total = raw.count()
+    cells = max(IVF_AUTO_MIN_CELLS, math.isqrt(n_total))
+    cents, idx = shared_two_level_layout(spark, sf_dir, e, n_total, cells)
+    # members/probes are persisted two-long-column frames (n x 16B): the
+    # fold/window pipelines materialize ONCE with exact stats instead of
+    # living under the candidate join — the same discipline as the
+    # round-8 persisted rank stream they replace
+    members = (
+        two_level_members(e, idx)
+        .select(F.col("vec_id").alias("neighbor_id"), "cent_id")
+        .persist()
     )
-    probes = ranked.join(
-        F.broadcast(query_batch_ids(load_table(spark, sf_dir, "embeddings"))),
-        "vec_id",
-    ).select("vec_id", "cent_id")
+    eb = e.join(F.broadcast(query_batch_ids(raw)), "vec_id")
+    probes = (
+        ivf_assignment(eb, cents, auto_nprobe(cells))
+        .select("vec_id", "cent_id")
+        .persist()
+    )
     cand = (
         probes.join(members, "cent_id")
         .filter(F.col("vec_id") != F.col("neighbor_id"))
@@ -1957,7 +2325,7 @@ def similarity_ann_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = candidate_cosines(e, cand)
     topk = _rank_topk(pairs)
-    return _finalize(topk, e, ranked)
+    return _finalize(topk, e, members, probes)
 
 
 # --- Lloyd step with corpus-sized k (the sizing rule applied to clustering) --
@@ -2119,35 +2487,30 @@ def similarity_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity_filtered_ann",
     oracle=f"""
     WITH n AS ({_SQL_NORMED}),
-    {sql_auto_cells_cte('n')},
-    ac AS (
-      SELECT n.vec_id, c.cent_id,
-             {_SQL_IVF_DOT.format(a='n.v', b='c.cv')} / (n.nrm * c.cnrm) AS cos
-      FROM n CROSS JOIN cents c
-    ),
-    ranked AS (
-      SELECT vec_id, cent_id,
-             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id)
-               AS rk
-      FROM ac
-    ),
-    members AS (
-      SELECT r.vec_id, r.cent_id, e.label
-      FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
-      WHERE r.rk = 1
+    {sql_two_level_cells_cte('n')},
+    lmembers AS (
+      SELECT m.vec_id, m.cent_id, e.label
+      FROM members m JOIN embeddings e ON e.vec_id = m.vec_id
     ),
     probes AS (
       SELECT r.vec_id, r.cent_id, e.label
-      FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
-      WHERE r.rk <= {sql_auto_nprobe()}
-        AND r.vec_id % {RECALL_SAMPLE_MOD} = 0
-        AND r.vec_id IN {sql_query_batch(
-            f'(SELECT vec_id FROM n WHERE vec_id % {RECALL_SAMPLE_MOD} = 0)'
-        )}
+      FROM (
+        SELECT vec_id, cent_id FROM (
+          SELECT a.vec_id, c.cent_id,
+                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                   {_SQL_IVF_DOT.format(a='a.v', b='c.cv')} / (a.nrm * c.cnrm)
+                     DESC, c.cent_id) AS rk
+          FROM n a CROSS JOIN cents c
+          WHERE a.vec_id % {RECALL_SAMPLE_MOD} = 0
+            AND a.vec_id IN {sql_query_batch(
+                f'(SELECT vec_id FROM n WHERE vec_id % {RECALL_SAMPLE_MOD} = 0)'
+            )}
+        ) WHERE rk <= {sql_auto_nprobe()}
+      ) r JOIN embeddings e ON e.vec_id = r.vec_id
     ),
     cand AS (
       SELECT DISTINCT p.vec_id, m.vec_id AS neighbor_id
-      FROM probes p JOIN members m
+      FROM probes p JOIN lmembers m
         ON p.cent_id = m.cent_id AND p.label = m.label
        AND p.vec_id != m.vec_id
     ),
@@ -2183,28 +2546,31 @@ def similarity_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells hold fewer than {TOP_K} same-label vectors return fewer rows
     — visible, deterministic, and exactly what a deployment sees when a
     filter is too selective for its nprobe."""
+    import math
+
     raw = load_table(spark, sf_dir, "embeddings")
     labels = raw.select("vec_id", "label")
     e = with_norms(raw).persist()
-    cells = auto_cells(raw)
-    cents = auto_centroids(e, cells=cells)
-    ranked = ivf_assignment(e, cents, auto_nprobe(cells)).persist()
+    n_total = raw.count()
+    cells = max(IVF_AUTO_MIN_CELLS, math.isqrt(n_total))
+    cents, idx = shared_two_level_layout(spark, sf_dir, e, n_total, cells)
     members = (
-        ranked.filter(F.col("rk") == 1)
+        two_level_members(e, idx)
         .join(labels, "vec_id")
         .select(
             F.col("vec_id").alias("neighbor_id"),
             "cent_id",
             F.col("label").alias("n_label"),
         )
+        .persist()
     )
     sampled = F.pmod(F.col("vec_id"), F.lit(RECALL_SAMPLE_MOD)) == 0
+    # batch over the SAMPLE (the pq auto path's convention), so the
+    # served batch is QUERY_BATCH_MAX sampled queries — not the
+    # 1/RECALL_SAMPLE_MOD survivors of a full-corpus batch
+    eb = e.join(F.broadcast(query_batch_ids(raw.filter(sampled))), "vec_id")
     probes = (
-        ranked.filter(sampled)
-        # batch over the SAMPLE (the pq auto path's convention), so the
-        # served batch is QUERY_BATCH_MAX sampled queries — not the
-        # 1/RECALL_SAMPLE_MOD survivors of a full-corpus batch
-        .join(F.broadcast(query_batch_ids(raw.filter(sampled))), "vec_id")
+        ivf_assignment(eb, cents, auto_nprobe(cells))
         .join(labels, "vec_id")
         .select("vec_id", "cent_id", "label")
     )
@@ -2218,7 +2584,7 @@ def similarity_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     topk = _rank_topk(candidate_cosines(e, cand))
-    return _finalize(topk, e, ranked)
+    return _finalize(topk, e, members)
 
 
 # --- Staleness gate for the appended index ----------------------------------
@@ -2391,23 +2757,17 @@ def similarity_ivf_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity_ann_ivf_auto_recall",
     oracle=f"""
     WITH n AS ({_SQL_NORMED}),
-    {sql_auto_cells_cte('n')},
-    ac AS (
-      SELECT n.vec_id, c.cent_id,
-             {_SQL_IVF_DOT.format(a='n.v', b='c.cv')} / (n.nrm * c.cnrm) AS cos
-      FROM n CROSS JOIN cents c
-    ),
-    ranked AS (
-      SELECT vec_id, cent_id,
-             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id)
-               AS rk
-      FROM ac
-    ),
-    members AS (SELECT vec_id, cent_id FROM ranked WHERE rk = 1),
-    probes  AS (
-      SELECT vec_id, cent_id FROM ranked
-      WHERE rk <= {sql_auto_nprobe()} AND vec_id % {RECALL_SAMPLE_MOD} = 0
-        AND vec_id IN {sql_query_batch('n')}
+    {sql_two_level_cells_cte('n')},
+    probes AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT a.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 {_SQL_IVF_DOT.format(a='a.v', b='c.cv')} / (a.nrm * c.cnrm)
+                   DESC, c.cent_id) AS rk
+        FROM n a CROSS JOIN cents c
+        WHERE a.vec_id % {RECALL_SAMPLE_MOD} = 0
+          AND a.vec_id IN {sql_query_batch('n')}
+      ) WHERE rk <= {sql_auto_nprobe()}
     ),
     cand AS (
       SELECT DISTINCT p.vec_id, m.vec_id AS neighbor_id

@@ -1051,13 +1051,60 @@ def test_round8_query_batch_is_takeordered_and_broadcast(spark, sf_dir):
 
         e = with_norms(raw)
         cells = auto_cells(raw)
-        ranked = ivf_assignment(e, auto_centroids(e, cells=cells),
+        # round-9 composition: the batch restricts the PROBE INPUT (the
+        # window ranks <= QUERY_BATCH_MAX rows), not the rank stream
+        eb = e.join(F.broadcast(query_batch_ids(raw)), "vec_id")
+        probes = ivf_assignment(eb, auto_centroids(e, cells=cells),
                                 auto_nprobe(cells))
-        probes = ranked.join(F.broadcast(query_batch_ids(raw)), "vec_id")
         plan = formatted_plan(probes)
         assert "BroadcastHashJoin" in plan, plan
         assert "SortMergeJoin" not in plan, (
-            f"query-batch restriction shuffled the rank stream: {plan}"
+            f"query-batch restriction shuffled the corpus: {plan}"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_round9_two_level_members_no_window_no_shuffle_join(spark, sf_dir):
+    """The two-level build assignment's plan contract (VERDICT r8 #1):
+    member assignment must stay MAP-SIDE — the top-S super ranking and
+    the member-cell argmax are in-row folds against broadcast single
+    rows, so the corpus side of the plan may contain NO Window (a
+    window rank would mean the flat n x cells assignment came back) and
+    NO SortMergeJoin (a shuffle join would mean the corpus is being
+    joined row-by-row to fetch vectors or cells).  Asserted with
+    autobroadcast disabled so size estimates cannot mask either."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        from pyspark_text_classification_spark.operators.similarity import (
+            IVF_AUTO_MIN_CELLS,
+            refined_centroids,
+            two_level_index,
+            two_level_members,
+            with_norms,
+        )
+        from pyspark_text_classification_spark.plans.explain import (
+            formatted_plan,
+        )
+        from pyspark_text_classification_spark.sources.parquet import (
+            load_table,
+        )
+        import math
+
+        raw = load_table(spark, sf_dir, "embeddings")
+        e = with_norms(raw)
+        n_total = raw.count()
+        cells = max(IVF_AUTO_MIN_CELLS, math.isqrt(n_total))
+        cents = refined_centroids(e, n_total, cells)
+        plan = formatted_plan(
+            two_level_members(e, two_level_index(cents, cells))
+        )
+        assert "Window" not in plan, (
+            f"two-level member assignment plans a window rank: {plan}"
+        )
+        assert "SortMergeJoin" not in plan, (
+            f"two-level member assignment shuffle-joins the corpus: {plan}"
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
