@@ -242,6 +242,8 @@ HEADLINE = [
     "similarity_stream_ivf_append",
     "similarity_ivf_append_recall",
     "similarity_filtered_ann",
+    # round-9 additions
+    "events_stream_state_ttl",
 ]
 
 

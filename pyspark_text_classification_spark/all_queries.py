@@ -53,6 +53,7 @@ import pyspark_text_classification_spark.streaming.pattern  # noqa: F401
 import pyspark_text_classification_spark.operators.timeseries  # noqa: F401
 import pyspark_text_classification_spark.streaming.cusum  # noqa: F401
 import pyspark_text_classification_spark.streaming.latedrop  # noqa: F401
+import pyspark_text_classification_spark.streaming.ttl  # noqa: F401
 from pyspark_text_classification_spark.registry import ORACLES, QUERIES  # noqa: F401
 
 # --- Driver-sweep ordering -------------------------------------------------

@@ -341,3 +341,137 @@ def test_late_drop_agg_boundary_window_end_equals_watermark(
     assert got.get(day_start(1, 9)) == 1, got   # end > wm: merged + emitted
     assert got.get(day_start(1, 30)) == 1, got
     assert day_us  # (documented unit for the day_start math)
+
+
+def _ttl_drain(spark, feed_dir, multi_file=False):
+    """Drain the state-TTL fold over a feed dir (the registered query's
+    plan with the file-per-batch option for crafted multi-batch feeds)."""
+    import uuid
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from pyspark_text_classification_spark.functions.time import ts_us
+    from pyspark_text_classification_spark.streaming.ttl import (
+        _OUT_SCHEMA,
+        _STATE_SCHEMA,
+        TTL_DELAY,
+        _ttl_group,
+    )
+
+    src = spark.readStream.schema(EVENTS_STREAM_SCHEMA).format("parquet")
+    if multi_file:
+        src = src.option("maxFilesPerTrigger", 1).option(
+            "latestFirst", "false"
+        )
+    stream = (
+        src.load(str(feed_dir))
+        .select(
+            "event_id",
+            "user_id",
+            F.timestamp_micros(ts_us()).alias("event_ts"),
+            ts_us().alias("ts_us"),
+        )
+        .withWatermark("event_ts", TTL_DELAY)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ttl_group,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    name = f"ttl_test_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).collect()
+
+
+def _ttl_feed(tmp_path, batches):
+    """Write one parquet file per batch with mtimes pinning replay order."""
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    d = tmp_path / "ttl_feed"
+    os.makedirs(d)
+    now = time.time()
+    for i, rows in enumerate(batches):
+        b = pd.DataFrame(rows, columns=cols)
+        b["ts"] = pd.to_datetime(b["ts"], unit="us").astype("datetime64[us]")
+        p = d / f"b{i}.parquet"
+        b.to_parquet(str(p), index=False)
+        os.utime(p, (now - 100 * (len(batches) - i), ) * 2)
+    return d
+
+
+def test_state_ttl_evicts_idle_user_between_batches(spark, tmp_path):
+    """The split-batch eviction the TTL twin exists for: user 7's state is
+    created in batch 0, no further user-7 events ever arrive, and user
+    9's later batches advance the watermark past 7's last + TTL — the
+    EventTimeTimeout path must emit 7's session tagged 'timeout' and
+    evict the state, while user 9's still-recent session stays in the
+    store unemitted."""
+    from pyspark_text_classification_spark.streaming.ttl import TTL_MS
+
+    assert TTL_MS == 43_200_000  # the 12h the timings below encode
+    feed = _ttl_feed(
+        tmp_path,
+        [
+            # batch 0: user 7 at 1h and 2h -> state (n=2, last=2h)
+            [
+                (1, 1 * HOUR_US, 7, "click", 1.0, "{}"),
+                (2, 2 * HOUR_US, 7, "click", 1.0, "{}"),
+            ],
+            # batch 1: user 9 at 20h -> after it, wm = 19h > 2h+12h
+            [(3, 20 * HOUR_US, 9, "click", 1.0, "{}")],
+            # batch 2: user 9 again (gap < TTL, same open session); runs
+            # under wm=19h, so user 7's timeout fires HERE — between
+            # batches, not merely at the final no-data sweep
+            [(4, int(20.5 * HOUR_US), 9, "click", 1.0, "{}")],
+        ],
+    )
+    rows = _ttl_drain(spark, feed, multi_file=True)
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert (
+        r.user_id,
+        r.n_events,
+        r.first_us,
+        r.last_us,
+        r.closed_by,
+    ) == (7, 2, 1 * HOUR_US, 2 * HOUR_US, "timeout"), rows
+
+
+def test_state_ttl_boundary_timeout_needs_strictly_greater_watermark(
+    spark, tmp_path
+):
+    """Pins the eviction boundary the bundled corpus cannot hit exactly:
+    a session whose last_ms + TTL equals the final watermark TO THE
+    MILLISECOND is NOT evicted (timeouts fire on wm > ts, strictly);
+    one more millisecond of watermark evicts it.  The registered
+    oracle's strict '<' keep-predicate encodes exactly this — the test
+    fails first if a Spark upgrade flips the comparison."""
+    from pyspark_text_classification_spark.streaming.ttl import TTL_MS
+
+    def drain(max_extra_ms):
+        # user 7 last at 1h; wm_final = floor_ms(max) - 1h delay.
+        # max = 14h + extra -> wm_final = 13h + extra = (1h + TTL) + extra
+        feed = _ttl_feed(
+            tmp_path / f"x{max_extra_ms}",
+            [[
+                (1, 1 * HOUR_US, 7, "click", 1.0, "{}"),
+                (2, 14 * HOUR_US + max_extra_ms * 1000, 9, "click", 1.0,
+                 "{}"),
+            ]],
+        )
+        return {
+            (r.user_id, r.closed_by): r.n_events
+            for r in _ttl_drain(spark, feed)
+        }
+    assert TTL_MS == 43_200_000
+    assert drain(0) == {}, "wm == last+TTL exactly must NOT evict (strict >)"
+    assert drain(1) == {(7, "timeout"): 1}, "one ms past the boundary evicts"
