@@ -363,6 +363,18 @@ def main() -> None:
         except Exception:  # noqa: BLE001 - metric is best-effort, never fatal
             return None
 
+    # Batch-cap convention note (ADVICE r8): above QUERY_BATCH_MAX the
+    # *_auto recall gates evaluate differently-sized query sets —
+    # ann_ivf_auto_recall intersects the FULL-CORPUS lowest-4096 batch
+    # with the 1/16 sample (~256 evaluated queries), while the IVF-PQ /
+    # filtered paths cap the 1/32 SAMPLE itself (up to 4096).  Each twin
+    # pair is internally consistent and every bundled sf sits below the
+    # cap (identical sets), but cross-gate recall comparisons at >cap
+    # scale compare different query populations — read them per-gate,
+    # not against each other.  The asymmetry is kept because the ann
+    # gate reuses the registered serving query's OUTPUT verbatim (its
+    # batch is the corpus's lowest ids), which is worth more than
+    # cross-gate symmetry.
     ann_recall = _recall_of("similarity_recall_eval")
     pq_recall = _recall_of("similarity_pq_recall")
     ivf_pq_recall = _recall_of("similarity_ivf_pq_recall")

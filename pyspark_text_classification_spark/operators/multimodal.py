@@ -150,6 +150,15 @@ def _decode_png(b: bytes) -> "np.ndarray":
     while i + 8 <= len(b):
         size = int.from_bytes(b[i : i + 4], "big")
         typ = b[i + 4 : i + 8]
+        # bounds-check the declared length against the remaining buffer:
+        # a malformed length would otherwise silently truncate the data
+        # slice (or skip past IEND) and surface later as an opaque
+        # zlib/frombuffer error instead of a parse error (ADVICE r8)
+        if i + 12 + size > len(b):
+            raise ValueError(
+                f"truncated chunk: {typ!r} declares {size} bytes with "
+                f"{len(b) - i - 12} available"
+            )
         data = b[i + 8 : i + 8 + size]
         if typ == b"IHDR":
             w = int.from_bytes(data[0:4], "big")

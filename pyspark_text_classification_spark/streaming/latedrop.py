@@ -110,6 +110,23 @@ def feed_strides(events: DataFrame, *etypes: str) -> dict[str, int]:
     }
 
 
+def assert_feed_bounded(n_rows: int, n_types: int) -> None:
+    """feed_strides' bound is only PROBABILISTIC: event_id % k == 0 keeps
+    ~n/k rows per type only while ids are roughly uniform mod k within
+    the type (true of the bundled corpus; an adversarial id distribution
+    could collect far more).  Correctness is unaffected — the oracles
+    mirror the predicate — but the driver-side collect's size contract
+    would silently break, so the feed builders fail loudly past 4x the
+    documented budget (ADVICE r8)."""
+    cap = 4 * LATEDROP_FEED_MAX * n_types
+    if n_rows > cap:
+        raise AssertionError(
+            f"stride-sampled feed collected {n_rows} rows > {cap} "
+            f"(4 x LATEDROP_FEED_MAX x {n_types} types): "
+            "event_ids are skewed mod k; rethink the stride"
+        )
+
+
 def sql_feed_stride(etype: str) -> str:
     """The DuckDB twin of one type's stride predicate body (ceil via
     integer arithmetic on the same exact count)."""
@@ -206,6 +223,7 @@ def out_of_order_feed(
         .select(cols)
         .toPandas()
     )
+    assert_feed_bounded(len(pdf), 2)
     us = pdf["ts"].astype("datetime64[us]").astype("int64")
     is_signup = pdf["event_type"].eq("signup")
     b0 = pdf[~is_signup]
@@ -403,7 +421,17 @@ def late_agg_feed(spark: SparkSession, events: DataFrame, tmp: str) -> str:
         .select(cols)
         .toPandas()
     )
+    assert_feed_bounded(len(pdf), 1)
     us = pdf["ts"].astype("datetime64[us]").astype("int64")
+    # the oracle's HAVING boundary hard-codes the FINAL watermark as
+    # f(AGG_NUDGE_US), which is only the global max while every real
+    # click precedes the nudge — true of the bundled corpora (they end
+    # 2024-01-30) but an unchecked data assumption: fail loudly here
+    # instead of hash-mismatching on a future fixture (ADVICE r8)
+    assert us.max() < AGG_NUDGE_US, (
+        f"late_agg_feed: click max ts {us.max()} >= the 2024-03-01 nudge; "
+        "the oracle's final-watermark boundary no longer holds"
+    )
     b0 = pdf[us >= T_SPLIT_US]
     b2 = pdf[us < T_SPLIT_US]
 

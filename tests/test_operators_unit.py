@@ -766,6 +766,17 @@ def test_decode_media_roundtrips_png_all_filters():
     with pytest.raises(ValueError):
         _decode_png(b"\x89PNG\r\n\x1a\nnot-a-chunk")
 
+    # a malformed chunk length must fail as a PARSE error at the walk,
+    # not as an opaque zlib/frombuffer error later (ADVICE r8): truncate
+    # the valid payload mid-chunk and corrupt a length field upward
+    with pytest.raises(ValueError, match="truncated chunk"):
+        # cuts IEND plus two CRC bytes of the preceding IDAT, so the
+        # IDAT header is readable but its declared extent overruns
+        _decode_png(png[: len(png) - 14])
+    huge_len = png[:8] + b"\x7f\xff\xff\xff" + png[12:]
+    with pytest.raises(ValueError, match="truncated chunk"):
+        _decode_png(huge_len)
+
 
 def test_decode_media_png_chunk_walk_split_idat_and_ancillary():
     """The PNG chunk walk is real, not single-chunk: the SAME image
