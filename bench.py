@@ -332,6 +332,22 @@ def main() -> None:
         sum(timings[n] for n in CORE_50 if n in timings), 4
     )
 
+    # Machine-readable per-query artifact (VERDICT r8 #6): the driver
+    # records only the tail summary line, so per-query timings used to
+    # live in SURVEY prose and regression adjudication was manual.  The
+    # detail file is committed per round as BENCH_r{N}_detail.json.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_detail.json"),
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {"sf": sf_dir, "loadavg1_start": loadavg1_start,
+             "queries": timings},
+            fh, indent=1, sort_keys=True,
+        )
+
     sf_raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf = float(sf_raw) if sf_raw.replace(".", "").isdigit() else sf_raw
     print(
