@@ -220,22 +220,24 @@ def _apply_driver_order() -> None:
 # list to CHANGED-THIS-ROUND names only in spirit; the artifact-aware
 # sort cannot know what changed without this declaration).
 #
-# Round 8: the five query-batch-capped _auto serving/recall queries
-# (hash-unchanged at sf0.01 below the cap, but the probe path changed),
-# multimodal_decode_stats (new %4 payload scheme -> different rows), and
-# the late-drop join (stride-sampled replay fixture).  The four
-# n_indexed-stamped baselines changed only their coverage-stamp formula
-# (values identical below the cap, re-proven by pytest) and were
-# re-greened in r7, so they are NOT listed — their slots go to flushing
-# the 37 r2-vintage greens (round-8 verdict item 2).
+# Round 9: the six *_auto serving-family queries whose coarse layer
+# became Lloyd-refined + two-level (hashes genuinely changed — new
+# centroids, new member layout) and the two kNN serving queries that
+# adopted the swept weighted@9 config (metric values changed).  The new
+# events_stream_state_ttl is NOT listed (never-checked names sort ahead
+# on their own).  Slot budget: 8 rechecks + 1 new leave 41 slots for the
+# r3-vintage flush — 41 of the 47 r3 greens re-drive this round, the
+# remaining 6 in round 10 (the verdict's 'budget accordingly' case:
+# executing items 1-4 made the changed set 8, one over round 8's 7).
 ROUND_RECHECK = [
     "similarity_ann_ivf_auto",
     "similarity_ann_ivf_auto_recall",
     "similarity_ivf_pq_auto",
     "similarity_ivf_pq_auto_recall",
     "similarity_auto_rerank_recall",
-    "multimodal_decode_stats",
-    "events_stream_late_drop_join",
+    "similarity_filtered_ann",
+    "similarity_knn_classify",
+    "similarity_knn_regression",
 ]
 
 
