@@ -755,7 +755,7 @@ def _ivf_pq_scored(spark: SparkSession, sf_dir: str, auto_cells: bool = False):
         # stacking on IVF pruning (see similarity.py's
         # IVFPQ_AUTO_NPROBE_* rationale).  The build assignment is the
         # round-9 two-level map-side shape over Lloyd-refined centroids
-        # (similarity.two_level_members — ~n x 2·n^(1/4) distance work
+        # (similarity.two_level_members — ~n x 4·n^(1/4) distance work
         # instead of the flat n x cells ~ n^1.5); the bounded query
         # batch ranks ALL cells exactly (batch x cells is sublinear).
         n_total = load_table(spark, sf_dir, "embeddings").count()

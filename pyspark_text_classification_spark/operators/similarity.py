@@ -1890,7 +1890,7 @@ def auto_centroids(
 # work (round-8 verdict's named scale-killer).  The fix is FAISS's
 # IVF-in-IVF recipe: group the cells into ~sqrt(cells) SUPER-cells, route
 # each vector to its nearest super first, then rank only that super's
-# member cells — ~n x 2·n^(1/4) distance work instead of n x n^(1/2).
+# member cells — ~n x 4·n^(1/4) distance work instead of n x n^(1/2).
 # Only the CORPUS-sized build assignment goes two-level; the QUERY side
 # (nprobe cells per probe) ranks all cells exactly, because the batch is
 # already capped at QUERY_BATCH_MAX — batch x cells ~ 4096·sqrt(n) is
@@ -2281,7 +2281,7 @@ def similarity_ann_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest of ~sqrt(cells) super-cells, then rank only that super's
     member cells) — the round-9 shape that removes the last superlinear
     build term: flat assignment was n x cells ~ n^1.5 distance work,
-    two-level is ~n x 2·n^(1/4), and both in-row folds are MAP-SIDE
+    two-level is ~n x 4·n^(1/4), and both in-row folds are MAP-SIDE
     against broadcast arrays, so the corpus is never shuffled to be
     assigned (round-7/8 shape kept).
 
