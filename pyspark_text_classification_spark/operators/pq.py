@@ -1112,10 +1112,21 @@ def similarity_ivf_pq_auto_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     max(16, floor(sqrt(n))) variant a 100 TB deployment actually runs.
     More cells at fixed nprobe prune harder, so this bound is expected
     at-or-below the fixed-cell recall at small n and is the number to
-    watch when tuning nprobe upward with corpus growth."""
-    ann = similarity_ivf_pq_auto(spark, sf_dir).select(
-        F.col("q_id").alias("vec_id"), "neighbor_id"
+    watch when tuning nprobe upward with corpus growth.  The served
+    output is BOUNDED (<= QUERY_BATCH_MAX x k rows), so it takes a
+    plans.shared session slot: the gate re-reads the index's answers
+    instead of rebuilding the index when the serving query already ran
+    this session."""
+    from pyspark_text_classification_spark.plans.shared import (
+        shared_intermediate,
     )
+
+    ann = shared_intermediate(
+        spark,
+        sf_dir,
+        "ivf_pq_auto_served",
+        lambda: similarity_ivf_pq_auto(spark, sf_dir),
+    ).select(F.col("q_id").alias("vec_id"), "neighbor_id")
     return _recall_vs_exact(spark, sf_dir, ann, batch_cap=True)
 
 

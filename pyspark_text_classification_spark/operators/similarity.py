@@ -2843,9 +2843,22 @@ def similarity_ann_ivf_auto_recall(spark: SparkSession, sf_dir: str) -> DataFram
     Per-query independence means filtering the registered ann_ivf_auto
     OUTPUT to the sample equals restricting its probes to the sample
     (the oracle does the latter — cheaper), so this gate measures
-    exactly the plan users run."""
+    exactly the plan users run.  The served output is BOUNDED
+    (<= QUERY_BATCH_MAX x k rows) so it takes a plans.shared session
+    slot: in a sequential sweep or bench the gate re-reads the index's
+    answers instead of rebuilding the index — exactly how a quality
+    dashboard consumes a served snapshot."""
+    from pyspark_text_classification_spark.plans.shared import (
+        shared_intermediate,
+    )
+
     ann = (
-        similarity_ann_ivf_auto(spark, sf_dir)
+        shared_intermediate(
+            spark,
+            sf_dir,
+            "ann_ivf_auto_served",
+            lambda: similarity_ann_ivf_auto(spark, sf_dir),
+        )
         .filter(F.pmod(F.col("vec_id"), F.lit(RECALL_SAMPLE_MOD)) == 0)
         .select("vec_id", "neighbor_id")
     )
