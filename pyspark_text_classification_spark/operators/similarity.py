@@ -1850,8 +1850,11 @@ def auto_centroids(
     count_src: DataFrame | None = None,
     cells: int | None = None,
 ) -> DataFrame:
-    """(cent_id, cv, cnrm): the corpus-sized centroid set — the Spark
-    twin of sql_auto_cells_cte, shared by every *_auto operator.
+    """(cent_id, cv, cnrm): the corpus-sized SEED centroid set — the
+    Spark twin of sql_auto_cells_cte.  kmeans_auto, dedup_semantic_auto,
+    nprobe_sweep and the ivf_append trilogy consume it directly; the
+    round-9 *_auto SERVING family seeds from it inside
+    refined_centroids and serves the Lloyd-refined result.
 
     c = max({IVF_AUTO_MIN_CELLS}, floor(sqrt(count))) comes from ONE
     bounded count() action (math.isqrt == the engines' correctly-rounded
@@ -2366,9 +2369,10 @@ def similarity_ann_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_kmeans_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd iteration with the cluster count SIZED FROM THE CORPUS:
-    k = max({IVF_AUTO_MIN_CELLS}, floor(sqrt(n))) — the same rule the
-    *_auto ANN/dedup/serving operators share (auto_centroids /
-    sql_auto_cells_cte, so it cannot fork), applied to the clustering
+    k = max({IVF_AUTO_MIN_CELLS}, floor(sqrt(n))) — the same rule every
+    *_auto operator sizes with (and the rule the round-9 serving family
+    SEEDS from before its sample-bounded Lloyd refinement; this query
+    IS that refinement step at full-corpus grain), applied to the clustering
     family: similarity_kmeans_step runs the fixed-{IVF_CELLS} small
     oracle, this is the shape a web-scale partitioner actually trains
     (SemDeDup's ~50k clusters on LAION is exactly sqrt-order sizing).
@@ -2447,8 +2451,11 @@ def similarity_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The fixture splits the corpus deterministically at half = n // 2
     (one count, mirrored in the oracle): vec_id < half is the standing
-    index — its centroids are the same sqrt-sized rule the *_auto
-    family shares, computed over the EXISTING half only — and
+    index — its centroids are the sqrt-sized SEED rule (auto_centroids,
+    the lowest ids of the existing half; deliberately NOT round 9's
+    Lloyd-refined serving layout — the append trilogy's premise is
+    serving a stale standing index, and migrating it is deferred on
+    recheck-slot budget, SURVEY round-9 note 8) — and
     vec_id >= half is the arriving batch.  Output is the per-cell
     balance after the append (n_existing / n_appended / n_total), the
     report an operator reads to decide when drift or skew warrants a

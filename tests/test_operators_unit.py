@@ -828,3 +828,95 @@ def test_decode_media_png_chunk_walk_split_idat_and_ancillary():
     )
     assert split != one
     assert np.array_equal(_decode_png(split), img)
+
+
+def test_two_level_quantizer_edges(spark, sf_dir):
+    """Edge semantics of the round-9 two-level coarse quantizer that the
+    bundled corpus cannot force:
+
+    - cell_to_super must FORCE supers to map to themselves: with two
+      IDENTICAL centroids where one is a super, pure rank-1 would strand
+      the higher-id super with zero member cells (self-cosine is not
+      exactly 1.0 in floats, so 'a super keeps its own cell' is not a
+      geometric given);
+    - refined_centroids must keep a seed's own vector when its Lloyd
+      sample slice is empty (the COALESCE arm);
+    - two_level_members must assign EVERY vector exactly once on real
+      data (a stranded super or empty member union would drop rows
+      silently into the candidate join)."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pyspark_text_classification_spark.operators.similarity import (
+        IVF_AUTO_MIN_CELLS,
+        cell_to_super,
+        refined_centroids,
+        super_centroids,
+        two_level_index,
+        two_level_members,
+        with_norms,
+    )
+    from pyspark_text_classification_spark.sources.parquet import load_table
+
+    # --- forced self-map on identical centroids -------------------------
+    def vec(i, dims=6):
+        v = [0.0] * dims
+        v[i] = 1.0
+        return v
+
+    cents_rows = [
+        (0, vec(0), 1.0),
+        (1, vec(0), 1.0),  # identical to super 0; rank-1 alone -> 0
+        (2, vec(2), 1.0),
+        (3, vec(3), 1.0),
+        (4, vec(4), 1.0),
+        (5, vec(5), 1.0),
+    ]
+    cents = spark.createDataFrame(
+        cents_rows, "cent_id LONG, cv ARRAY<DOUBLE>, cnrm DOUBLE"
+    )
+    sup = super_centroids(cents, 4)  # supers = cents 0..3
+    c2s = {r.cent_id: r.super_id for r in cell_to_super(cents, sup).collect()}
+    assert c2s[1] == 1, c2s  # the forced self-edge (rank-1 says 0)
+    for s in (0, 2, 3):
+        assert c2s[s] == s, c2s
+    assert len(c2s) == 6 and None not in c2s.values(), c2s
+
+    # --- empty-seed COALESCE in the Lloyd refinement ---------------------
+    # 600 rows, 17-dim one-hots: seeds are ids 0..15 (= e_i); stride =
+    # ceil(600 / (16*16)) = 3, so only ids % 3 == 0 are sampled — seeds
+    # 1, 2, 4, 5, ... receive NO sample members and must keep their
+    # seed vector verbatim
+    n_rows, dims = 600, 17
+    rows = [
+        (i, vec(i, dims) if i < 16 else vec(16, dims)) for i in range(n_rows)
+    ]
+    e = with_norms(
+        spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    )
+    cells = max(IVF_AUTO_MIN_CELLS, math.isqrt(n_rows))  # 24
+    ref = {r.cent_id: r.cv for r in refined_centroids(e, n_rows, cells).collect()}
+    assert len(ref) == min(cells, n_rows) == 24
+    assert ref[1] == vec(1, dims), ref[1]   # unsampled seed: kept verbatim
+    assert ref[4] == vec(4, dims), ref[4]
+    assert ref[3] == vec(3, dims), ref[3]   # sampled, sole member: mean==self
+
+    # --- member totality on real data ------------------------------------
+    raw = load_table(spark, sf_dir, "embeddings")
+    er = with_norms(raw)
+    n_total = raw.count()
+    c = max(IVF_AUTO_MIN_CELLS, math.isqrt(n_total))
+    cr = refined_centroids(er, n_total, c)
+    m = two_level_members(er, two_level_index(cr, c)).select(
+        "vec_id", "cent_id"
+    )
+    got = m.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("vec_id").alias("d"),
+        F.min("cent_id").alias("mn"),
+    ).collect()[0]
+    assert got.n == n_total and got.d == n_total, got
+    assert got.mn >= 0, got  # the fold's -1 sentinel never leaks
+    assert np is not None
