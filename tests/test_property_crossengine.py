@@ -832,3 +832,96 @@ def test_feed_stride_ceil_div_matches_duckdb(n):
     assert kept <= LATEDROP_FEED_MAX + (1 if n > LATEDROP_FEED_MAX else 0), (
         n, k_py, kept,
     )
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),  # sparse/offset ids
+            st.lists(
+                st.floats(
+                    min_value=-1.0,
+                    max_value=1.0,
+                    allow_nan=False,
+                    allow_infinity=False,
+                    width=32,
+                ),
+                min_size=4,
+                max_size=4,
+            ),
+        ),
+        min_size=5,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_two_level_ann_matches_oracle_on_arbitrary_corpora(
+    spark, tmp_path_factory, rows
+):
+    """The round-9 two-level Lloyd-refined serving query must agree with
+    its registered DuckDB oracle on ARBITRARY small corpora, not just the
+    synthetic tables: random float32 vectors (duplicates allowed — they
+    exercise the identical-centroid/forced-self-map ties), sparse
+    non-dense ids (the lowest-ids-PRESENT seed rule), and corpus sizes
+    straddling the IVF_AUTO_MIN_CELLS floor.  This is the full chain —
+    count -> seeds -> stride sample -> Lloyd means -> supers -> two-level
+    members -> batch probes -> candidate cosines -> rounded top-k —
+    hash-compared end to end."""
+    import duckdb as ddb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark_text_classification_spark.all_queries import ORACLES, QUERIES
+
+    # a zero vector has nrm 0 -> NaN cosines (excluded corpus-wide, the
+    # module-level contract) — force |v[0]| >= 0.5 so no vector can be
+    # all-zero (a plain +0.5 nudge recreated zero at v[0] == -0.5)
+    fixed = [
+        (i, [v[0] + 0.5 if v[0] >= 0 else v[0] - 0.5] + v[1:])
+        for i, v in rows
+    ]
+    d = tmp_path_factory.mktemp("prop_ann")
+    tbl = pa.Table.from_pandas(
+        pd.DataFrame(
+            {
+                "vec_id": [i for i, _ in fixed],
+                "embedding": [v for _, v in fixed],
+                "label": [i % 3 for i, _ in fixed],
+            }
+        ),
+        schema=pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+                ("label", pa.int64()),
+            ]
+        ),
+    )
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+
+    got = sorted(
+        (r.vec_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in QUERIES["similarity_ann_ivf_auto"](spark, str(d)).collect()
+    )
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
+    want = sorted(
+        (int(v), int(n), float(c), int(rk))
+        for v, n, c, rk in con.execute(
+            ORACLES["similarity_ann_ivf_auto"]
+        ).fetchall()
+    )
+    assert got == want, (
+        f"two-level ANN diverged on a {len(fixed)}-row corpus:\n"
+        f"spark-only={set(got) - set(want)}\n"
+        f"oracle-only={set(want) - set(got)}"
+    )
