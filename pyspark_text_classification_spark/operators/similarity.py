@@ -1941,8 +1941,15 @@ def refined_centroids(e: DataFrame, n_total: int, cells: int) -> DataFrame:
     machinery (quantized integer per-dim sums, so cross-engine means are
     exact; round_half_up to 4 decimals) applied as index TRAINING.
     Seeds whose sample slice is empty keep their seed vector (COALESCE,
-    both engines).  Norms are recomputed from the refined vectors with
-    the shared sqrt-of-fold formula."""
+    both engines), and so does a seed whose refined mean rounds to the
+    ALL-ZERO vector (near-opposed members cancelling per-dim): a
+    zero-norm centroid would make every cosine against it NaN (0/0),
+    and the engines order NaN differently (the in-row strict-'>' folds
+    skip it, window/ORDER BY sort it first) — the guard keeps both the
+    Spark fold and the DuckDB cents CTE on real nonzero vectors, the
+    invariant the seed-only layout had for free (seeds are corpus
+    vectors; ADVICE r9).  Norms are recomputed from the refined vectors
+    with the shared sqrt-of-fold formula."""
     seeds = auto_centroids(e, cells=cells)
     stride = lloyd_stride(n_total, cells)
     samp = e.filter(F.pmod(F.col("vec_id"), F.lit(stride)) == 0)
@@ -1970,7 +1977,13 @@ def refined_centroids(e: DataFrame, n_total: int, cells: int) -> DataFrame:
             lambda s: s["val"],
         ).alias("rv")
     )
-    cv = F.coalesce(F.col("rv"), F.col("cv"))
+    # zero-norm guard: a refined vector that rounded to all zeros falls
+    # back to its (nonzero, corpus-vector) seed — mirrored in the cents
+    # CTE of sql_two_level_cells_cte
+    rnorm0 = _fold_sum(F.transform(F.col("rv"), lambda x: x * x)) == 0
+    cv = F.when(F.col("rv").isNull() | rnorm0, F.col("cv")).otherwise(
+        F.col("rv")
+    )
     # rv is cells-sized: explicit broadcast so the refine join never
     # becomes a shuffle join of the (equally small) seed table
     return seeds.join(F.broadcast(rv), "cent_id", "left").select(
@@ -2072,7 +2085,11 @@ def two_level_members(e: DataFrame, idx: DataFrame) -> DataFrame:
     union — the corpus is never shuffled to be assigned.  Total
     distance work is n x (supers + S x cells/supers) ~ n x 4·n^(1/4)
     instead of the flat argmax's n x cells ~ n^(3/2).  Tie semantics
-    match the oracle's (cos DESC, id) ranks at both levels."""
+    match the oracle's (cos DESC, id) ranks at both levels.  The
+    comparator and the member fold both treat NaN as unordered, which
+    is safe because no cosine here can BE NaN: corpus vectors are
+    nonzero by fixture contract and refined_centroids' zero-norm guard
+    keeps every centroid nonzero (ADVICE r9)."""
     withs = e.crossJoin(F.broadcast(idx))
     scored = F.transform(
         F.col("ss"),
@@ -2196,12 +2213,21 @@ def sql_two_level_cells_cte(src: str) -> str:
       SELECT cent_id, list(val ORDER BY dim) AS rv FROM tlrm GROUP BY cent_id
     ),
     cents AS (
-      SELECT s.cent_id,
-             COALESCE(r.rv, s.cv) AS cv,
+      -- zero-norm guard (ADVICE r9): a refined vector that rounded to
+      -- all zeros falls back to its nonzero seed, like an empty slice
+      SELECT cent_id, cv,
              sqrt(list_reduce(list_prepend(0.0,
-               list_transform(COALESCE(r.rv, s.cv), x -> x * x)),
+               list_transform(cv, x -> x * x)),
                (acc, x) -> acc + x)) AS cnrm
-      FROM tlseed s LEFT JOIN tlrv r ON r.cent_id = s.cent_id
+      FROM (
+        SELECT s.cent_id,
+               CASE WHEN r.rv IS NULL
+                      OR list_reduce(list_prepend(0.0,
+                           list_transform(r.rv, x -> x * x)),
+                           (acc, x) -> acc + x) = 0
+                    THEN s.cv ELSE r.rv END AS cv
+        FROM tlseed s LEFT JOIN tlrv r ON r.cent_id = s.cent_id
+      )
     ),
     sup AS (
       SELECT cent_id AS super_id, cv AS sv, cnrm AS snrm

@@ -119,7 +119,31 @@ def _ttl_group(
 
 def stream_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream(events) -> watermark -> EventTimeTimeout TTL fold ->
-    append-mode memory sink, drained with availableNow."""
+    append-mode memory sink, drained with availableNow.
+
+    SINGLE-DATA-BATCH CONTRACT (ADVICE r9): the batch oracle labels
+    every non-final session 'gap', which matches the stream only when
+    the whole corpus arrives in ONE data batch (wm=0 during it, so no
+    mid-stream timeout can fire; the availableNow no-data sweep then
+    closes idle finals as 'timeout').  Under a multi-file source a user
+    evicted by a MID-stream timeout who later returns would emit that
+    session as 'timeout' where the oracle says 'gap'
+    (test_state_ttl_evicts_idle_user_between_batches proves mid-stream
+    timeouts do fire).  The glob below is therefore asserted to match
+    exactly one file so a future multi-file fixture fails loudly here
+    instead of hash-mismatching on closed_by."""
+    import glob as _glob
+    import os as _os
+
+    matches = _glob.glob(_os.path.join(sf_dir, "events.parquet"))
+    if len(matches) != 1 or not _os.path.isfile(matches[0]):
+        raise ValueError(
+            "events_stream_state_ttl's batch oracle assumes ONE data "
+            f"batch = one single-file source; {sf_dir!r} has "
+            f"{[m for m in matches]} (need exactly one regular file "
+            "named events.parquet — directory-parquet sources also "
+            "match nothing under pathGlobFilter)"
+        )
     src = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .format("parquet")
@@ -160,7 +184,11 @@ def stream_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (strictly > TTL_US starts a new session), keeping every non-final
 # session (the data path closed it) plus final sessions the final
 # watermark evicted (strict ms-floor arithmetic, the shared watermark
-# mirror: floor_ms(max ts) - delay).
+# mirror: floor_ms(max ts) - delay).  The 'gap' label on every
+# non-final session is only correct under the SINGLE-DATA-BATCH
+# contract stream_state_ttl asserts on its source glob (see its
+# docstring): with multiple data batches a mid-stream timeout could
+# close a non-final session as 'timeout'.
 query(
     "events_stream_state_ttl",
     oracle=f"""

@@ -925,3 +925,115 @@ def test_two_level_ann_matches_oracle_on_arbitrary_corpora(
         f"spark-only={set(got) - set(want)}\n"
         f"oracle-only={set(want) - set(got)}"
     )
+
+
+def test_two_level_zero_norm_refined_centroid_falls_back_to_seed(
+    spark, tmp_path_factory
+):
+    """ADVICE r9: a cell whose sampled members' quantized per-dim means
+    all round to 0 used to produce an ALL-ZERO refined centroid —
+    cnrm=0, NaN (0/0) cosines, and a cross-engine fork (the in-row
+    strict-'>' folds skip NaN, window/ORDER BY sort it first).  This
+    corpus forces exactly that cell: seed 1 is outside the Lloyd stride
+    sample, and the only two sampled vectors routing to it are
+    near-opposed (tiny +dim1 component each, +-1 on a non-seed axis),
+    so their quantized mean is the zero vector.  The guard must fall
+    back to the seed vector in BOTH engines, pinned two ways: the
+    refined centroid table keeps seed 1 verbatim with a nonzero norm,
+    and the full registered serving query still hash-matches its
+    DuckDB oracle on this corpus."""
+    import math
+
+    import duckdb as ddb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark_text_classification_spark.all_queries import ORACLES, QUERIES
+    from pyspark_text_classification_spark.operators.similarity import (
+        IVF_AUTO_MIN_CELLS,
+        lloyd_stride,
+        refined_centroids,
+        with_norms,
+    )
+
+    n_rows, dims, delta = 600, 26, 4e-05
+    cells = max(IVF_AUTO_MIN_CELLS, math.isqrt(n_rows))  # 24
+    stride = lloyd_stride(n_rows, cells)
+    assert stride > 1 and 1 % stride != 0  # seed 1 outside the sample
+    special = [i for i in range(cells, n_rows) if i % stride == 0][:2]
+    assert len(special) == 2
+
+    def vec(i):
+        v = [0.0] * dims
+        v[i] = 1.0
+        return v
+
+    def opposed(sign):
+        v = [0.0] * dims
+        v[1] = delta          # argmax-routes to seed 1 (cos > 0, rest 0)
+        v[dims - 1] = sign    # cancels pairwise on a non-seed axis
+        return v
+
+    rows = []
+    for i in range(n_rows):
+        if i < cells:
+            rows.append((i, vec(i)))
+        elif i == special[0]:
+            rows.append((i, opposed(1.0)))
+        elif i == special[1]:
+            rows.append((i, opposed(-1.0)))
+        else:
+            rows.append((i, vec(2)))
+    d = tmp_path_factory.mktemp("zero_norm_cell")
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "vec_id": [i for i, _ in rows],
+                    "embedding": [v for _, v in rows],
+                    "label": [i % 3 for i, _ in rows],
+                }
+            ),
+            schema=pa.schema(
+                [
+                    ("vec_id", pa.int64()),
+                    ("embedding", pa.list_(pa.float32())),
+                    ("label", pa.int64()),
+                ]
+            ),
+        ),
+        str(d / "embeddings.parquet"),
+    )
+
+    # --- the guard fires: seed 1's cell refines to zero, keeps the seed
+    e = with_norms(spark.read.parquet(str(d / "embeddings.parquet")))
+    ref = {
+        r.cent_id: (r.cv, r.cnrm)
+        for r in refined_centroids(e, n_rows, cells).collect()
+    }
+    assert ref[1][0] == vec(1), ref[1]
+    assert ref[1][1] == 1.0, ref[1]
+    assert all(c[1] > 0 for c in ref.values())
+
+    # --- and the registered query still matches its oracle end to end
+    got = sorted(
+        (r.vec_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in QUERIES["similarity_ann_ivf_auto"](spark, str(d)).collect()
+    )
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
+    want = sorted(
+        (int(v), int(n), float(c), int(rk))
+        for v, n, c, rk in con.execute(
+            ORACLES["similarity_ann_ivf_auto"]
+        ).fetchall()
+    )
+    assert got == want, (
+        f"zero-norm-guard corpus diverged:\n"
+        f"spark-only={set(got) - set(want)}\n"
+        f"oracle-only={set(want) - set(got)}"
+    )

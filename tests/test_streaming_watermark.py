@@ -475,3 +475,32 @@ def test_state_ttl_boundary_timeout_needs_strictly_greater_watermark(
     assert TTL_MS == 43_200_000
     assert drain(0) == {}, "wm == last+TTL exactly must NOT evict (strict >)"
     assert drain(1) == {(7, "timeout"): 1}, "one ms past the boundary evicts"
+
+
+def test_state_ttl_rejects_multi_file_and_directory_sources(spark, tmp_path):
+    """ADVICE r9: the registered TTL oracle labels every non-final
+    session 'gap', which is only correct when the whole corpus arrives
+    as ONE data batch — i.e. the glob resolves to exactly one regular
+    file.  A directory-parquet events.parquet (what a 10x fixture
+    builder writes by default) or a missing file must fail loudly in
+    stream_state_ttl rather than hash-mismatching on closed_by (or
+    silently running an empty stream: pathGlobFilter matches nothing
+    on directories)."""
+    import pytest
+
+    from pyspark_text_classification_spark.streaming.ttl import (
+        stream_state_ttl,
+    )
+
+    # directory named events.parquet (Spark-style directory output)
+    d = tmp_path / "dirsrc"
+    (d / "events.parquet").mkdir(parents=True)
+    (d / "events.parquet" / "part-00000.parquet").write_bytes(b"")
+    with pytest.raises(ValueError, match="ONE data batch"):
+        stream_state_ttl(spark, str(d))
+
+    # missing file entirely
+    e = tmp_path / "emptysrc"
+    e.mkdir()
+    with pytest.raises(ValueError, match="ONE data batch"):
+        stream_state_ttl(spark, str(e))
