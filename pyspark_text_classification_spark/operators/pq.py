@@ -120,14 +120,20 @@ def _d2(a: str, b: str) -> F.Column:
     )
 
 
-# Lloyd step count — a measured quality/cost knob, deliberately 1.
-# At sf0.01 the 1/32-sample recall climbs 0.50 -> 0.575 over steps 1 -> 3,
-# but at sf0.1 (the tracked bench metric) extra steps DON'T transfer
-# (pq 0.4222 -> 0.4127, rerank flat) while every PQ query's training cost
-# roughly doubles — the seed-codebook geometry, not the update count, is
-# the binding constraint at larger n.  The loop below supports any count;
-# the oracle unrolls the identical recurrence via _sql_lloyd_step.
-PQ_LLOYD_STEPS = 1
+# Lloyd step count — a measured quality/cost knob, re-measured per layout.
+# History: with the r3 LOWEST-ID seeds, extra steps didn't transfer at
+# sf0.1 (pq 0.4222 -> 0.4127, rerank flat) — the seed geometry was the
+# binding constraint, so the knob stayed at 1.  The r7 SPREAD seeds
+# changed that constraint, and re-measuring under them (round 10, sf0.1)
+# inverted the old null: steps 1 -> 2 lifts pq_recall 0.654 -> 0.6984,
+# ivf_pq_recall 0.5016 -> 0.5238, and the composed serving gate
+# ivf_pq_auto_recall 0.5651 -> 0.6159 (clearing the 0.60 bar), with the
+# exact-rerank gates flat (0.6349 / 0.7556 — rerank quality is bounded
+# by the candidate shortlist, not ADC precision) for one extra
+# assign/mean round of linear training cost.  The loop below supports
+# any count; the oracle unrolls the identical recurrence via
+# _sql_lloyd_step.
+PQ_LLOYD_STEPS = 2
 
 
 def pq_codebook_refined(e: DataFrame) -> DataFrame:
