@@ -244,6 +244,9 @@ HEADLINE = [
     "similarity_filtered_ann",
     # round-9 additions
     "events_stream_state_ttl",
+    # round-10 additions
+    "similarity_ivf_delete",
+    "similarity_ivf_delete_recall",
 ]
 
 
@@ -399,6 +402,7 @@ def main() -> None:
     rerank_recall = _recall_of("similarity_rerank_recall")
     auto_rerank_recall = _recall_of("similarity_auto_rerank_recall")
     append_recall = _recall_of("similarity_ivf_append_recall")
+    delete_recall = _recall_of("similarity_ivf_delete_recall")
     knn_accuracy = _metric_of("similarity_knn_classify", "accuracy")
 
     # Best kNN configuration from the sweep (k x vote-rule grid priced
@@ -437,6 +441,7 @@ def main() -> None:
                 "rerank_macro_recall": rerank_recall,
                 "auto_rerank_macro_recall": auto_rerank_recall,
                 "ivf_append_macro_recall": append_recall,
+                "ivf_delete_macro_recall": delete_recall,
                 "knn_accuracy": knn_accuracy,
                 "knn_best_accuracy": knn_best_accuracy,
                 "knn_best_config": knn_best_config,

@@ -29,6 +29,16 @@ Discipline (this is a cache, so the rules are strict):
   table or an explicit top-k / sample constant, never a fact-scale
   working set.  The big working sets (pair matrices, candidate joins)
   stay inside their query and are released by ``_finalize``.
+- ONE admitted exception to "provably small": a PERSISTED INDEX
+  ARTIFACT — a frame a production deployment writes to storage at
+  index-build time and that maintenance operations then READ rather
+  than rebuild.  Currently the only occupant is the served IVF member
+  table (``ivf_auto_members_served``: two longs per corpus row, the
+  relational form of FAISS's inverted lists / a Milvus segment's id
+  map), consumed by the index-maintenance queries (deletes) whose
+  whole premise is operating on the STORED layout.  The serving
+  queries themselves deliberately do NOT use this slot — they keep
+  pricing the full build in the bench.
 - Entries are keyed by (applicationId, sf_dir, name); entries from any
   OTHER application are dropped the moment a new session builds, so a
   stopped session's checkpoint blocks become garbage-collectable and

@@ -920,3 +920,64 @@ def test_two_level_quantizer_edges(spark, sf_dir):
     assert got.n == n_total and got.d == n_total, got
     assert got.mn >= 0, got  # the fold's -1 sentinel never leaks
     assert np is not None
+
+
+def test_ivf_delete_balance_and_tombstone_exclusion(spark, sf_dir):
+    """The round-10 delete stage's two contracts, pinned directly:
+
+    - balance exactness: per-cell n_members/n_deleted/n_remaining sum to
+      the corpus / the tombstone count, n_remaining is the subtraction,
+      and needs_compaction is EXACTLY the integer trigger
+      (n_deleted * 100 >= n_members * COMPACT_PCT);
+    - the delete-then-query trap: the served post-delete answers emit NO
+      tombstoned id, neither as a neighbor (the members anti-join) nor
+      as a query (the sample is re-drawn from survivors)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_text_classification_spark.operators.similarity import (
+        COMPACT_PCT,
+        DELETE_MOD,
+        DELETE_REM,
+        _delete_served_ann,
+        similarity_ivf_delete,
+    )
+    from pyspark_text_classification_spark.sources.parquet import load_table
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    n_total = raw.count()
+    n_tomb = raw.filter(
+        F.pmod(F.col("vec_id"), F.lit(DELETE_MOD)) == DELETE_REM
+    ).count()
+    assert 0 < n_tomb < n_total  # the tombstone set is real and proper
+
+    bal = similarity_ivf_delete(spark, sf_dir).collect()
+    assert sum(r.n_members for r in bal) == n_total
+    assert sum(r.n_deleted for r in bal) == n_tomb
+    for r in bal:
+        assert r.n_remaining == r.n_members - r.n_deleted, r
+        assert r.needs_compaction == int(
+            r.n_deleted * 100 >= r.n_members * COMPACT_PCT
+        ), r
+
+    tombs = {
+        r.vec_id
+        for r in raw.filter(
+            F.pmod(F.col("vec_id"), F.lit(DELETE_MOD)) == DELETE_REM
+        ).collect()
+    }
+    ann = _delete_served_ann(spark, sf_dir).collect()
+    assert ann  # the served set is non-empty at every bundled sf
+    leaked = {r.neighbor_id for r in ann} & tombs
+    assert not leaked, f"tombstoned ids emitted as neighbors: {leaked}"
+    assert not ({r.vec_id for r in ann} & tombs)
+    # the sample-exclusion arm is load-bearing: some sampled id IS
+    # tombstoned (DELETE_REM chosen so x%16==0, x%DELETE_MOD==REM has
+    # solutions in the corpus id range)
+    from pyspark_text_classification_spark.operators.similarity import (
+        RECALL_SAMPLE_MOD,
+    )
+
+    excluded = [
+        t for t in tombs if t % RECALL_SAMPLE_MOD == 0
+    ]
+    assert excluded, "tombstones never intersect the query sample"
