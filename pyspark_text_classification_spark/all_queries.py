@@ -220,30 +220,36 @@ def _apply_driver_order() -> None:
 # list to CHANGED-THIS-ROUND names only in spirit; the artifact-aware
 # sort cannot know what changed without this declaration).
 #
-# Round 9: the six *_auto serving-family queries whose coarse layer
-# became Lloyd-refined + two-level (hashes genuinely changed — new
-# centroids, new member layout), the two kNN serving queries that
-# adopted the swept weighted@9 config (metric values changed), and the
-# second-pass migrations of dedup_semantic_auto + nprobe_sweep onto the
-# same served layout (hashes changed — new cell assignments).  The new
-# events_stream_state_ttl is NOT listed (never-checked names sort ahead
-# on their own).  Slot budget: 10 rechecks + 1 new leave 39 slots for
-# the r3-vintage flush — 39 of the 47 r3 greens re-drive this round,
-# the remaining 8 in round 10 (the verdict's 'budget accordingly'
-# case: executing items 1-4 plus unifying every non-stale *_auto
-# consumer onto the served layout outweighed two flush slots; all 47
-# r3 greens were locally re-verified MATCH this round regardless).
+# Round 10: the 11 PQ-codebook consumers (PQ_LLOYD_STEPS 1 -> 2 —
+# hashes genuinely changed: new codewords, new codes, new ADC scores)
+# plus the queries whose execution path gained the zero-norm
+# refined-centroid guard (ADVICE r9; hash-NEUTRAL on every bundled sf,
+# locally re-driven MATCH at sf0.01 AND sf0.1 post-change, listed
+# because their recorded green predates the code) and the TTL twin
+# that gained the single-file source assert (values untouched, path
+# touched).  The new delete pair is NOT listed (never-checked names
+# sort ahead on their own).  Slot budget: 17 rechecks + 2 new leave 31
+# slots — the 8 remaining r3-vintage greens flush THIS round (closing
+# VERDICT r9 #2: no evidence older than r4 remains), and ~23 r4
+# greens rotate after them.
 ROUND_RECHECK = [
-    "similarity_ann_ivf_auto",
-    "similarity_ann_ivf_auto_recall",
+    "similarity_pq_codes",
+    "similarity_pq_adc_topk",
+    "similarity_pq_recall",
+    "similarity_ivf_pq",
+    "similarity_ivf_pq_recall",
     "similarity_ivf_pq_auto",
     "similarity_ivf_pq_auto_recall",
+    "similarity_ivf_pq_rerank",
+    "similarity_rerank_recall",
     "similarity_auto_rerank_recall",
+    "similarity_stream_pq_codes",
+    "similarity_ann_ivf_auto",
+    "similarity_ann_ivf_auto_recall",
     "similarity_filtered_ann",
-    "similarity_knn_classify",
-    "similarity_knn_regression",
     "dedup_semantic_auto",
     "similarity_nprobe_sweep",
+    "events_stream_state_ttl",
 ]
 
 
