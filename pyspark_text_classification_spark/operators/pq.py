@@ -361,6 +361,24 @@ def similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.groupBy("vec_id").agg(*code_cols, F.sum("d2").alias("qerr"))
 
 
+def _sql_adc_qb() -> str:
+    """The flat ADC scan's absolute query-batch cap as an IN-set over
+    the prelude's quantized view ``q`` — the same QUERY_BATCH_MAX rule
+    the *_auto serving family uses (round 10: the uncapped 1/32 sample
+    made the flat scan's pair work n^2/32, measured 33x at the 10x
+    fixture; the cap restores |batch| x n ~ linear.  Below the cap —
+    every bundled sf — the batch IS the full sample, hashes unchanged)."""
+    from pyspark_text_classification_spark.operators.similarity import (
+        QUERY_BATCH_MAX,
+        sql_query_batch,
+    )
+
+    return sql_query_batch(
+        f"(SELECT vec_id FROM q WHERE vec_id % {PQ_QUERY_MOD} = 0)",
+        QUERY_BATCH_MAX,
+    )
+
+
 @query(
     "similarity_pq_adc_topk",
     oracle=f"""
@@ -373,6 +391,7 @@ def similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
              {_SQL_D2.format(n=PQ_SUB, a='sub.sq', b='cb.cq')} AS d2
       FROM sub JOIN cb ON sub.m = cb.m
       WHERE sub.vec_id % {PQ_QUERY_MOD} = 0
+        AND sub.vec_id IN {_sql_adc_qb()}
     ),
     scored AS (
       SELECT lut.q_id, codes.vec_id AS neighbor_id,
@@ -405,11 +424,27 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is exactly why PQ is the 100 TB scoring path.  The final top-k
     window runs at |queries| x n grain; for query fleets large enough to
     skew a reducer, swap in similarity_search_topk's salted two-level
-    top-k (same contract)."""
+    top-k (same contract).
+
+    The query side is capped at the *_auto family's absolute
+    QUERY_BATCH_MAX (round 10): uncapped, the 1/32 sample grows with
+    the corpus FOREVER and the scan's pair work is n^2/32 — measured
+    33x at the 10x fixture; the cap bounds it at |batch| x n above
+    ~131k vectors, the honest LINEAR cost of a flat ADC sweep (the
+    pinned-batch audit — SPARK_GRAFT_QUERY_BATCH_CAP=63 — measures the
+    fixed-batch growth directly).  Below the cap — every bundled sf —
+    the batch is the full sample, so results are unchanged."""
+    from pyspark_text_classification_spark.operators.similarity import (
+        query_batch_ids,
+    )
+
     e = _quantized(spark, sf_dir)
     cb = trained_codebook(spark, sf_dir)
     codes = pq_assign(e, cb).select("vec_id", "m", "code")
-    queries = e.filter(F.pmod(F.col("vec_id"), F.lit(PQ_QUERY_MOD)) == 0)
+    sample = e.filter(F.pmod(F.col("vec_id"), F.lit(PQ_QUERY_MOD)) == 0)
+    queries = sample.join(
+        F.broadcast(query_batch_ids(sample)), "vec_id"
+    )
     lut = (
         _subspaces(queries)
         .withColumnRenamed("vec_id", "q_id")
@@ -670,6 +705,7 @@ _SQL_RECALL_TAIL = _sql_recall_tail()
              {_SQL_D2.format(n=PQ_SUB, a='sub.sq', b='cb.cq')} AS d2
       FROM sub JOIN cb ON sub.m = cb.m
       WHERE sub.vec_id % {PQ_QUERY_MOD} = 0
+        AND sub.vec_id IN {_sql_adc_qb()}
     ),
     scored AS (
       SELECT lut.q_id, codes.vec_id AS neighbor_id,
@@ -687,7 +723,7 @@ _SQL_RECALL_TAIL = _sql_recall_tail()
         FROM scored
       ) WHERE rnk <= {PQ_NN_K}
     ),
-    {_SQL_RECALL_TAIL}
+    {_sql_recall_tail(batch_cap=True)}
     """,
 )
 def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -700,12 +736,24 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring similarity_pq_adc_topk serves.  Note the two sides rank under
     different geometries (ADC = quantized L2, exact = cosine), so this
     measures the deployed index end to end, reconstruction loss
-    included."""
-    ann = (
-        similarity_pq_adc_topk(spark, sf_dir)
-        .select(F.col("q_id").alias("vec_id"), "neighbor_id")
+    included.  The evaluated query set is the flat scan's batch-capped
+    sample (round 10, a no-op below QUERY_BATCH_MAX): against the
+    unrestricted sample the gate would measure batch coverage above the
+    cap, not index quality.  The ANN side takes a plans.shared snapshot
+    slot (bounded at |batch| x k rows) like the sibling gates — a
+    dashboard scores the SERVED answers, it does not re-run the scan
+    per refresh."""
+    from pyspark_text_classification_spark.plans.shared import (
+        shared_intermediate,
     )
-    return _recall_vs_exact(spark, sf_dir, ann)
+
+    ann = shared_intermediate(
+        spark,
+        sf_dir,
+        "pq_adc_served",
+        lambda: similarity_pq_adc_topk(spark, sf_dir),
+    ).select(F.col("q_id").alias("vec_id"), "neighbor_id")
+    return _recall_vs_exact(spark, sf_dir, ann, batch_cap=True)
 
 
 # --------------------------------------------------------------------------
