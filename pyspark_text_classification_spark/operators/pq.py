@@ -16,7 +16,7 @@ single integer key ``d2 * K + code_id`` so ties break identically on both
 engines with no float comparison anywhere.  Codebooks start from the
 deterministic modulo-spread seed sample (every (n div K)-th vec_id — see
 pq_codebook) and are then refined by PQ_LLOYD_STEPS Lloyd steps (a
-measured knob, kept at 1 — see its comment) whose centroid update is
+measured knob, 2 since round 10 — see its comment) whose centroid update is
 pure 64-bit integer arithmetic: the floored mean via explicit positive
 modulus — ``(s - ((s % n) + n) % n) / n`` — written out identically on
 both engines.  (Spark's ``div`` and DuckDB's ``//`` in fact BOTH
@@ -26,8 +26,9 @@ rather than relying on either engine's operator.)  The whole trained
 index stays DuckDB-oracle-
 checkable end to end.  Measured macro-recall@5 of the deployed index at
 sf0.1: 0.349 (IVF-composed) with the M=16/SUB=4 lowest-id-seed layout
-shipped first, 0.654 full-ADC / 0.502 IVF-composed with the current
-M=32/SUB=2 spread-seed one-step-trained one (similarity_pq_recall and
+shipped first, 0.654/0.502 with the M=32/SUB=2 spread-seed one-step
+layout, 0.6984 full-ADC / 0.5238 IVF-composed with the current
+two-Lloyd-step training (similarity_pq_recall and
 similarity_ivf_pq_recall track both per round in the bench summary).
 
 Scale shape: the codebook is M x K rows and BROADCASTS; code assignment is
@@ -345,7 +346,8 @@ def similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ code assignment: each vector's 32 x 6-bit codes plus its total
     integer squared quantization error (the per-vector audit column a PQ
     rollout monitors, the analogue of similarity_quantize_int8's l2_err),
-    against the one-step-trained codebook (pq_codebook_refined).
+    against the Lloyd-trained codebook (pq_codebook_refined,
+    PQ_LLOYD_STEPS steps).
 
     One broadcast join + two aggregates; the corpus shuffles once at
     (vec_id, m) grain carrying ~24 bytes/row.  At 100 TB the emitted

@@ -20,7 +20,7 @@ Execution shape — fully STATELESS per row:
 At cluster scale the embedded-literal codebook is exactly a broadcast
 variable; refreshing the codebook is a stream restart with a new literal
 (codebooks change on retrain, not per batch); the literal codebook is
-the one-step-trained pq_codebook_refined, so streaming codes match the
+the PQ_LLOYD_STEPS-trained pq_codebook_refined, so streaming codes match the
 batch index bit-for-bit.
 """
 
