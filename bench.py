@@ -247,6 +247,7 @@ HEADLINE = [
     # round-10 additions
     "similarity_ivf_delete",
     "similarity_ivf_delete_recall",
+    "similarity_stream_ivf_delete",
 ]
 
 

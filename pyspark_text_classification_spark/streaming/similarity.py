@@ -240,3 +240,130 @@ def _sql_stream_ivf_append() -> str:
 query("similarity_stream_ivf_append", oracle=_sql_stream_ivf_append())(
     stream_ivf_append
 )
+
+
+def stream_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming index maintenance, delete path — the online half of
+    similarity_ivf_delete and the 28th streaming twin: tombstone
+    requests arrive as a stream (the delete-API feed every production
+    vector store ingests: faiss remove_ids batches, Milvus delete
+    calls) and the store maintains the LIVE per-cell deletion balance —
+    n_members / n_deleted / n_remaining / needs_compaction — that its
+    compaction scheduler watches.  Together with stream_ivf_append the
+    standing index's full maintenance surface (grow and shrink) now
+    runs continuously.
+
+    Execution shape: the stream carries only vec_ids (a delete request
+    is an id, not a vector); each micro-batch equi-joins the STATIC
+    served member table (served_members — the persisted index artifact
+    the batch delete reads) to resolve its cell, then a broadcast join
+    attaches the cells-row per-cell totals BEFORE aggregation (stream-
+    static joins must precede the streaming aggregate), and the only
+    stateful piece is the COMPLETE-mode (cell, count) aggregate —
+    ~cells rows of state however long the tombstone feed runs, the
+    bounded-state contract shared with stream_ivf_append.  Cells that
+    never receive a tombstone are absent (a scheduler watches deltas);
+    the batch oracle mirrors that with its n_deleted > 0 join.
+
+    The tombstone feed replays the batch twin's deterministic rule
+    (vec_id % DELETE_MOD == DELETE_REM) over the corpus stream, so the
+    drained table is held to the same per-cell arithmetic — one leaked
+    or dropped tombstone is a hash mismatch."""
+    import math
+
+    from pyspark_text_classification_spark.operators.similarity import (
+        COMPACT_PCT,
+        DELETE_MOD,
+        DELETE_REM,
+        IVF_AUTO_MIN_CELLS,
+        served_members,
+        shared_two_level_layout,
+        with_norms as _wn,
+    )
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = _wn(raw).persist()
+    n_total = raw.count()
+    cells = max(IVF_AUTO_MIN_CELLS, math.isqrt(n_total))
+    _cents, idx = shared_two_level_layout(spark, sf_dir, e, n_total, cells)
+    members = served_members(spark, sf_dir, e, idx)
+    percell = (
+        members.groupBy("cent_id")
+        .agg(F.count("*").alias("n_members"))
+        .localCheckpoint(eager=True)  # cells rows — broadcastable
+    )
+    src = (
+        spark.readStream.schema(EMB_STREAM_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(sf_dir)
+        .filter(F.pmod(F.col("vec_id"), F.lit(DELETE_MOD)) == DELETE_REM)
+        .select("vec_id")
+    )
+    counts = (
+        src.join(members, "vec_id")
+        .join(F.broadcast(percell), "cent_id")
+        .groupBy("cent_id", "n_members")
+        .agg(F.count("*").cast("long").alias("n_deleted"))
+        .select(
+            F.col("cent_id").alias("cell_id"),
+            "n_members",
+            "n_deleted",
+            (F.col("n_members") - F.col("n_deleted")).alias("n_remaining"),
+            (F.col("n_deleted") * 100 >= F.col("n_members") * COMPACT_PCT)
+            .cast("int")
+            .alias("needs_compaction"),
+        )
+    )
+    sink_name = f"stream_ivf_delete_{uuid.uuid4().hex[:8]}"
+    with scoped_state_partitions(spark):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.table(sink_name).localCheckpoint(eager=True)
+    e.unpersist()
+    return out
+
+
+def _sql_stream_ivf_delete() -> str:
+    from pyspark_text_classification_spark.operators.similarity import (
+        COMPACT_PCT,
+        DELETE_MOD,
+        DELETE_REM,
+        _SQL_NORMED,
+        sql_two_level_cells_cte,
+    )
+
+    return f"""
+    WITH n AS ({_SQL_NORMED}),
+    {sql_two_level_cells_cte('n')},
+    tomb AS (
+      SELECT vec_id FROM embeddings
+      WHERE vec_id % {DELETE_MOD} = {DELETE_REM}
+    ),
+    percell AS (
+      SELECT cent_id, CAST(count(*) AS BIGINT) AS n_members
+      FROM members GROUP BY 1
+    ),
+    del AS (
+      SELECT m.cent_id, CAST(count(*) AS BIGINT) AS n_deleted
+      FROM members m JOIN tomb t ON t.vec_id = m.vec_id
+      GROUP BY 1
+    )
+    SELECT del.cent_id AS cell_id, percell.n_members, del.n_deleted,
+           percell.n_members - del.n_deleted AS n_remaining,
+           CAST(CASE WHEN del.n_deleted * 100
+                          >= percell.n_members * {COMPACT_PCT}
+                     THEN 1 ELSE 0 END AS INT) AS needs_compaction
+    FROM del JOIN percell ON percell.cent_id = del.cent_id
+    """
+
+
+query("similarity_stream_ivf_delete", oracle=_sql_stream_ivf_delete())(
+    stream_ivf_delete
+)
