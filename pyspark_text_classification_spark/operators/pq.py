@@ -131,9 +131,14 @@ def _d2(a: str, b: str) -> F.Column:
 # ivf_pq_auto_recall 0.5651 -> 0.6159 (clearing the 0.60 bar), with the
 # exact-rerank gates flat (0.6349 / 0.7556 — rerank quality is bounded
 # by the candidate shortlist, not ADC precision) for one extra
-# assign/mean round of linear training cost.  The loop below supports
-# any count; the oracle unrolls the identical recurrence via
-# _sql_lloyd_step.
+# assign/mean round of linear training cost.  A THIRD step was measured
+# and rejected in the same round: pq_recall 0.6984 -> 0.6889 and
+# ivf_pq_auto_recall 0.6159 -> 0.6095 both regress (only the capped
+# fixed-cell gate inches up, 0.5238 -> 0.5397) — with K=64 codewords
+# per 2-dim subspace the codebook is near its representational ceiling
+# and further steps overfit the assignment to the quantized grid, so 2
+# is the measured knee.  The loop below supports any count; the oracle
+# unrolls the identical recurrence via _sql_lloyd_step.
 PQ_LLOYD_STEPS = 2
 
 
