@@ -1016,3 +1016,86 @@ def test_stream_cusum_counts_merge_across_batches(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_ivf_delete_accumulates_across_batch_split(spark, tmp_path):
+    """The tombstone feed's complete-mode balance must ACCUMULATE across
+    micro-batches: a cell receiving tombstones in batch 1 AND batch 2
+    reports their SUM, and a cell whose only tombstone arrived in batch
+    1 keeps its row in the final complete-mode table (state is the
+    running (cell, count) aggregate, not the last batch's).  This is
+    the split the registered single-file drain cannot produce — pinned
+    here on a crafted 2-file feed against a hand-built member table."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    # static member table: 6 vectors in 3 cells
+    members = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 20), (5, 30), (6, 30)],
+        "vec_id LONG, cent_id LONG",
+    ).localCheckpoint(eager=True)
+    percell = (
+        members.groupBy("cent_id")
+        .agg(F.count("*").alias("n_members"))
+        .localCheckpoint(eager=True)
+    )
+
+    # tombstone feed: batch 1 deletes {1, 3}, batch 2 deletes {2, 5} —
+    # cell 10 spans BOTH batches (sum = 2), cell 20 only batch 1,
+    # cell 30 only batch 2; cell totals: 10 -> 2/2, 20 -> 1/2, 30 -> 1/2
+    d = tmp_path / "tomb_feed"
+    os.makedirs(d)
+    schema = pa.schema([("vec_id", pa.int64())])
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame({"vec_id": [1, 3]}), schema=schema),
+        str(d / "a_first.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame({"vec_id": [2, 5]}), schema=schema),
+        str(d / "b_second.parquet"),
+    )
+    now = time.time()
+    os.utime(d / "a_first.parquet", (now - 100, now - 100))
+    os.utime(d / "b_second.parquet", (now, now))
+
+    src = (
+        spark.readStream.schema("vec_id long")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)  # one tombstone file per batch
+        .load(str(d))
+    )
+    counts = (
+        src.join(members, "vec_id")
+        .join(F.broadcast(percell), "cent_id")
+        .groupBy("cent_id", "n_members")
+        .agg(F.count("*").cast("long").alias("n_deleted"))
+        .select(
+            F.col("cent_id").alias("cell_id"),
+            "n_members",
+            "n_deleted",
+            (F.col("n_members") - F.col("n_deleted")).alias("n_remaining"),
+        )
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("tomb_split")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.cell_id: (r.n_members, r.n_deleted, r.n_remaining)
+        for r in spark.table("tomb_split").collect()
+    }
+    assert got == {
+        10: (2, 2, 0),   # accumulated across BOTH batches
+        20: (2, 1, 1),   # batch-1-only cell survives the final emit
+        30: (2, 1, 1),
+    }, got
