@@ -248,6 +248,7 @@ HEADLINE = [
     "similarity_ivf_delete",
     "similarity_ivf_delete_recall",
     "similarity_stream_ivf_delete",
+    "text_bpe_iter3",
 ]
 
 

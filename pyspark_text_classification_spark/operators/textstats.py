@@ -1072,3 +1072,186 @@ def domain_mixture_frame(docs: DataFrame, checkpoint: bool = True) -> DataFrame:
         F.expr("n_tokens * 10000 div total_tokens").alias("tok_share_bp"),
         F.expr("sum_chars * 1000 div n_docs").alias("mean_chars_milli"),
     )
+
+
+# --- Full BPE trainer loop (3 unrolled merge iterations) ---------------------
+BPE_ITERS = 3
+
+
+def _sql_bpe_iter(k: int) -> str:
+    """CTEs for BPE iteration ``k``: count adjacent symbol pairs over
+    state w{k-1}, pick the top merge (count DESC, pair ASC — the
+    Sennrich tie-break made deterministic), apply it with the
+    same-type VARCHAR fold (see text_bpe_iter3's docstring), and emit
+    the new state w{k} plus its corpus-wide symbol count."""
+    prev = f"w{k - 1}"
+    return f"""
+    p{k} AS (
+      SELECT u.pair, CAST(sum(cnt) AS BIGINT) AS n_occ
+      FROM (
+        SELECT cnt,
+               unnest(list_transform(range(1, length(syl)),
+                 i -> syl[i] || ' ' || syl[i + 1])) AS pair
+        FROM (
+          SELECT cnt, string_split(syms, ' ') AS syl FROM {prev}
+        ) WHERE length(syl) >= 2
+      ) u(cnt, pair)
+      WHERE u.pair IS NOT NULL
+      GROUP BY 1
+    ),
+    m{k} AS (
+      SELECT pair,
+             split_part(pair, ' ', 1) AS a,
+             split_part(pair, ' ', 2) AS b,
+             n_occ
+      FROM p{k} ORDER BY n_occ DESC, pair LIMIT 1
+    ),
+    w{k} AS (
+      SELECT list_reduce(
+               list_prepend('', string_split({prev}.syms, ' ')),
+               (acc, s) -> CASE
+                 WHEN acc = '' THEN s
+                 WHEN (acc = m{k}.a OR ends_with(acc, ' ' || m{k}.a))
+                      AND s = m{k}.b THEN acc || s
+                 ELSE acc || ' ' || s END
+             ) AS syms,
+             cnt
+      FROM {prev}, m{k}
+    ),
+    t{k} AS (
+      SELECT CAST(sum(length(string_split(syms, ' ')) * cnt) AS BIGINT)
+               AS n_syms
+      FROM w{k}
+    )"""
+
+
+@query(
+    "text_bpe_iter3",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest({_SQL_TOKENS}) AS w FROM documents
+    ),
+    wc AS (SELECT w, count(*) AS cnt FROM words GROUP BY 1),
+    w0 AS (
+      SELECT array_to_string(
+               list_transform(range(1, length(w) + 1),
+                 i -> substring(w, CAST(i AS INT), 1)), ' ') AS syms,
+             cnt
+      FROM wc
+    ),
+    {','.join(_sql_bpe_iter(k) for k in range(1, BPE_ITERS + 1))}
+    {' UNION ALL '.join(
+        f'''SELECT CAST({k} AS INT) AS iter, m{k}.a AS merge_a,
+            m{k}.b AS merge_b, m{k}.n_occ,
+            t{k}.n_syms AS corpus_symbols_after
+            FROM m{k}, t{k}'''
+        for k in range(1, BPE_ITERS + 1)
+    )}
+    """,
+)
+def text_bpe_iter3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full distributed BPE trainer loop (Sennrich et al., ACL 2016),
+    {BPE_ITERS} merge iterations unrolled — the tokenizer-training
+    companion to similarity_kmeans_iter3's Lloyd loop, turning
+    text_bpe_merge_step's single-iteration contract into the actual
+    merge-table artifact a tokenizer ships.  Each iteration counts
+    adjacent symbol pairs over the current vocabulary segmentation,
+    picks the (count DESC, pair ASC) winner, and APPLIES it; the output
+    row per iteration carries the chosen merge, its overlap-blind pair
+    count (the standard BPE statistic), and the corpus-wide symbol
+    count AFTER application — the number that pins the merge
+    application itself (non-overlapping left-to-right), not just the
+    pair counting.
+
+    Cross-engine merge application without array-typed fold
+    accumulators (DuckDB's list_reduce requires acc and element types
+    to match): the segmentation state is a SPACE-DELIMITED SYMBOL
+    STRING (tokens are [a-z0-9_]+ by the shared tokenizer, so the
+    space never collides), and applying merge (a, b) is a plain string
+    fold — append ``' ' || s`` normally, but append ``s`` bare when
+    the accumulator ends with symbol ``a`` (checked as the suffix
+    ``' ' || a``, unambiguous because symbols cannot contain spaces)
+    and s = b, which fuses exactly the non-overlapping left-to-right
+    occurrences ("aaa" under (a,a) becomes ["aa","a"], and the fused
+    "aa" cannot chain because the suffix test then fails).  Both
+    engines run the IDENTICAL fold, so the trained table cannot fork.
+
+    Scale shape (the bpe_merge_step contract, looped): the corpus
+    collapses to the word vocabulary in ONE corpus-grain shuffle; every
+    iteration after that is vocab-bounded (|vocab| rows of delimited
+    strings, pair explosion ~|vocab| x avg_len), with the state
+    checkpointed per iteration exactly like kmeans_iter3's centroid
+    tables so iteration k+1 reads materialized rows instead of
+    replaying k jobs.  The merge row is a broadcast 1-row frame."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    wc = (
+        docs.select(F.explode(tokenize("text", 2)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    chars = F.expr(
+        "array_join(transform(sequence(1, length(w)), "
+        "i -> substring(w, i, 1)), ' ')"
+    )
+    state = wc.select(chars.alias("syms"), "cnt").localCheckpoint(eager=True)
+    out_rows = []
+    pair_expr = F.expr(
+        "CASE WHEN size(syl) >= 2 THEN transform(sequence(1, size(syl) - 1),"
+        " i -> concat(element_at(syl, i), ' ', element_at(syl, i + 1)))"
+        " ELSE array() END"
+    )
+    for k in range(1, BPE_ITERS + 1):
+        syl = state.select(F.split("syms", " ").alias("syl"), "cnt")
+        merge = (
+            syl.select(F.explode(pair_expr).alias("pair"), "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("n_occ"))
+            .orderBy(F.col("n_occ").desc(), "pair")
+            .limit(1)
+            .select(
+                F.split("pair", " ").getItem(0).alias("a"),
+                F.split("pair", " ").getItem(1).alias("b"),
+                "n_occ",
+            )
+        )
+        applied = state.crossJoin(F.broadcast(merge)).select(
+            F.aggregate(
+                F.split("syms", " "),
+                F.lit(""),
+                lambda acc, s: F.when(acc == "", s)
+                .when(
+                    (
+                        (acc == F.col("a"))
+                        | acc.endswith(F.concat(F.lit(" "), F.col("a")))
+                    )
+                    & (s == F.col("b")),
+                    F.concat(acc, s),
+                )
+                .otherwise(F.concat(acc, F.lit(" "), s)),
+            ).alias("syms"),
+            "cnt",
+            "a",
+            "b",
+            "n_occ",
+        ).localCheckpoint(eager=True)
+        row = (
+            applied.groupBy("a", "b", "n_occ")
+            .agg(
+                F.sum(F.size(F.split("syms", " ")) * F.col("cnt"))
+                .cast("long")
+                .alias("corpus_symbols_after")
+            )
+            .select(
+                F.lit(k).cast("int").alias("iter"),
+                F.col("a").alias("merge_a"),
+                F.col("b").alias("merge_b"),
+                F.col("n_occ"),
+                "corpus_symbols_after",
+            )
+        )
+        out_rows.append(row)
+        state = applied.select("syms", "cnt")
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out

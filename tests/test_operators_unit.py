@@ -981,3 +981,64 @@ def test_ivf_delete_balance_and_tombstone_exclusion(spark, sf_dir):
         t for t in tombs if t % RECALL_SAMPLE_MOD == 0
     ]
     assert excluded, "tombstones never intersect the query sample"
+
+
+def test_bpe_merge_application_is_nonoverlapping_left_to_right(spark):
+    """The BPE trainer's string-fold merge application must fuse exactly
+    the non-overlapping left-to-right occurrences: 'aaaa' under merge
+    (a,a) becomes [aa, aa] (pairs 1-2 and 3-4), 'aaa' becomes [aa, a],
+    and a freshly fused symbol must not chain into the next merge at
+    the same iteration.  Pinned end to end on a crafted corpus where
+    the winning first merge is (a,a): the corpus symbol count after
+    iteration 1 must equal the hand-derived fusion count, which only
+    holds if the fold's suffix test implements the exact semantics."""
+    import duckdb as ddb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from pyspark_text_classification_spark.all_queries import ORACLES, QUERIES
+
+    tmp = pytest.importorskip("tempfile")
+    import os
+
+    with tmp.TemporaryDirectory() as d:
+        # 4 docs of 'aaaa aaa' -> vocab {aaaa: 4, aaa: 4}; pair (a,a)
+        # counted overlap-blind: 3*4 + 2*4 = 20 occurrences, but the
+        # non-overlapping application fuses only 2 per 'aaaa' and 1 per
+        # 'aaa': symbols 7*4 = 28 -> (2+2)*4 = 16 after iteration 1
+        rows = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["aaaa aaa"] * 4,
+                "source": ["s"] * 4,
+                "lang": ["en"] * 4,
+                "n_chars": [8] * 4,
+            }
+        )
+        pq.write_table(
+            pa.Table.from_pandas(rows), os.path.join(d, "documents.parquet")
+        )
+        got = {
+            r.iter: (r.merge_a, r.merge_b, r.n_occ, r.corpus_symbols_after)
+            for r in QUERIES["text_bpe_iter3"](spark, d).collect()
+        }
+        assert got[1] == ("a", "a", 20, 16), got
+        # iteration 2 merges (aa, aa) (from 'aaaa', count 4) vs (aa, a)
+        # (from 'aaa', count 4): tie on count, 'aa a' < 'aa aa' -> the
+        # pair tie-break picks (aa, a); 'aaa' -> [aaa], 16 - 4 = 12
+        assert got[2] == ("aa", "a", 4, 12), got
+
+        con = ddb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        want = {
+            int(i): (a, b, int(n), int(c))
+            for i, a, b, n, c in con.execute(
+                ORACLES["text_bpe_iter3"]
+            ).fetchall()
+        }
+        assert want == got, (want, got)
