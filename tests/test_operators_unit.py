@@ -1042,3 +1042,64 @@ def test_bpe_merge_application_is_nonoverlapping_left_to_right(spark):
             ).fetchall()
         }
         assert want == got, (want, got)
+
+
+def test_bpe_iter3_degenerate_corpora(spark, tmp_path):
+    """BPE trainer edges the bundled corpus cannot force, pinned against
+    the oracle: a corpus whose tokens are all below the length-2
+    tokenizer floor trains NOTHING (0 rows, both engines — the empty
+    merge table must not crash the unrolled chain), and a single
+    repeated 2-char word converges after one merge (iterations 2 and 3
+    re-pick deterministically over the collapsed single-symbol vocab —
+    no pairs exist, so they emit nothing)."""
+    import os
+
+    import duckdb as ddb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark_text_classification_spark.all_queries import ORACLES, QUERIES
+
+    def run(case, texts):
+        d = tmp_path / case
+        os.makedirs(d)
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(
+                    {
+                        "doc_id": list(range(1, len(texts) + 1)),
+                        "text": texts,
+                        "source": ["s"] * len(texts),
+                        "lang": ["en"] * len(texts),
+                        "n_chars": [len(t) for t in texts],
+                    }
+                )
+            ),
+            os.path.join(str(d), "documents.parquet"),
+        )
+        got = sorted(
+            (r.iter, r.merge_a, r.merge_b, r.n_occ, r.corpus_symbols_after)
+            for r in QUERIES["text_bpe_iter3"](spark, str(d)).collect()
+        )
+        con = ddb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        want = sorted(
+            (int(i), a, b, int(n), int(c))
+            for i, a, b, n, c in con.execute(
+                ORACLES["text_bpe_iter3"]
+            ).fetchall()
+        )
+        assert got == want, (case, got, want)
+        return got
+
+    # every token below the length-2 floor -> empty vocab -> no merges
+    assert run("no_tokens", ["a b c", "x y", "a a a"]) == []
+
+    # one repeated 2-char word: iteration 1 merges it whole; afterwards
+    # the vocab is a single 1-symbol word -> no pairs -> no more rows
+    got = run("one_word", ["ab ab ab", "ab"])
+    assert got == [(1, "a", "b", 4, 4)], got

@@ -1037,3 +1037,103 @@ def test_two_level_zero_norm_refined_centroid_falls_back_to_seed(
         f"spark-only={set(got) - set(want)}\n"
         f"oracle-only={set(want) - set(got)}"
     )
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),  # sparse/offset ids
+            st.lists(
+                st.floats(
+                    min_value=-1.0,
+                    max_value=1.0,
+                    allow_nan=False,
+                    allow_infinity=False,
+                    width=32,
+                ),
+                min_size=4,
+                max_size=4,
+            ),
+        ),
+        min_size=5,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_ivf_delete_balance_matches_oracle_on_arbitrary_corpora(
+    spark, tmp_path_factory, rows
+):
+    """The round-10 delete balance must agree with its oracle on
+    ARBITRARY small corpora: sparse non-dense ids exercise the
+    tombstone rule over offset id spaces (vec_id % 10 == 4 keeps or
+    misses entire replicas depending on the offset), duplicates-free
+    random vectors exercise arbitrary cell layouts, and corpora where
+    NO id is tombstoned must still produce the full per-cell balance
+    with n_deleted = 0 everywhere.  Full chain: two-level layout ->
+    served members -> tombstone flag join -> per-cell arithmetic +
+    compaction trigger, hash-compared end to end."""
+    import duckdb as ddb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark_text_classification_spark.all_queries import ORACLES, QUERIES
+    from pyspark_text_classification_spark.plans.shared import (
+        clear_shared_intermediates,
+    )
+
+    fixed = [
+        (i, [v[0] + 0.5 if v[0] >= 0 else v[0] - 0.5] + v[1:])
+        for i, v in rows
+    ]
+    d = tmp_path_factory.mktemp("prop_del")
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "vec_id": [i for i, _ in fixed],
+                    "embedding": [v for _, v in fixed],
+                    "label": [i % 3 for i, _ in fixed],
+                }
+            ),
+            schema=pa.schema(
+                [
+                    ("vec_id", pa.int64()),
+                    ("embedding", pa.list_(pa.float32())),
+                    ("label", pa.int64()),
+                ]
+            ),
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    # the layout slots are keyed by sf_dir, but hypothesis reuses tmp
+    # paths across examples within a run on some platforms — clear to
+    # be safe (values are deterministic either way)
+    clear_shared_intermediates()
+
+    got = sorted(
+        (r.cell_id, r.n_members, r.n_deleted, r.n_remaining,
+         r.needs_compaction)
+        for r in QUERIES["similarity_ivf_delete"](spark, str(d)).collect()
+    )
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
+    want = sorted(
+        tuple(int(x) for x in row)
+        for row in con.execute(ORACLES["similarity_ivf_delete"]).fetchall()
+    )
+    assert got == want, (
+        f"delete balance diverged on a {len(fixed)}-row corpus:\n"
+        f"spark-only={set(got) - set(want)}\n"
+        f"oracle-only={set(want) - set(got)}"
+    )
+    # invariant: members conserved regardless of the layout
+    assert sum(r[1] for r in got) == len(fixed)
