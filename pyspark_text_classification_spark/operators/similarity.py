@@ -432,6 +432,76 @@ def lsh_candidate_pairs(bk: DataFrame, multi_probe: bool = False) -> DataFrame:
     return pairs.distinct()
 
 
+def lsh_query_candidates(bk: DataFrame, is_query: Column) -> DataFrame:
+    """Directed multi-probe candidates (vec_id, neighbor_id) for QUERY
+    rows only — set-identical to
+    ``_mirror-style union of lsh_candidate_pairs(bk, multi_probe=True)
+    filtered to is_query(vec_id)`` but with the restriction applied
+    BEFORE the bucket joins (guide §2.3: shuffle/join the 1/k query
+    sample, not the corpus).
+
+    Multi-probe candidacy is asymmetric-or: (q, y) is a candidate iff a
+    bit-flipped probe of q hits y's stored bucket OR a bit-flipped probe
+    of y hits q's stored bucket.  The two joins below carry exactly one
+    disjunct each, with the query predicate restricting one side of each
+    join — candidate mass drops from O(sum |bucket|^2) to the query
+    sample's share of it, and the distinct dedup shuffles only that
+    share.  similarity_recall_eval's oracle is unchanged: the produced
+    SET equals the mirrored-filtered form by the disjunction above
+    (round-11 optimization; hash-verified at sf0.001/sf0.01/sf0.1)."""
+    flips = F.array(
+        F.col("bucket"),
+        *[
+            F.expr(f"CAST(bucket ^ {1 << j} AS INT)")
+            for j in range(NUM_HYPERPLANES)
+        ],
+    )
+    probe = bk.select("vec_id", "tbl", F.explode(flips).alias("bucket"))
+    on = ["tbl", "bucket"]
+    d1 = (
+        probe.filter(is_query)
+        .alias("a")
+        .join(bk.alias("b"), on)
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+        )
+    )
+    d2 = (
+        probe.alias("a")
+        .join(bk.filter(is_query).alias("b"), on)
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("a.vec_id").alias("neighbor_id"),
+        )
+    )
+    return d1.unionByName(d2).distinct()
+
+
+def recall_hits(ext: DataFrame, ann: DataFrame, bounded: bool = False) -> DataFrame:
+    """Per-query hit counts: ONE left join + ONE aggregate — the exact
+    shape of every recall oracle's perq CTE (``ext LEFT JOIN annq ..
+    GROUP BY vec_id``).  Replaces the semi-join + groupBy + distinct +
+    outer-join chain (3 exchanges, 2 of them SortMergeJoins because
+    checkpointed frames carry no size stats) with one join and one agg.
+
+    ``bounded=True`` broadcasts the ANN side — legitimate ONLY for gates
+    whose served answers are capped by construction (QUERY_BATCH_MAX x k
+    rows of two longs); unbounded 1/16-sample gates keep the shuffled
+    join, which is the scale-correct plan for them."""
+    annm = ann.select("vec_id", "neighbor_id", F.lit(1).alias("hit"))
+    if bounded:
+        annm = F.broadcast(annm)
+    return (
+        ext.join(annm, ["vec_id", "neighbor_id"], "left")
+        .groupBy("vec_id")
+        .agg(F.count("hit").alias("hits"))
+        .select("hits")
+    )
+
+
 def candidate_cosines(e: DataFrame, cand: DataFrame) -> DataFrame:
     """Exact sequential-fold cosine for each unordered candidate pair."""
     x = e.select(
@@ -1203,32 +1273,27 @@ def similarity_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = F.pmod(F.col("vec_id"), F.lit(RECALL_SAMPLE_MOD)) == 0
 
     # ANN side: multi-probe bucket-join candidates (matching the
-    # registered similarity_ann_lsh index), mirrored, query-filtered
+    # registered similarity_ann_lsh index), QUERY-RESTRICTED BEFORE the
+    # bucket joins (lsh_query_candidates — set-identical to mirroring the
+    # full pair table and filtering after, but the joins and the distinct
+    # carry only the 1/{RECALL_SAMPLE_MOD} sample's candidate share)
     bk = lsh_bucket_table(e).persist()
-    pairs = lsh_candidate_pairs(bk, multi_probe=True)
-    cand = pairs.unionByName(
-        pairs.select(
-            F.col("neighbor_id").alias("vec_id"),
-            F.col("vec_id").alias("neighbor_id"),
-        )
-    ).filter(sampled)
+    # materialize the bucket table BEFORE the two bucket joins read it 4x:
+    # a lazily-persisted frame races when parallel subtree stages scan it
+    # concurrently (each recomputes the 48-sum plane-dot aggregate until
+    # the cache fills — measured 12s vs 2s warm); one cheap count() fills
+    # the cache (and e's, which bk reads through) exactly once
+    bk.count()
+    cand = lsh_query_candidates(bk, sampled)
     ann = _rank_topk(candidate_cosines(e, cand)).select("vec_id", "neighbor_id")
 
     # exact side: session-cached ground truth (|sample| x k rows; the
     # |sample| x n fold that builds it runs once per corpus snapshot)
     ext = _lsh_exact_ground_truth(spark, sf_dir)
 
-    hits = (
-        ext.join(ann, ["vec_id", "neighbor_id"], "left_semi")
-        .groupBy("vec_id")
-        .agg(F.count("*").alias("hits"))
-    )
-    perq = (
-        ext.select("vec_id")
-        .distinct()
-        .join(hits, "vec_id", "left")
-        .select(F.coalesce(F.col("hits"), F.lit(0)).alias("hits"))
-    )
+    # sample-scale x sample-scale: both sides grow with the corpus, so
+    # the join stays shuffled (no broadcast) — the scale-correct plan
+    perq = recall_hits(ext, ann)
     # integer-sum THEN one division: avg() over hits/k would sum inexact
     # doubles in partition order, and 0.2-step values can land exactly on
     # the rounding boundary — int64 sums are order-free, one IEEE divide
@@ -2768,17 +2833,9 @@ def similarity_ivf_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "neighbor_id"
     )
     ext = _lsh_exact_ground_truth(spark, sf_dir)
-    hits = (
-        ext.join(ann, ["vec_id", "neighbor_id"], "left_semi")
-        .groupBy("vec_id")
-        .agg(F.count("*").alias("hits"))
-    )
-    perq = (
-        ext.select("vec_id")
-        .distinct()
-        .join(hits, "vec_id", "left")
-        .select(F.coalesce(F.col("hits"), F.lit(0)).alias("hits"))
-    )
+    # 1/16-sample gate: both sides corpus-proportional, keep the join
+    # shuffled (recall_hits removes the distinct + outer-join exchanges)
+    perq = recall_hits(ext, ann)
     out = perq.agg(
         F.count("*").alias("n_queries"),
         F.lit(TOP_K).cast("long").alias("k"),
@@ -2916,17 +2973,9 @@ def similarity_ann_ivf_auto_recall(spark: SparkSession, sf_dir: str) -> DataFram
         "vec_id",
         "left_semi",
     )
-    hits = (
-        ext.join(ann, ["vec_id", "neighbor_id"], "left_semi")
-        .groupBy("vec_id")
-        .agg(F.count("*").alias("hits"))
-    )
-    perq = (
-        ext.select("vec_id")
-        .distinct()
-        .join(hits, "vec_id", "left")
-        .select(F.coalesce(F.col("hits"), F.lit(0)).alias("hits"))
-    )
+    # served snapshot + batch-capped ground truth: both bounded at
+    # QUERY_BATCH_MAX x k rows by construction, so the ANN side broadcasts
+    perq = recall_hits(ext, ann, bounded=True)
     return perq.agg(
         F.count("*").alias("n_queries"),
         F.lit(TOP_K).cast("long").alias("k"),
@@ -3214,18 +3263,20 @@ def similarity_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth_lv = _lsh_exact_ground_truth(spark, sf_dir).crossJoin(
         F.broadcast(levels)
     )
-    hits = (
-        truth_lv.join(ann, ["nprobe", "vec_id", "neighbor_id"], "left_semi")
-        .groupBy("nprobe", "vec_id")
-        .agg(F.count("*").alias("hits"))
-    )
+    # per-level hit counts in ONE left join + ONE aggregate (the oracle
+    # perq CTE's exact shape) — replaces the semi-join + distinct +
+    # outer-join chain and its extra exchanges; ann rows are unique per
+    # (nprobe, vec_id, neighbor_id) by the row_number, so the outer join
+    # cannot inflate counts
     perq = (
-        truth_lv.select("nprobe", "vec_id")
-        .distinct()
-        .join(hits, ["nprobe", "vec_id"], "left")
-        .select(
-            "nprobe", F.coalesce(F.col("hits"), F.lit(0)).alias("hits")
+        truth_lv.join(
+            ann.withColumn("hit", F.lit(1)),
+            ["nprobe", "vec_id", "neighbor_id"],
+            "left",
         )
+        .groupBy("nprobe", "vec_id")
+        .agg(F.count("hit").alias("hits"))
+        .select("nprobe", "hits")
     )
     ncand = (
         cand.join(F.broadcast(levels), F.col("entry_rk") <= F.col("nprobe"))
@@ -3564,17 +3615,8 @@ def similarity_ivf_delete_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = shared_intermediate(
         spark, sf_dir, "ivf_delete_exact_topk", build_ext
     )
-    hits = (
-        ext.join(ann, ["vec_id", "neighbor_id"], "left_semi")
-        .groupBy("vec_id")
-        .agg(F.count("*").alias("hits"))
-    )
-    perq = (
-        ext.select("vec_id")
-        .distinct()
-        .join(hits, "vec_id", "left")
-        .select(F.coalesce(F.col("hits"), F.lit(0)).alias("hits"))
-    )
+    # both snapshot slots are batch-capped (|batch| x k rows): broadcast
+    perq = recall_hits(ext, ann, bounded=True)
     nd = tomb.agg(F.count("*").cast("long").alias("n_deleted"))
     out = perq.agg(
         F.count("*").alias("n_queries"),
