@@ -19,6 +19,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Audit-pin fence (ADVICE r10 / VERDICT r10 #5): SPARK_GRAFT_QUERY_BATCH_CAP
+# exists ONLY for the 10x scale audit (it pins the *_auto query batch to the
+# same absolute ids at both scales).  It is correctness-affecting — plans AND
+# oracles read it, so a pinned run still hash-matches itself while serving
+# different rows than the recorded evidence.  Refuse to expose the driver
+# contract under a pin so pinned hashes can never masquerade as correctness
+# evidence; scale_audit.py imports the registry directly, not this module.
+if os.environ.get("SPARK_GRAFT_QUERY_BATCH_CAP"):
+    raise RuntimeError(
+        "SPARK_GRAFT_QUERY_BATCH_CAP is set: this pin is for scale-audit "
+        "runs only and silently changes batch-capped query outputs — unset "
+        "it before driving the correctness/bench contract"
+    )
+
 from pyspark_text_classification_spark.all_queries import ORACLES, QUERIES  # noqa: E402
 
 # The driver runs a VANILLA session: 200 shuffle partitions on a handful

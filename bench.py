@@ -18,6 +18,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Audit-pin fence (ADVICE r10): the batch-cap pin exists only for scale
+# audits; a pinned bench would time (and report recalls for) differently
+# sized query batches than the recorded artifacts.  Fail fast.
+if os.environ.get("SPARK_GRAFT_QUERY_BATCH_CAP"):
+    raise RuntimeError(
+        "SPARK_GRAFT_QUERY_BATCH_CAP is set: unset the scale-audit pin "
+        "before benchmarking — pinned runs are not comparable artifacts"
+    )
+
 from pyspark_text_classification_spark.all_queries import QUERIES
 from pyspark_text_classification_spark.session import get_session
 

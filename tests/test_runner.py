@@ -211,3 +211,23 @@ def test_driver_first50_carries_only_new_information():
         first50 = ordered[:50]
         greens = [n for n in first50 if n in ordered[len(ordered) - settled_suffix:]]
         assert not greens, f"settled greens wasting driver slots: {greens}"
+
+
+def test_driver_contract_refuses_audit_pin(monkeypatch):
+    """The batch-cap env pin is scale-audit-only (ADVICE r10): importing
+    the driver contract (or bench) under it must fail fast, so pinned
+    hashes can never masquerade as correctness evidence."""
+    import importlib
+    import sys
+
+    import pytest
+
+    monkeypatch.setenv("SPARK_GRAFT_QUERY_BATCH_CAP", "63")
+    saved = sys.modules.pop("__spark_entry__", None)
+    try:
+        with pytest.raises(RuntimeError, match="scale-audit"):
+            importlib.import_module("__spark_entry__")
+    finally:
+        sys.modules.pop("__spark_entry__", None)
+        if saved is not None:
+            sys.modules["__spark_entry__"] = saved
