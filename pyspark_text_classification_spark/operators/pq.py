@@ -874,10 +874,14 @@ def _ivf_pq_scored(spark: SparkSession, sf_dir: str, auto_cells: bool = False):
         )
         persisted = [ranked, n]
     cand = (
+        # NOTE(r11 opt): no .distinct() — members is rank-1 (one cell per
+        # neighbor) and probes carries distinct cells per query, so the
+        # cell equi-join emits each (query, neighbor) pair AT MOST ONCE;
+        # the oracle's DISTINCT is equally a no-op on unique input, so
+        # removing the dedup exchange cannot change the result set
         probes.join(members, "cent_id")
         .filter(F.col("q_id") != F.col("neighbor_id"))
         .select("q_id", "neighbor_id")
-        .distinct()
     )
 
     # ---- fine layer: PQ codes + per-query LUT (trained codebook) ----

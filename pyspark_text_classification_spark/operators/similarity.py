@@ -847,10 +847,14 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = ranked.select("vec_id", "cent_id")
     cand = (
+        # NOTE(r11 opt): no .distinct() — members is rank-1 (one cell per
+        # neighbor) and probes carries distinct cells per query, so the
+        # cell equi-join emits each (query, neighbor) pair AT MOST ONCE;
+        # the oracle's DISTINCT is equally a no-op on unique input, so
+        # removing the dedup exchange cannot change the result set
         probes.join(members, "cent_id")
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .select("vec_id", "neighbor_id")
-        .distinct()
     )
     pairs = candidate_cosines(e, cand)
     topk = with_n_indexed(
@@ -2424,10 +2428,14 @@ def similarity_ann_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     cand = (
+        # NOTE(r11 opt): no .distinct() — members is rank-1 (one cell per
+        # neighbor) and probes carries distinct cells per query, so the
+        # cell equi-join emits each (query, neighbor) pair AT MOST ONCE;
+        # the oracle's DISTINCT is equally a no-op on unique input, so
+        # removing the dedup exchange cannot change the result set
         probes.join(members, "cent_id")
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .select("vec_id", "neighbor_id")
-        .distinct()
     )
     pairs = candidate_cosines(e, cand)
     topk = _rank_topk(pairs)
@@ -2685,13 +2693,17 @@ def similarity_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cent_id", "label")
     )
     cand = (
+        # NOTE(r11 opt): no .distinct() — members is rank-1 (one cell per
+        # neighbor) and probes carries distinct cells per query, so the
+        # cell equi-join emits each (query, neighbor) pair AT MOST ONCE;
+        # the oracle's DISTINCT is equally a no-op on unique input, so
+        # removing the dedup exchange cannot change the result set
         probes.join(members, "cent_id")
         .filter(
             (F.col("vec_id") != F.col("neighbor_id"))
             & (F.col("label") == F.col("n_label"))
         )
         .select("vec_id", "neighbor_id")
-        .distinct()
     )
     topk = _rank_topk(candidate_cosines(e, cand))
     return _finalize(topk, e, members)
@@ -2824,10 +2836,14 @@ def similarity_ivf_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("vec_id"), F.lit(RECALL_SAMPLE_MOD)) == 0
     ).select("vec_id", "cent_id")
     cand = (
+        # NOTE(r11 opt): no .distinct() — members is rank-1 (one cell per
+        # neighbor) and probes carries distinct cells per query, so the
+        # cell equi-join emits each (query, neighbor) pair AT MOST ONCE;
+        # the oracle's DISTINCT is equally a no-op on unique input, so
+        # removing the dedup exchange cannot change the result set
         probes.join(members, "cent_id")
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .select("vec_id", "neighbor_id")
-        .distinct()
     )
     ann = _rank_topk(candidate_cosines(e, cand)).select(
         "vec_id", "neighbor_id"
@@ -3438,10 +3454,14 @@ def _delete_served_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(qb, "vec_id"), cents, auto_nprobe(cells)
     ).select("vec_id", "cent_id")
     cand = (
+        # NOTE(r11 opt): no .distinct() — members is rank-1 (one cell per
+        # neighbor) and probes carries distinct cells per query, so the
+        # cell equi-join emits each (query, neighbor) pair AT MOST ONCE;
+        # the oracle's DISTINCT is equally a no-op on unique input, so
+        # removing the dedup exchange cannot change the result set
         probes.join(surv_members, "cent_id")
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .select("vec_id", "neighbor_id")
-        .distinct()
     )
     ann = _rank_topk(candidate_cosines(e, cand)).select(
         "vec_id", "neighbor_id"
