@@ -879,7 +879,10 @@ def _ivf_pq_scored(spark: SparkSession, sf_dir: str, auto_cells: bool = False):
         # cell equi-join emits each (query, neighbor) pair AT MOST ONCE;
         # the oracle's DISTINCT is equally a no-op on unique input, so
         # removing the dedup exchange cannot change the result set
-        probes.join(members, "cent_id")
+        # probes is bounded on both paths (auto: QUERY_BATCH_MAX batch;
+        # fixed: 1/PQ_QUERY_MOD sample of the capped corpus): broadcast it
+        # so the member table never shuffles for the probe (guide §3.1)
+        F.broadcast(probes).join(members, "cent_id")
         .filter(F.col("q_id") != F.col("neighbor_id"))
         .select("q_id", "neighbor_id")
     )

@@ -2433,7 +2433,11 @@ def similarity_ann_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cell equi-join emits each (query, neighbor) pair AT MOST ONCE;
         # the oracle's DISTINCT is equally a no-op on unique input, so
         # removing the dedup exchange cannot change the result set
-        probes.join(members, "cent_id")
+        # broadcast the PROBES side (guide §3.1): it is batch-capped
+        # (<= QUERY_BATCH_MAX x nprobe rows of two longs) while members is
+        # corpus-scale — the broadcast makes the candidate join map-side
+        # over members, so the member table never shuffles to be probed
+        F.broadcast(probes).join(members, "cent_id")
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .select("vec_id", "neighbor_id")
     )
@@ -2698,7 +2702,9 @@ def similarity_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cell equi-join emits each (query, neighbor) pair AT MOST ONCE;
         # the oracle's DISTINCT is equally a no-op on unique input, so
         # removing the dedup exchange cannot change the result set
-        probes.join(members, "cent_id")
+        # probes is batch-capped (sampled batch x nprobe): broadcast it so
+        # the label-carrying member table never shuffles (guide §3.1)
+        F.broadcast(probes).join(members, "cent_id")
         .filter(
             (F.col("vec_id") != F.col("neighbor_id"))
             & (F.col("label") == F.col("n_label"))
@@ -3459,7 +3465,9 @@ def _delete_served_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cell equi-join emits each (query, neighbor) pair AT MOST ONCE;
         # the oracle's DISTINCT is equally a no-op on unique input, so
         # removing the dedup exchange cannot change the result set
-        probes.join(surv_members, "cent_id")
+        # probes is batch-capped: broadcast it so the served member table
+        # (the persisted index artifact) never shuffles (guide §3.1)
+        F.broadcast(probes).join(surv_members, "cent_id")
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .select("vec_id", "neighbor_id")
     )
