@@ -220,36 +220,42 @@ def _apply_driver_order() -> None:
 # list to CHANGED-THIS-ROUND names only in spirit; the artifact-aware
 # sort cannot know what changed without this declaration).
 #
-# Round 10: the 11 PQ-codebook consumers (PQ_LLOYD_STEPS 1 -> 2 —
-# hashes genuinely changed: new codewords, new codes, new ADC scores)
-# plus the queries whose execution path gained the zero-norm
-# refined-centroid guard (ADVICE r9; hash-NEUTRAL on every bundled sf,
-# locally re-driven MATCH at sf0.01 AND sf0.1 post-change, listed
-# because their recorded green predates the code) and the TTL twin
-# that gained the single-file source assert (values untouched, path
-# touched).  The new delete pair is NOT listed (never-checked names
-# sort ahead on their own).  Slot budget: 17 rechecks + 2 new leave 31
-# slots — the 8 remaining r3-vintage greens flush THIS round (closing
-# VERDICT r9 #2: no evidence older than r4 remains), and ~23 r4
-# greens rotate after them.
+# Round 11 (optimization round): every query whose EXECUTION PATH was
+# optimized this round — all hash-NEUTRAL by design (the round's rule is
+# bit-identical results) and all locally re-driven MATCH at sf0.01 (and
+# sf0.001) post-change, listed because their recorded greens predate the
+# new plans.  The changes: recall-gate tail rewrite (one join + one agg,
+# broadcast where batch-capped), sample-first LSH recall candidates,
+# no-op distinct removal in IVF candidate joins, broadcast of the
+# batch-capped probes side, and the codegen'd PQ _d2 (touches codebook
+# training, so every PQ/knn consumer re-drives).  Slot budget: 24
+# rechecks leave 26 slots — the ~22 r4-vintage greens rotate right after
+# them (closing VERDICT r10 #4: no evidence older than r5 remains).
 ROUND_RECHECK = [
-    "similarity_pq_codes",
-    "similarity_pq_adc_topk",
+    "similarity_recall_eval",
+    "similarity_ivf_append_recall",
+    "similarity_ann_ivf_auto_recall",
+    "similarity_ivf_delete_recall",
+    "similarity_nprobe_sweep",
     "similarity_pq_recall",
-    "similarity_ivf_pq",
     "similarity_ivf_pq_recall",
-    "similarity_ivf_pq_auto",
     "similarity_ivf_pq_auto_recall",
-    "similarity_ivf_pq_rerank",
     "similarity_rerank_recall",
     "similarity_auto_rerank_recall",
-    "similarity_stream_pq_codes",
+    "similarity_pq_codes",
+    "similarity_pq_adc_topk",
+    "similarity_ivf_pq",
+    "similarity_ivf_pq_auto",
+    "similarity_ivf_pq_rerank",
+    "similarity_knn_classify",
+    "similarity_knn_regression",
+    "similarity_knn_sweep",
+    "similarity_ann_ivf",
     "similarity_ann_ivf_auto",
-    "similarity_ann_ivf_auto_recall",
     "similarity_filtered_ann",
-    "dedup_semantic_auto",
-    "similarity_nprobe_sweep",
-    "events_stream_state_ttl",
+    "similarity_ivf_delete",
+    "similarity_stream_ivf_delete",
+    "similarity_stream_pq_codes",
 ]
 
 
