@@ -560,6 +560,7 @@ def _recall_vs_exact(
     ann: DataFrame,
     max_vec: int | None = None,
     batch_cap: bool = False,
+    ann_bounded: bool = False,
 ) -> DataFrame:
     """One-row recall@k summary of ANY (vec_id, neighbor_id) ANN result
     against the exact cosine top-k for the deterministic 1/32 query
@@ -569,7 +570,13 @@ def _recall_vs_exact(
     ``batch_cap`` restricts the exact side's QUERIES to the *_auto
     serving queries' QUERY_BATCH_MAX batch (a no-op below the cap):
     against the unrestricted sample, a batch-capped ANN result would be
-    measured on coverage, not quality, above the cap."""
+    measured on coverage, not quality, above the cap.  ``ann_bounded``
+    is the caller's EXPLICIT assertion that the ``ann`` frame it
+    supplies is bounded by construction (<= |capped query set| x k rows
+    of two longs) and may broadcast into the hit join — the ext-side
+    caps say nothing about the ann frame's size, so boundedness is
+    declared where the frame is built, never inferred here (ADVICE
+    r11)."""
     from pyspark_text_classification_spark.functions.text import round_half_up
 
     ext = _exact_topk_ground_truth(spark, sf_dir, max_vec=max_vec)
@@ -589,12 +596,7 @@ def _recall_vs_exact(
         recall_hits,
     )
 
-    # every caller passes max_vec (sample capped at max_vec/{PQ_QUERY_MOD}
-    # queries) or batch_cap (QUERY_BATCH_MAX queries), so both sides are
-    # bounded by construction and the ANN side broadcasts; an uncapped
-    # caller would keep the shuffled join (scale-correct for it)
-    bounded = max_vec is not None or batch_cap
-    perq = recall_hits(ext, ann, bounded=bounded)
+    perq = recall_hits(ext, ann, bounded=ann_bounded)
     out = perq.agg(
         F.count("*").alias("n_queries"),
         F.lit(PQ_NN_K).cast("long").alias("k"),
@@ -767,7 +769,9 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pq_adc_served",
         lambda: similarity_pq_adc_topk(spark, sf_dir),
     ).select(F.col("q_id").alias("vec_id"), "neighbor_id")
-    return _recall_vs_exact(spark, sf_dir, ann, batch_cap=True)
+    return _recall_vs_exact(
+        spark, sf_dir, ann, batch_cap=True, ann_bounded=True
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1151,7 +1155,8 @@ def similarity_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_id").alias("vec_id"), "neighbor_id"
     )
     return _recall_vs_exact(
-        spark, sf_dir, ann, max_vec=FIXED_CELL_MAX_VECTORS
+        spark, sf_dir, ann, max_vec=FIXED_CELL_MAX_VECTORS,
+        ann_bounded=True,
     )
 
 
@@ -1202,7 +1207,9 @@ def similarity_ivf_pq_auto_recall(spark: SparkSession, sf_dir: str) -> DataFrame
         "ivf_pq_auto_served",
         lambda: similarity_ivf_pq_auto(spark, sf_dir),
     ).select(F.col("q_id").alias("vec_id"), "neighbor_id")
-    return _recall_vs_exact(spark, sf_dir, ann, batch_cap=True)
+    return _recall_vs_exact(
+        spark, sf_dir, ann, batch_cap=True, ann_bounded=True
+    )
 
 
 def _sql_ivf_pq_auto_recall() -> str:
@@ -1269,8 +1276,14 @@ def similarity_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = with_norms(load_table(spark, sf_dir, "embeddings"))
+    # the shortlist is bounded by construction (<= |query batch| x
+    # RERANK_POOL rows of two longs): broadcast it against the corpus
+    # neighbor side and broadcast the shortlist-derived query vectors —
+    # the exact rescore never shuffles the corpus at all (r12)
     return with_n_indexed(
-        _rank_topk(candidate_cosines(e, shortlist), PQ_NN_K),
+        _rank_topk(
+            candidate_cosines(e, shortlist, cand_bounded=True), PQ_NN_K
+        ),
         load_table(spark, sf_dir, "embeddings"),
         FIXED_CELL_MAX_VECTORS,
     )
@@ -1339,7 +1352,8 @@ def similarity_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "neighbor_id"
     )
     return _recall_vs_exact(
-        spark, sf_dir, ann, max_vec=FIXED_CELL_MAX_VECTORS
+        spark, sf_dir, ann, max_vec=FIXED_CELL_MAX_VECTORS,
+        ann_bounded=True,
     )
 
 
@@ -1395,10 +1409,14 @@ def similarity_auto_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     for df in persisted:
         df.unpersist()
     e = with_norms(load_table(spark, sf_dir, "embeddings"))
-    ann = _rank_topk(candidate_cosines(e, shortlist), PQ_NN_K).select(
-        "vec_id", "neighbor_id"
+    # bounded shortlist (<= batch x RERANK_POOL): zero corpus-side
+    # exchanges in the exact rescore (see similarity_ivf_pq_rerank)
+    ann = _rank_topk(
+        candidate_cosines(e, shortlist, cand_bounded=True), PQ_NN_K
+    ).select("vec_id", "neighbor_id")
+    return _recall_vs_exact(
+        spark, sf_dir, ann, batch_cap=True, ann_bounded=True
     )
-    return _recall_vs_exact(spark, sf_dir, ann, batch_cap=True)
 
 
 def _sql_auto_rerank_recall() -> str:

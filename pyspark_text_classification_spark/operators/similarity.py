@@ -502,25 +502,59 @@ def recall_hits(ext: DataFrame, ann: DataFrame, bounded: bool = False) -> DataFr
     )
 
 
-def candidate_cosines(e: DataFrame, cand: DataFrame) -> DataFrame:
-    """Exact sequential-fold cosine for each unordered candidate pair."""
+def candidate_cosines(
+    e: DataFrame,
+    cand: DataFrame,
+    query_ids: DataFrame | None = None,
+    cand_bounded: bool = False,
+) -> DataFrame:
+    """Exact sequential-fold cosine for each candidate pair.
+
+    Default shape: two shuffled corpus joins (x on vec_id, y on
+    neighbor_id) — correct for unbounded candidate sets (the LSH pair
+    families, the 1/16-sample gates), where neither side may broadcast.
+
+    ``query_ids``: the caller ASSERTS (explicitly — the r11 ADVICE
+    lesson on inferred boundedness) that ``cand.vec_id`` is drawn from
+    this bounded id frame (<= QUERY_BATCH_MAX rows by construction, the
+    batch-capped serving family).  The query-vector side then restricts
+    to the batch and BROADCASTS (<= cap rows of one vector each), so the
+    corpus frame no longer shuffles to meet the query side — at scale
+    this halves the corpus-side exchanges of every capped serving query
+    (guide §3.1).  Restricting x to a superset of cand.vec_id cannot
+    change the inner join's result.
+
+    ``cand_bounded=True``: the caller asserts the CANDIDATE set itself
+    is bounded by construction (e.g. the rerank shortlists:
+    <= batch x RERANK_POOL rows of two longs).  The pair frame then
+    broadcasts against the corpus neighbor side and the query side
+    derives its bounded id frame from ``cand`` itself, so the corpus is
+    only SCANNED — zero corpus-side exchanges.  Join reorder
+    ((cand JOIN y) JOIN x vs (cand JOIN x) JOIN y) is exact: inner
+    equi-joins on key-distinct corpus sides commute, and the cosine
+    expression references the same post-join columns in the same fold
+    order either way."""
     x = e.select(
         F.col("vec_id"), F.col("v").alias("xv"), F.col("nrm").alias("xn")
     )
+    if cand_bounded and query_ids is None:
+        query_ids = cand.select("vec_id").distinct()
+    if query_ids is not None:
+        x = F.broadcast(x.join(F.broadcast(query_ids), "vec_id"))
     y = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("yv"),
         F.col("nrm").alias("yn"),
     )
     dot = _fold_sum(F.zip_with(F.col("xv"), F.col("yv"), lambda p, q: p * q))
-    return (
-        cand.join(x, "vec_id")
-        .join(y, "neighbor_id")
-        .select(
-            "vec_id",
-            "neighbor_id",
-            (dot / (F.col("xn") * F.col("yn"))).alias("cos"),
-        )
+    if cand_bounded:
+        joined = F.broadcast(cand).join(y, "neighbor_id").join(x, "vec_id")
+    else:
+        joined = cand.join(x, "vec_id").join(y, "neighbor_id")
+    return joined.select(
+        "vec_id",
+        "neighbor_id",
+        (dot / (F.col("xn") * F.col("yn"))).alias("cos"),
     )
 
 
@@ -1286,8 +1320,12 @@ def similarity_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a lazily-persisted frame races when parallel subtree stages scan it
     # concurrently (each recomputes the 48-sum plane-dot aggregate until
     # the cache fills — measured 12s vs 2s warm); one cheap count() fills
-    # the cache (and e's, which bk reads through) exactly once
-    bk.count()
+    # the cache (and e's, which bk reads through) exactly once.  Gated on
+    # EAGER_RELEASE (ADVICE r11): plan capture flips that switch
+    # precisely so builders stay build-only — the warm-up action is an
+    # executed-run concern, like the finalize checkpoint it pairs with
+    if EAGER_RELEASE:
+        bk.count()
     cand = lsh_query_candidates(bk, sampled)
     ann = _rank_topk(candidate_cosines(e, cand)).select("vec_id", "neighbor_id")
 
@@ -2421,7 +2459,8 @@ def similarity_ann_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("neighbor_id"), "cent_id")
         .persist()
     )
-    eb = e.join(F.broadcast(query_batch_ids(raw)), "vec_id")
+    qb = query_batch_ids(raw)
+    eb = e.join(F.broadcast(qb), "vec_id")
     probes = (
         ivf_assignment(eb, cents, auto_nprobe(cells))
         .select("vec_id", "cent_id")
@@ -2441,7 +2480,10 @@ def similarity_ann_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .select("vec_id", "neighbor_id")
     )
-    pairs = candidate_cosines(e, cand)
+    # cand.vec_id ⊆ qb by construction (probes derive from eb = e ⋈ qb):
+    # broadcast the batch's query vectors so the exact-cosine stage
+    # shuffles the corpus once (y side), not twice (guide §3.1, r12)
+    pairs = candidate_cosines(e, cand, query_ids=qb)
     topk = _rank_topk(pairs)
     return _finalize(topk, e, members, probes)
 
@@ -2690,7 +2732,8 @@ def similarity_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch over the SAMPLE (the pq auto path's convention), so the
     # served batch is QUERY_BATCH_MAX sampled queries — not the
     # 1/RECALL_SAMPLE_MOD survivors of a full-corpus batch
-    eb = e.join(F.broadcast(query_batch_ids(raw.filter(sampled))), "vec_id")
+    qb = query_batch_ids(raw.filter(sampled))
+    eb = e.join(F.broadcast(qb), "vec_id")
     probes = (
         ivf_assignment(eb, cents, auto_nprobe(cells))
         .join(labels, "vec_id")
@@ -2711,7 +2754,9 @@ def similarity_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "neighbor_id")
     )
-    topk = _rank_topk(candidate_cosines(e, cand))
+    # cand.vec_id ⊆ qb (probes derive from eb = e ⋈ qb): broadcast the
+    # batch's query vectors — one corpus shuffle, not two (r12)
+    topk = _rank_topk(candidate_cosines(e, cand, query_ids=qb))
     return _finalize(topk, e, members)
 
 
@@ -3455,9 +3500,9 @@ def _delete_served_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.pmod(F.col("vec_id"), F.lit(RECALL_SAMPLE_MOD)) == 0)
         .join(tomb, "vec_id", "left_anti")  # deleted queries don't query
     )
-    qb = F.broadcast(query_batch_ids(samp))
+    qb_ids = query_batch_ids(samp)
     probes = ivf_assignment(
-        e.join(qb, "vec_id"), cents, auto_nprobe(cells)
+        e.join(F.broadcast(qb_ids), "vec_id"), cents, auto_nprobe(cells)
     ).select("vec_id", "cent_id")
     cand = (
         # NOTE(r11 opt): no .distinct() — members is rank-1 (one cell per
@@ -3471,7 +3516,9 @@ def _delete_served_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .select("vec_id", "neighbor_id")
     )
-    ann = _rank_topk(candidate_cosines(e, cand)).select(
+    # cand.vec_id ⊆ qb_ids (probes derive from e ⋈ qb_ids): broadcast the
+    # batch's query vectors — one corpus shuffle, not two (r12)
+    ann = _rank_topk(candidate_cosines(e, cand, query_ids=qb_ids)).select(
         "vec_id", "neighbor_id"
     )
     return _finalize(ann, e)

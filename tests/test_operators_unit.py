@@ -1103,3 +1103,33 @@ def test_bpe_iter3_degenerate_corpora(spark, tmp_path):
     # the vocab is a single 1-symbol word -> no pairs -> no more rows
     got = run("one_word", ["ab ab ab", "ab"])
     assert got == [(1, "a", "b", 4, 4)], got
+
+
+def test_served_ann_frames_are_pair_unique(spark, sf_dir):
+    """recall_hits counts hits via LEFT JOIN + count(hit), which is exact
+    ONLY while the ANN side is (vec_id, neighbor_id)-unique — and that
+    uniqueness rests on the rank-1-members/distinct-probes invariants
+    whose enforcing .distinct() calls round 11 removed (they were no-ops
+    on unique input).  This tripwire makes a candidate-builder
+    regression fail LOUDLY here instead of silently inflating recall
+    gates (ADVICE r11).  Duplicated pairs would also survive _rank_topk
+    (row_number ranks them separately), so checking the served outputs
+    covers the whole candidate chain."""
+    from pyspark_text_classification_spark.all_queries import QUERIES
+
+    served = {
+        "similarity_ann_ivf": ("vec_id", "neighbor_id"),
+        "similarity_ann_ivf_auto": ("vec_id", "neighbor_id"),
+        "similarity_filtered_ann": ("vec_id", "neighbor_id"),
+        "similarity_ivf_pq": ("q_id", "neighbor_id"),
+        "similarity_pq_adc_topk": ("q_id", "neighbor_id"),
+        "similarity_ivf_pq_rerank": ("vec_id", "neighbor_id"),
+    }
+    for name, cols in served.items():
+        pairs = QUERIES[name](spark, sf_dir).select(*cols)
+        n, nd = pairs.count(), pairs.distinct().count()
+        assert n == nd, (
+            f"{name}: {n - nd} duplicate {cols} pairs — a rank-1/"
+            "distinct-probes invariant regressed; recall gates upstream "
+            "of this would overcount hits"
+        )

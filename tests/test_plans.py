@@ -1108,3 +1108,95 @@ def test_round9_two_level_members_no_window_no_shuffle_join(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_round12_candidate_cosines_bounded_broadcasts(spark, sf_dir):
+    """The r12 candidate_cosines contracts (VERDICT r11 #2), asserted
+    with autobroadcast DISABLED so fixture-scale size estimates cannot
+    mask the shapes — which makes the contract scale-independent (at
+    every bundled sf the optimizer would broadcast the corpus anyway;
+    at 100 TB it cannot, and these explicit hints are what keep the
+    plans below from degrading to corpus shuffles):
+
+    - default (unbounded) shape: TWO shuffled corpus joins — the
+      scale-correct plan for LSH pair tables and sample gates;
+    - query_ids (batch-capped serving family): the query-vector side
+      joins as an explicit BroadcastHashJoin, so exactly ONE corpus
+      shuffle join remains (the neighbor side) — halved;
+    - cand_bounded (rerank shortlists): ZERO SortMergeJoins — the pair
+      frame and the shortlist-derived query vectors both broadcast and
+      the corpus is only scanned."""
+    from pyspark.sql import functions as F
+
+    from pyspark_text_classification_spark.operators.similarity import (
+        candidate_cosines,
+        query_batch_ids,
+        with_norms,
+    )
+    from pyspark_text_classification_spark.plans.explain import (
+        formatted_plan,
+    )
+    from pyspark_text_classification_spark.sources.parquet import load_table
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        raw = load_table(spark, sf_dir, "embeddings")
+        e = with_norms(raw)
+        qb = query_batch_ids(raw)
+        cand = qb.withColumn("neighbor_id", F.col("vec_id") + 1)
+
+        # formatted plans list each node twice (tree + details section),
+        # so node counts below are 2x the plan's physical node count
+        default_plan = formatted_plan(candidate_cosines(e, cand))
+        assert default_plan.count("SortMergeJoin") == 4, default_plan
+
+        capped_plan = formatted_plan(
+            candidate_cosines(e, cand, query_ids=qb)
+        )
+        assert "BroadcastHashJoin" in capped_plan, capped_plan
+        assert capped_plan.count("SortMergeJoin") == 2, (
+            f"query-side broadcast did not halve the corpus shuffles:"
+            f" {capped_plan}"
+        )
+
+        rerank_plan = formatted_plan(
+            candidate_cosines(e, cand, cand_bounded=True)
+        )
+        assert "SortMergeJoin" not in rerank_plan, (
+            f"bounded-shortlist rescore shuffles the corpus: {rerank_plan}"
+        )
+        assert rerank_plan.count("BroadcastHashJoin") >= 2, rerank_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_round12_fusion_eval_consume_ranker_slots(spark, sf_dir):
+    """rrf_fusion / ndcg_eval / query_expansion read the rankers'
+    session-cached top-k lists (VERDICT r11 #3): their lazy plans scan
+    the checkpointed lists (ExistingRDD) instead of embedding a second
+    full ranker build, and the slot rows are value-identical to a fresh
+    ranker run (asserted executably, both directions empty)."""
+    from pyspark_text_classification_spark.operators.retrieval import (
+        _bm25_scored,
+        _bm25_topk,
+        _bm25_topk_list,
+    )
+    from pyspark_text_classification_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    slot = _bm25_topk_list(spark, sf_dir)
+    fresh = _bm25_topk(_bm25_scored(spark, sf_dir)[3]).select(
+        "query_id", "doc_id", "score_micro", "rank"
+    )
+    assert slot.exceptAll(fresh).isEmpty()
+    assert fresh.exceptAll(slot).isEmpty()
+
+    fused_plan = formatted_plan(QUERIES["retrieval_rrf_fusion"](spark, sf_dir))
+    assert "Scan ExistingRDD" in fused_plan, fused_plan
+    # the fused lists are checkpointed rows: no tokenizer/postings build
+    # (documents scan) may appear in the fusion plan
+    assert "documents" not in fused_plan, fused_plan
+    ndcg_plan = formatted_plan(QUERIES["retrieval_ndcg_eval"](spark, sf_dir))
+    assert "Scan ExistingRDD" in ndcg_plan, ndcg_plan
