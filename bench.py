@@ -432,18 +432,30 @@ def main() -> None:
     # the recalls — a hash-family or sizing regression shows up here.
     bloom_fpp = _metric_of("sketch_bloom_fpp", "fpp_micro")
 
-    # The grading driver keeps only the TAIL of stdout and front-truncates
-    # long lines; round 2's single ~100-query JSON line lost its front
-    # (including "value") and came back unparseable. Emit a compact summary
-    # LAST so the kept tail always contains a parseable total.
-    print(
-        json.dumps(
-            {
+    # The grading driver keeps only the TAIL of stdout (observed: the
+    # stored artifact tail is exactly 2000 chars, and round 2's single
+    # ~100-query JSON line lost its front — including "value" — and came
+    # back unparseable, BENCH_r02.json).  Emit a compact summary LAST so
+    # the kept tail always contains a parseable total.
+    #
+    # Per-query visibility (VERDICT r11 #1): the full 212-query dict is
+    # ~6.3 KB even with compact separators — 3x the whole tail — so
+    # embedding it in the final line would reproduce the round-2 parse
+    # failure and destroy the headline value.  The feasible version: the
+    # FROZEN 50-query comparison core (CORE_50, unchanged since round 5,
+    # spanning every operator family) fits at 2-decimal precision
+    # (~1.3 KB), giving the driver/judge real cross-round per-query
+    # deltas inside the tail.  A hard length guard drops the dict (never
+    # the totals) if it would ever push the line past 1900 chars.
+    summary = {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
                 "n_queries": len(timings),
                 "core50_total": core50_total,
+                "core50_queries": {
+                    n: round(timings[n], 2) for n in CORE_50 if n in timings
+                },
                 "ann_macro_recall": ann_recall,
                 "pq_macro_recall": pq_recall,
                 "ivf_pq_macro_recall": ivf_pq_recall,
@@ -465,10 +477,23 @@ def main() -> None:
                 "loadavg1": loadavg1_start,
                 "loadavg1_end": round(os.getloadavg()[0], 2),
                 "sf": sf,
-            }
-        )
-    )
+    }
+    print(summary_line(summary))
     spark.stop()
+
+
+def summary_line(summary: dict) -> str:
+    """Serialize the final summary compactly, guaranteed to fit the
+    driver's 2000-char stdout tail: if the CORE_50 per-query dict would
+    ever push the line past 1900 chars (it cannot at sane magnitudes —
+    the unit test pins ~1.8 KB at 99.99 s/query — but totals must never
+    be risked for detail), drop the dict, keep every total and quality
+    metric."""
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1900:
+        summary = {k: v for k, v in summary.items() if k != "core50_queries"}
+        line = json.dumps(summary, separators=(",", ":"))
+    return line
 
 
 if __name__ == "__main__":

@@ -213,21 +213,77 @@ def test_driver_first50_carries_only_new_information():
         assert not greens, f"settled greens wasting driver slots: {greens}"
 
 
-def test_driver_contract_refuses_audit_pin(monkeypatch):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("module", ["__spark_entry__", "bench"])
+def test_driver_contract_refuses_audit_pin(monkeypatch, module):
     """The batch-cap env pin is scale-audit-only (ADVICE r10): importing
-    the driver contract (or bench) under it must fail fast, so pinned
-    hashes can never masquerade as correctness evidence."""
+    the driver contract OR the bench under it must fail fast, so pinned
+    hashes/timings can never masquerade as recorded artifacts.  Both
+    module-level fences are exercised (ADVICE r11: the bench copy used
+    to be untested and could silently drift)."""
     import importlib
     import sys
 
     import pytest
 
     monkeypatch.setenv("SPARK_GRAFT_QUERY_BATCH_CAP", "63")
-    saved = sys.modules.pop("__spark_entry__", None)
+    saved = sys.modules.pop(module, None)
     try:
-        with pytest.raises(RuntimeError, match="scale-audit"):
-            importlib.import_module("__spark_entry__")
+        with pytest.raises(RuntimeError, match="scale-audit|not comparable"):
+            importlib.import_module(module)
     finally:
-        sys.modules.pop("__spark_entry__", None)
+        sys.modules.pop(module, None)
         if saved is not None:
-            sys.modules["__spark_entry__"] = saved
+            sys.modules[module] = saved
+
+
+def test_bench_summary_line_fits_driver_tail():
+    """The grading driver stores a 2000-char stdout TAIL and parses the
+    final JSON line out of it (BENCH_r02.json: a 6 KB line came back
+    front-truncated and unparseable).  The r12 summary line adds the
+    frozen CORE_50 per-query dict; this pins (a) that at pessimistic
+    magnitudes (99.99 s for every core query, noisy-host totals) the
+    compact line still fits the tail with the dict intact, and (b) that
+    the summary_line guard drops the dict — never the totals — if the
+    line would ever exceed the 1900-char budget."""
+    import json
+
+    import bench
+
+    assert set(bench.CORE_50) <= set(bench.HEADLINE)
+
+    def skeleton(core_val):
+        summary = {
+            "metric": "headline_queries_total",
+            "value": 21199.8888,
+            "unit": "sec",
+            "n_queries": 212,
+            "core50_total": 4999.5,
+            "core50_queries": {n: core_val for n in bench.CORE_50},
+        }
+        for k in (
+            "ann_macro_recall pq_macro_recall ivf_pq_macro_recall "
+            "ivf_pq_auto_macro_recall ann_ivf_auto_macro_recall "
+            "rerank_macro_recall auto_rerank_macro_recall "
+            "ivf_append_macro_recall ivf_delete_macro_recall knn_accuracy "
+            "knn_best_accuracy bloom_fpp_micro"
+        ).split():
+            summary[k] = 0.7264
+        summary["loadavg1"] = 31.99
+        summary["loadavg1_end"] = 31.99
+        summary["sf"] = 0.1
+        summary["knn_best_config"] = "weighted@99"
+        return summary
+
+    # (a) pessimistic-but-sane: every core query at 99.99s — dict kept
+    line = bench.summary_line(skeleton(99.99))
+    assert len(line) < 1900, len(line)
+    assert "core50_queries" in json.loads(line)
+    # (b) absurd magnitudes trip the guard: totals survive, dict dropped
+    big = bench.summary_line(skeleton(999999999.99))
+    parsed = json.loads(big)
+    assert len(big) < 1900
+    assert "core50_queries" not in parsed
+    assert parsed["value"] == 21199.8888
