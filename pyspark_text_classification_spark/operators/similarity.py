@@ -188,6 +188,27 @@ def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _sql_fold_sum(arr: str) -> str:
+    """The F.expr twin of _fold_sum — same aggregate/lambda expression,
+    parsed in ONE Py4J call instead of the lambda-conversion round trips
+    (r12: the Column-API builders cost 60-160 ms of serial driver time
+    PER CALL; the SQL string parses in ~10 ms and analyzes to the same
+    expression tree, so results are bit-identical).  Literal discipline:
+    float literals carry the D suffix (plain 0.5 parses as DECIMAL in
+    Spark SQL and would change arithmetic)."""
+    return f"aggregate({arr}, 0.0D, (acc, x) -> acc + x)"
+
+
+# (vec_id, v double[], nrm) projection: built once at import, reused by
+# every with_norms call (guide §1.2 per-task work — here per-PLAN work)
+_NORMS_V = "transform(embedding, x -> CAST(x AS DOUBLE))"
+_NORMS_EXPRS = (
+    "vec_id",
+    f"{_NORMS_V} AS v",
+    f"sqrt({_sql_fold_sum(f'transform({_NORMS_V}, x -> x * x)')}) AS nrm",
+)
+
+
 def with_norms(embeddings: DataFrame) -> DataFrame:
     """(vec_id, v double[], nrm): precomputed L2 norms.
 
@@ -196,12 +217,7 @@ def with_norms(embeddings: DataFrame) -> DataFrame:
     product of pairwise_cosine — the streamed side of a nested-loop join
     inherits the left side's partitioning) in ONE task.
     """
-    v = _as_double_vec()
-    return fan_out(embeddings).select(
-        "vec_id",
-        v.alias("v"),
-        F.sqrt(_fold_sum(F.transform(v, lambda x: x * x))).alias("nrm"),
-    )
+    return fan_out(embeddings).selectExpr(*_NORMS_EXPRS)
 
 
 def pairwise_cosine(e: DataFrame) -> DataFrame:
@@ -322,13 +338,23 @@ def _mirror(half: DataFrame) -> DataFrame:
     )
 
 
+# round_half_up(cos, 4) and the top-k rank window as parsed expressions
+# (r12, see _sql_fold_sum): 10000.0D/0.5D double literals match the old
+# F.lit floats exactly; DESC defaults to NULLS LAST like Column.desc()
+_COS4_EXPR = "floor(cos * 10000.0D + 0.5D) / 10000.0D"
+_RANK_EXPR = (
+    "row_number() OVER (PARTITION BY vec_id"
+    f" ORDER BY {_COS4_EXPR} DESC, neighbor_id)"
+)
+
+
 def _rank_topk(pairs: DataFrame, k: int = TOP_K) -> DataFrame:
-    cos4 = round_half_up(F.col("cos"), 4)
-    w = Window.partitionBy("vec_id").orderBy(cos4.desc(), "neighbor_id")
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        pairs.withColumn("rank", F.expr(_RANK_EXPR))
         .filter(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", cos4.alias("cos_sim"), "rank")
+        .selectExpr(
+            "vec_id", "neighbor_id", f"{_COS4_EXPR} AS cos_sim", "rank"
+        )
     )
 
 
@@ -502,6 +528,13 @@ def recall_hits(ext: DataFrame, ann: DataFrame, bounded: bool = False) -> DataFr
     )
 
 
+# exact pair cosine over the joined (xv, xn, yv, yn) columns — one parsed
+# expression per plan instead of ~85 ms of Py4J lambda construction (r12)
+_COS_PAIR_EXPR = (
+    f"{_sql_fold_sum('zip_with(xv, yv, (p, q) -> p * q)')} / (xn * yn)"
+)
+
+
 def candidate_cosines(
     e: DataFrame,
     cand: DataFrame,
@@ -546,7 +579,6 @@ def candidate_cosines(
         F.col("v").alias("yv"),
         F.col("nrm").alias("yn"),
     )
-    dot = _fold_sum(F.zip_with(F.col("xv"), F.col("yv"), lambda p, q: p * q))
     if cand_bounded:
         joined = F.broadcast(cand).join(y, "neighbor_id").join(x, "vec_id")
     else:
@@ -554,7 +586,7 @@ def candidate_cosines(
     return joined.select(
         "vec_id",
         "neighbor_id",
-        (dot / (F.col("xn") * F.col("yn"))).alias("cos"),
+        F.expr(_COS_PAIR_EXPR).alias("cos"),
     )
 
 
@@ -1872,6 +1904,13 @@ def sql_auto_cells_cte(src: str) -> str:
     )"""
 
 
+# centroid cosine over the crossJoin's (v, nrm, cv, cnrm) columns — one
+# parsed expression per plan (r12, see _sql_fold_sum)
+_IVF_COS_EXPR = (
+    f"{_sql_fold_sum('zip_with(v, cv, (x, y) -> x * y)')} / (nrm * cnrm)"
+)
+
+
 def ivf_assignment(e: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
     """(vec_id, cent_id, rk): each vector's nprobe NEAREST centroids —
     the shared coarse-assignment stage of the IVF family (ann_ivf,
@@ -1888,16 +1927,34 @@ def ivf_assignment(e: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
     Rank semantics (cos DESC, cent_id) match the oracle CTEs exactly;
     members (rk = 1) and probes (rk <= nprobe) are both slices of the
     returned frame, so one persisted pass serves both consumers."""
-    dot_ac = _fold_sum(F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y))
     ac = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cent_id",
-        (dot_ac / (F.col("nrm") * F.col("cnrm"))).alias("cos"),
+        F.expr(_IVF_COS_EXPR).alias("cos"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cent_id")
     return ac.select(
-        "vec_id", "cent_id", F.row_number().over(w).alias("rk")
+        "vec_id",
+        "cent_id",
+        F.expr(
+            "row_number() OVER (PARTITION BY vec_id"
+            " ORDER BY cos DESC, cent_id)"
+        ).alias("rk"),
     ).filter(F.col("rk") <= nprobe)
+
+
+# strict-'>' argmax-cosine fold over a cent_id-sorted (cent_id, cv, cnrm)
+# struct array ``cs`` next to (v, nrm) — the shared in-row assignment of
+# argmax_cell and two_level_members, as one parsed expression (r12)
+_ARGMAX_CELL_EXPR = (
+    "aggregate("
+    "transform(cs, c -> named_struct("
+    "'cent_id', c.cent_id, "
+    f"'cos', {_sql_fold_sum('zip_with(v, c.cv, (x, y) -> x * y)')}"
+    " / (nrm * c.cnrm))), "
+    "named_struct('cent_id', -1L, 'cos', -2.0D), "
+    "(acc, c) -> CASE WHEN c.cos > acc.cos THEN c ELSE acc END"
+    ").cent_id"
+)
 
 
 def _argmax_over_cs(withc: DataFrame) -> DataFrame:
@@ -1911,26 +1968,13 @@ def _argmax_over_cs(withc: DataFrame) -> DataFrame:
     per super-cell, joined in by super_id)."""
     # named_struct, not struct(...).alias: field aliases are dropped when
     # built inside a higher-order-function lambda (the fields come out as
-    # col1/col2), which breaks the acc["cos"] access in the fold below
-    cos_arr = F.transform(
-        F.col("cs"),
-        lambda c: F.named_struct(
-            F.lit("cent_id"),
-            c["cent_id"],
-            F.lit("cos"),
-            _fold_sum(F.zip_with(F.col("v"), c["cv"], lambda x, y: x * y))
-            / (F.col("nrm") * c["cnrm"]),
-        ),
-    )
-    best = F.aggregate(
-        cos_arr,
-        F.named_struct(
-            F.lit("cent_id"), F.lit(-1).cast("long"), F.lit("cos"), F.lit(-2.0)
-        ),
-        lambda acc, c: F.when(c["cos"] > acc["cos"], c).otherwise(acc),
-    )
+    # col1/col2), which breaks the acc.cos access in the fold below.
+    # One parsed expression per plan (r12, see _sql_fold_sum); the CASE
+    # WHEN analyzes to the same CaseWhen the old F.when/otherwise built,
+    # and every literal is type-suffixed (-1L long, -2.0D double) so the
+    # parsed tree matches the old F.lit types exactly.
     return withc.select(
-        "vec_id", best["cent_id"].alias("cent_id"), "v", "nrm"
+        "vec_id", F.expr(_ARGMAX_CELL_EXPR).alias("cent_id"), "v", "nrm"
     )
 
 
@@ -2192,6 +2236,25 @@ def two_level_index(cents: DataFrame, cells: int) -> DataFrame:
     return sarr.crossJoin(cmap)
 
 
+# the two-level member-cell union: score supers in-row, keep the
+# BUILD_SUPER_PROBES nearest by the exact (cos DESC, super_id) comparator,
+# flatten those supers' member-cell arrays, cent_id-sort for the argmax
+# fold — one parsed expression per plan (r12)
+_TWO_LEVEL_CS_EXPR = (
+    "array_sort(flatten(transform("
+    "slice(array_sort("
+    "transform(ss, s -> named_struct("
+    f"'cos', {_sql_fold_sum('zip_with(v, s.sv, (x, y) -> x * y)')}"
+    " / (nrm * s.snrm), "
+    "'super_id', s.super_id)), "
+    "(l, r) -> CASE WHEN l.cos > r.cos THEN -1 WHEN l.cos < r.cos THEN 1"
+    " WHEN l.super_id < r.super_id THEN -1"
+    " WHEN l.super_id > r.super_id THEN 1 ELSE 0 END"
+    f"), 1, {BUILD_SUPER_PROBES}), "
+    "t -> element_at(cmap, t.super_id))))"
+)
+
+
 def two_level_members(e: DataFrame, idx: DataFrame) -> DataFrame:
     """(vec_id, cent_id, v, nrm): each vector's cell under the TWO-LEVEL
     coarse quantizer — rank the super-centroids in-row, keep the
@@ -2209,38 +2272,14 @@ def two_level_members(e: DataFrame, idx: DataFrame) -> DataFrame:
     is safe because no cosine here can BE NaN: corpus vectors are
     nonzero by fixture contract and refined_centroids' zero-norm guard
     keeps every centroid nonzero (ADVICE r9)."""
+    # One parsed expression per plan (r12, see _sql_fold_sum): the CASE
+    # chain analyzes to the same CaseWhen tree the old F.when ladder
+    # built — exact (cos DESC, super_id ASC) IEEE comparator semantics,
+    # tie behavior (including ±0.0 equality) unchanged.
     withs = e.crossJoin(F.broadcast(idx))
-    scored = F.transform(
-        F.col("ss"),
-        lambda s: F.named_struct(
-            F.lit("cos"),
-            _fold_sum(F.zip_with(F.col("v"), s["sv"], lambda x, y: x * y))
-            / (F.col("nrm") * s["snrm"]),
-            F.lit("super_id"),
-            s["super_id"],
-        ),
+    return _argmax_over_cs(
+        withs.withColumn("cs", F.expr(_TWO_LEVEL_CS_EXPR))
     )
-    # exact (cos DESC, super_id ASC) comparator: IEEE comparisons, so tie
-    # semantics (including ±0.0 equality) match the oracle's ORDER BY
-    top = F.slice(
-        F.array_sort(
-            scored,
-            lambda l, r: F.when(l["cos"] > r["cos"], F.lit(-1))
-            .when(l["cos"] < r["cos"], F.lit(1))
-            .when(l["super_id"] < r["super_id"], F.lit(-1))
-            .when(l["super_id"] > r["super_id"], F.lit(1))
-            .otherwise(F.lit(0)),
-        ),
-        1,
-        BUILD_SUPER_PROBES,
-    )
-    cs = F.array_sort(
-        F.flatten(
-            F.transform(top, lambda t: F.element_at(F.col("cmap"),
-                                                    t["super_id"]))
-        )
-    )
-    return _argmax_over_cs(withs.withColumn("cs", cs))
 
 
 def shared_two_level_layout(
