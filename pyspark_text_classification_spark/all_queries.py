@@ -209,53 +209,66 @@ def _apply_driver_order() -> None:
     QUERIES.update(ordered)
 
 
-# Queries whose CURRENT-round code changes touched their execution path
-# or output: any recorded green predates the change and is stale against
-# the code as it now stands, so they re-drive at the very front of this
-# round's 50-slot sweep.  Do NOT list brand-new queries — never-checked
-# names already sort ahead of greens on their own (ADVICE r7) — and
-# CLEAR this list at the start of each round, replacing it with that
-# round's changed set, or the previous round's entries silently burn
-# re-drive slots forever (tests/test_correctness_queries.py pins the
-# list to CHANGED-THIS-ROUND names only in spirit; the artifact-aware
-# sort cannot know what changed without this declaration).
-#
-# Round 11 (optimization round): every query whose EXECUTION PATH was
-# optimized this round — all hash-NEUTRAL by design (the round's rule is
-# bit-identical results) and all locally re-driven MATCH at sf0.01 (and
-# sf0.001) post-change, listed because their recorded greens predate the
-# new plans.  The changes: recall-gate tail rewrite (one join + one agg,
-# broadcast where batch-capped), sample-first LSH recall candidates,
-# no-op distinct removal in IVF candidate joins, broadcast of the
-# batch-capped probes side, and the codegen'd PQ _d2 (touches codebook
-# training, so every PQ/knn consumer re-drives).  Slot budget: 24
-# rechecks leave 26 slots — the ~22 r4-vintage greens rotate right after
-# them (closing VERDICT r10 #4: no evidence older than r5 remains).
+# ROUND_RECHECK (r12): the 44 queries whose execution path changed in
+# the second optimization round — all hash-neutral by design and all
+# locally re-driven MATCH post-change (full registry 285/285 OK at
+# sf0.01; the 41-query similarity/PQ family additionally MATCHed at
+# sf0.001) — listed because their recorded greens predate the new
+# plans.  The changes: (1) bounded-broadcast variants of
+# candidate_cosines (query-side broadcast at the batch-capped serving
+# sites; zero-corpus-shuffle rescore for the bounded rerank
+# shortlists), (2) session-cached BM25/tfidf top-k lists consumed by
+# the fusion/eval/expansion queries, (3) the similarity builders
+# re-parsed as single SQL expressions (bit-identical trees; touches
+# every query that builds norms, ranks, IVF assignments or in-row
+# argmax folds — hence the whole family re-drives), (4) the explicit
+# ann_bounded flag in _recall_vs_exact (behavior-identical).  44
+# rechecks leave 6 first-sweep slots for the stalest-green rotation.
 ROUND_RECHECK = [
+    "similarity_ann_ivf",
     "similarity_recall_eval",
-    "similarity_ivf_append_recall",
-    "similarity_ann_ivf_auto_recall",
-    "similarity_ivf_delete_recall",
-    "similarity_nprobe_sweep",
-    "similarity_pq_recall",
-    "similarity_ivf_pq_recall",
-    "similarity_ivf_pq_auto_recall",
-    "similarity_rerank_recall",
-    "similarity_auto_rerank_recall",
     "similarity_pq_codes",
     "similarity_pq_adc_topk",
+    "similarity_pq_recall",
+    "similarity_stream_pq_codes",
     "similarity_ivf_pq",
-    "similarity_ivf_pq_auto",
+    "similarity_ivf_pq_recall",
     "similarity_ivf_pq_rerank",
+    "similarity_rerank_recall",
+    "similarity_ann_ivf_auto",
+    "similarity_filtered_ann",
+    "similarity_ivf_append_recall",
+    "similarity_ann_ivf_auto_recall",
+    "similarity_nprobe_sweep",
+    "similarity_ivf_delete",
+    "similarity_ivf_delete_recall",
+    "similarity_stream_ivf_delete",
+    "similarity_ivf_pq_auto",
+    "similarity_ivf_pq_auto_recall",
+    "similarity_auto_rerank_recall",
     "similarity_knn_classify",
     "similarity_knn_regression",
     "similarity_knn_sweep",
-    "similarity_ann_ivf",
-    "similarity_ann_ivf_auto",
-    "similarity_filtered_ann",
-    "similarity_ivf_delete",
-    "similarity_stream_ivf_delete",
-    "similarity_stream_pq_codes",
+    "similarity_kmeans_iter3",
+    "similarity_kcenter_init",
+    "similarity_cosine_topk",
+    "similarity_kmeans_auto",
+    "similarity_ivf_append",
+    "similarity_stream_ivf_append",
+    "similarity_lsh_buckets",
+    "similarity_ann_lsh",
+    "similarity_near_dup",
+    "similarity_dedup_clusters",
+    "similarity_quantize_int8",
+    "similarity_hard_negatives",
+    "similarity_kmeans_step",
+    "similarity_search_topk",
+    "similarity_stream_near_dup",
+    "dedup_semantic",
+    "dedup_semantic_auto",
+    "retrieval_rrf_fusion",
+    "retrieval_ndcg_eval",
+    "retrieval_query_expansion",
 ]
 
 
